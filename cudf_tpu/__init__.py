@@ -1,0 +1,33 @@
+"""cudf_tpu: a TPU-native columnar DataFrame / query-execution engine.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of RAPIDS cuDF
+(see SURVEY.md). Public API mirrors the cuDF Python surface where sensible.
+"""
+import os as _os
+
+import jax as _jax
+
+# cuDF matches pandas' default int64/float64 dtypes; JAX defaults to 32-bit.
+# Enable 64-bit globally — benchmarks opt into 32-bit data where it matters.
+_jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: on the axon TPU every compile is a slow
+# remote round-trip; caching compiled executables across processes is the
+# analog of libcudf's on-disk JIT kernel cache (cpp/src/jit/cache.cpp).
+_cache_dir = _os.environ.get(
+    "CUDF_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/cudf_tpu_xla")
+)
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+from .core import dtypes
+from .core.column import Column
+from .core.table import Table
+
+__version__ = "0.1.0"
+
+__all__ = ["dtypes", "Column", "Table"]

@@ -1,0 +1,5 @@
+from . import dtypes
+from .column import Column
+from .table import Table
+
+__all__ = ["dtypes", "Column", "Table"]

@@ -1,0 +1,173 @@
+"""Logical dtype system for cudf_tpu.
+
+TPU-native rethink of cuDF's ``type_id`` enum + ``data_type``
+(reference: cpp/include/cudf/types.hpp:193 — 29-member type_id).
+
+Unlike libcudf, which dispatches runtime type ids to per-type compiled
+kernels, we map every logical dtype onto a small set of *physical* JAX
+dtypes that the TPU handles well, and keep logical semantics (timestamps,
+durations, decimals, dictionary) as metadata interpreted at trace time.
+XLA then specializes each traced program, which is the TPU analog of
+libcudf's explicit per-type kernel instantiation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Kind:
+    """Logical type kinds (analog of cudf::type_id families)."""
+
+    BOOL = "bool"
+    INT = "int"
+    UINT = "uint"
+    FLOAT = "float"
+    TIMESTAMP = "timestamp"  # int64 physical, unit metadata
+    DURATION = "duration"    # int64 physical, unit metadata
+    DECIMAL = "decimal"      # int64 physical, scale metadata (DECIMAL64 analog)
+    STRING = "string"        # dictionary-encoded int32 codes + host values
+    DICTIONARY = "dictionary"
+    LIST = "list"
+    STRUCT = "struct"
+
+
+@dataclasses.dataclass(frozen=True)
+class DType:
+    """A logical dtype.
+
+    ``physical`` is the jnp dtype actually stored in HBM; ``param`` carries
+    unit (timestamps/durations) or scale (decimals).
+    """
+
+    kind: str
+    bits: int
+    param: Any = None
+
+    # ---- physical mapping -------------------------------------------------
+    @property
+    def physical(self):
+        if self.kind == Kind.BOOL:
+            return jnp.bool_
+        if self.kind == Kind.INT:
+            return {8: jnp.int8, 16: jnp.int16, 32: jnp.int32, 64: jnp.int64}[self.bits]
+        if self.kind == Kind.UINT:
+            return {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32, 64: jnp.uint64}[self.bits]
+        if self.kind == Kind.FLOAT:
+            return {16: jnp.bfloat16, 32: jnp.float32, 64: jnp.float64}[self.bits]
+        if self.kind in (Kind.TIMESTAMP, Kind.DURATION, Kind.DECIMAL):
+            return jnp.int64
+        if self.kind in (Kind.STRING, Kind.DICTIONARY):
+            return jnp.int32  # dictionary codes
+        raise TypeError(f"no physical dtype for {self}")
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.kind in (Kind.INT, Kind.UINT, Kind.FLOAT, Kind.BOOL, Kind.DECIMAL)
+
+    @property
+    def is_floating(self) -> bool:
+        return self.kind == Kind.FLOAT
+
+    @property
+    def is_integer(self) -> bool:
+        return self.kind in (Kind.INT, Kind.UINT)
+
+    @property
+    def is_temporal(self) -> bool:
+        return self.kind in (Kind.TIMESTAMP, Kind.DURATION)
+
+    @property
+    def is_string(self) -> bool:
+        return self.kind == Kind.STRING
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        p = f"[{self.param}]" if self.param is not None else ""
+        return f"{self.kind}{self.bits}{p}"
+
+
+# ---- canonical instances --------------------------------------------------
+bool_ = DType(Kind.BOOL, 8)
+int8 = DType(Kind.INT, 8)
+int16 = DType(Kind.INT, 16)
+int32 = DType(Kind.INT, 32)
+int64 = DType(Kind.INT, 64)
+uint8 = DType(Kind.UINT, 8)
+uint16 = DType(Kind.UINT, 16)
+uint32 = DType(Kind.UINT, 32)
+uint64 = DType(Kind.UINT, 64)
+bfloat16 = DType(Kind.FLOAT, 16)
+float32 = DType(Kind.FLOAT, 32)
+float64 = DType(Kind.FLOAT, 64)
+string = DType(Kind.STRING, 32)
+
+
+def timestamp(unit: str = "ns") -> DType:
+    return DType(Kind.TIMESTAMP, 64, unit)
+
+
+def duration(unit: str = "ns") -> DType:
+    return DType(Kind.DURATION, 64, unit)
+
+
+def decimal64(scale: int = 0) -> DType:
+    return DType(Kind.DECIMAL, 64, scale)
+
+
+_NP_MAP = {
+    np.dtype("bool"): bool_,
+    np.dtype("int8"): int8,
+    np.dtype("int16"): int16,
+    np.dtype("int32"): int32,
+    np.dtype("int64"): int64,
+    np.dtype("uint8"): uint8,
+    np.dtype("uint16"): uint16,
+    np.dtype("uint32"): uint32,
+    np.dtype("uint64"): uint64,
+    np.dtype("float32"): float32,
+    np.dtype("float64"): float64,
+}
+
+
+def from_numpy(np_dtype) -> DType:
+    np_dtype = np.dtype(np_dtype)
+    if np_dtype.kind == "M":  # datetime64
+        unit = np.datetime_data(np_dtype)[0]
+        return timestamp(unit)
+    if np_dtype.kind == "m":  # timedelta64
+        unit = np.datetime_data(np_dtype)[0]
+        return duration(unit)
+    if np_dtype.kind in ("U", "O", "S"):
+        return string
+    try:
+        return _NP_MAP[np_dtype]
+    except KeyError:
+        raise TypeError(f"unsupported numpy dtype {np_dtype}") from None
+
+
+def to_numpy(dt: DType):
+    if dt.kind == Kind.TIMESTAMP:
+        return np.dtype(f"datetime64[{dt.param or 'ns'}]")
+    if dt.kind == Kind.DURATION:
+        return np.dtype(f"timedelta64[{dt.param or 'ns'}]")
+    if dt.kind == Kind.STRING:
+        return np.dtype(object)
+    if dt.kind == Kind.FLOAT and dt.bits == 16:
+        return np.dtype("float32")  # numpy lacks bfloat16; widen
+    return np.dtype(dt.physical)
+
+
+def common_dtype(a: DType, b: DType) -> DType:
+    """Numpy-style promotion between two logical dtypes."""
+    if a == b:
+        return a
+    if a.is_temporal or b.is_temporal:
+        if a.kind == b.kind:
+            return a if a.param == b.param else timestamp("ns") if a.kind == Kind.TIMESTAMP else duration("ns")
+        # timestamp - timestamp handled at op level
+        return a if a.is_temporal else b
+    res = np.promote_types(to_numpy(a), to_numpy(b))
+    return from_numpy(res)

@@ -1,0 +1,132 @@
+"""Table: an ordered mapping of named columns of equal logical length.
+
+Analog of ``cudf::table`` / ``table_view`` (reference:
+cpp/include/cudf/table/table.hpp:29, table_view.hpp:189) merged with the
+Python-side ``ColumnAccessor`` (python/cudf/cudf/core/column_accessor.py).
+Because jax.Arrays are immutable, there is no owning/view split: every Table
+is a cheap bundle of column references.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .column import Column
+
+
+class Table:
+    __slots__ = ("_columns",)
+
+    def __init__(self, columns: Dict[str, Column]):
+        self._columns = dict(columns)
+        lens = {c.length for c in self._columns.values()}
+        assert len(lens) <= 1, f"ragged table: {lens}"
+
+    # ------------------------------------------------------------- basic api
+    @property
+    def names(self) -> List[str]:
+        return list(self._columns.keys())
+
+    @property
+    def columns(self) -> List[Column]:
+        return list(self._columns.values())
+
+    @property
+    def num_rows(self) -> int:
+        for c in self._columns.values():
+            return c.length
+        return 0
+
+    @property
+    def num_columns(self) -> int:
+        return len(self._columns)
+
+    def __len__(self) -> int:
+        return self.num_rows
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._columns
+
+    def __getitem__(self, name: str) -> Column:
+        return self._columns[name]
+
+    def __iter__(self):
+        return iter(self._columns.items())
+
+    def __repr__(self) -> str:  # pragma: no cover
+        cols = ", ".join(f"{k}: {v.dtype}" for k, v in self._columns.items())
+        return f"Table[{self.num_rows} rows]({cols})"
+
+    # ------------------------------------------------------------ transforms
+    def select(self, names: Sequence[str]) -> "Table":
+        return Table({n: self._columns[n] for n in names})
+
+    def drop(self, names: Sequence[str]) -> "Table":
+        drop = set(names)
+        return Table({n: c for n, c in self._columns.items() if n not in drop})
+
+    def with_column(self, name: str, col: Column) -> "Table":
+        cols = dict(self._columns)
+        cols[name] = col
+        return Table(cols)
+
+    def rename(self, mapping: Dict[str, str]) -> "Table":
+        return Table({mapping.get(n, n): c for n, c in self._columns.items()})
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Table":
+        return Table({n: c.slice(offset, length) for n, c in self._columns.items()})
+
+    # ----------------------------------------------------------------- inter
+    @classmethod
+    def from_pandas(cls, df) -> "Table":
+        cols = {}
+        for name in df.columns:
+            s = df[name]
+            vals = s.to_numpy()
+            if vals.dtype.kind == "f":
+                # pandas uses NaN for missing; cudf treats NaN as value. We
+                # follow cudf: NaN stays NaN (null only via explicit mask).
+                cols[str(name)] = Column.from_numpy(vals)
+            elif vals.dtype == object or str(s.dtype) in ("string", "category"):
+                isnull = s.isna().to_numpy()
+                cols[str(name)] = Column.from_numpy(
+                    vals, validity=~isnull if isnull.any() else None
+                )
+            else:
+                isnull = s.isna().to_numpy()
+                cols[str(name)] = Column.from_numpy(
+                    vals, validity=~isnull if isnull.any() else None
+                )
+        return cls(cols)
+
+    @classmethod
+    def from_arrow(cls, tbl) -> "Table":
+        return cls({name: Column.from_arrow(tbl.column(name)) for name in tbl.column_names})
+
+    @classmethod
+    def from_pydict(cls, d: Dict[str, object]) -> "Table":
+        cols = {}
+        for k, v in d.items():
+            if isinstance(v, Column):
+                cols[k] = v
+            else:
+                arr = np.asarray(v)
+                if arr.dtype == object:
+                    validity = np.array([x is not None for x in v])
+                    cols[k] = Column.from_numpy(
+                        arr, validity if not validity.all() else None
+                    )
+                else:
+                    cols[k] = Column.from_numpy(arr)
+        return cls(cols)
+
+    def to_pandas(self):
+        import pandas as pd
+
+        return pd.DataFrame({n: c.to_numpy() for n, c in self._columns.items()})
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.table({n: c.to_arrow() for n, c in self._columns.items()})

@@ -1,0 +1,141 @@
+"""Gather / scatter / concatenate over padded columns.
+
+Analog of cpp/src/copying/ (gather.cu, scatter.cu, concatenate.cu,
+contiguous_split.cu). On TPU these are single XLA gather/scatter/concat HLOs
+— XLA tiles them over the VPU; there is no hand-rolled kernel to write until
+profiling says otherwise.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.column import Column
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+
+
+_ONE_TRUE = None
+
+
+def _one_true():
+    """Tiny placeholder validity for the no-validity gather path."""
+    global _ONE_TRUE
+    if _ONE_TRUE is None:
+        _ONE_TRUE = jnp.asarray(np.ones((1,), bool))
+    return _ONE_TRUE
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _gather_kernel(data, validity, idx, length, has_validity):
+    safe = jnp.clip(idx, 0, data.shape[0] - 1)
+    out = data[safe]
+    in_bounds = (idx >= 0) & (idx < length)
+    if has_validity:
+        v = validity[safe] & in_bounds
+    else:
+        v = in_bounds
+    return out, v
+
+
+def gather(col: Column, indices: jnp.ndarray, out_length: int,
+           check_bounds: bool = False) -> Column:
+    """col.data[indices] with null propagation.
+
+    ``indices`` is a device int array of shape (out_capacity,); entries beyond
+    ``out_length`` are ignored. Negative / out-of-range indices yield null
+    (cuDF's out_of_bounds_policy::NULLIFY, cpp/include/cudf/copying.hpp).
+    """
+    out, v = _gather_kernel(
+        col.data,
+        col.validity if col.validity is not None else _one_true(),
+        indices.astype(jnp.int32),
+        jnp.asarray(col.length, jnp.int32),
+        col.validity is not None,
+    )
+    validity: Optional[jnp.ndarray] = v
+    if not check_bounds and col.validity is None:
+        validity = None
+    return Column(col.dtype, out, validity, out_length, col.dictionary)
+
+
+def gather_table(tbl: Table, indices: jnp.ndarray, out_length: int,
+                 check_bounds: bool = False) -> Table:
+    return Table({n: gather(c, indices, out_length, check_bounds) for n, c in tbl})
+
+
+@partial(jax.jit, static_argnames=("lengths", "cap"))
+def _concat_impl(cols, lengths, cap):
+    parts, vparts = [], []
+    any_valid = any(c.validity is not None for c in cols)
+    total = sum(lengths)
+    for c, ln in zip(cols, lengths):
+        parts.append(jax.lax.slice(c.data, (0,), (ln,)))
+        if any_valid:
+            if c.validity is not None:
+                vparts.append(jax.lax.slice(c.validity, (0,), (ln,)))
+            else:
+                vparts.append(jnp.ones((ln,), jnp.bool_))
+    pad = cap - total
+    if pad:
+        parts.append(jnp.zeros((pad,), cols[0].data.dtype))
+        if any_valid:
+            vparts.append(jnp.zeros((pad,), jnp.bool_))
+    data = jnp.concatenate(parts)
+    validity = jnp.concatenate(vparts) if any_valid else None
+    return data, validity
+
+
+def concatenate(cols: Sequence[Column]) -> Column:
+    """Concatenate columns of the same logical dtype."""
+    from ..ops.strings import unify_dictionaries
+
+    assert cols, "empty concatenate"
+    dt = cols[0].dtype
+    assert all(c.dtype == dt for c in cols), [c.dtype for c in cols]
+    if dt.is_string:
+        cols = unify_dictionaries(list(cols))
+    lengths = tuple(c.length for c in cols)
+    total = sum(lengths)
+    cap = bucket_capacity(total)
+    data, validity = _concat_impl(tuple(cols), lengths, cap)
+    return Column(dt, data, validity, total, cols[0].dictionary)
+
+
+def concatenate_tables(tables: Sequence[Table]) -> Table:
+    names = tables[0].names
+    return Table({n: concatenate([t[n] for t in tables]) for n in names})
+
+
+def interleave_columns(tbl: Table) -> Column:
+    """Row-major interleave of equal-dtype columns (cpp/src/reshape/)."""
+    from ..utils.jitutil import fix_lengths
+
+    out = _interleave_impl(tuple(tbl.columns), tbl.num_rows)
+    return fix_lengths(out, tbl.num_rows * tbl.num_columns)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _interleave_impl(cols, n):
+    total = n * len(cols)
+    cap = bucket_capacity(total)
+    flat = jnp.stack([c.data[:n] for c in cols], axis=1).reshape(-1)
+    pad = cap - total
+    data = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)]) if pad else flat
+    validity = None
+    if any(c.validity is not None for c in cols):
+        vs = jnp.stack(
+            [
+                c.validity[:n] if c.validity is not None else jnp.ones((n,), jnp.bool_)
+                for c in cols
+            ],
+            axis=1,
+        ).reshape(-1)
+        validity = jnp.concatenate([vs, jnp.zeros((pad,), jnp.bool_)]) if pad else vs
+    out = Column(cols[0].dtype, data, validity, total, cols[0].dictionary)
+    out.length = total
+    return out

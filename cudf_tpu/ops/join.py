@@ -1,0 +1,277 @@
+"""Joins: inner/left/semi/anti/full hash-equivalent joins + cross join.
+
+Analog of cpp/src/join/ (11.6k LoC: cuco hash-table build/probe kernels,
+size-estimation pass + retrieve pass, sort-merge fallback). TPU-native
+design — a *sort + vectorized binary search* join:
+
+  1. promote key dtypes / unify string dictionaries (host metadata)
+  2. sort the right table's key operands once (XLA sort network) — the
+     analog of the hash-table *build* phase (join.cu:49 picks the smaller
+     side; callers can swap sides the same way)
+  3. probe: every left row binary-searches the sorted right keys with a
+     lexicographic comparator unrolled over log2(cap) gather+compare steps
+     — fully vectorized over the VPU, no per-row control flow
+  4. size pass: match counts -> exclusive scan -> one host sync for the
+     output row count (mirrors libcudf's join size estimation,
+     inner_join_size.cu)
+  5. retrieve: expansion via searchsorted(offsets, arange(out)) produces
+     (left_idx, right_idx) gather maps; payloads gathered per column
+
+Left-order preservation comes free (pandas merge semantics). Null keys
+follow pandas/polars: null != null unless ``nulls_equal=True``
+(cuDF null_equality); NaN == NaN always (cuDF nan_equality::ALL_EQUAL).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+from ..utils.jitutil import fix_lengths
+from . import rowcodes
+from .copying import gather, gather_table
+from .unaryop import cast
+
+
+def _promote_keys(left: Table, lk: Sequence[str], right: Table, rk: Sequence[str]):
+    """Cast key pairs to a common dtype; unify string dictionaries."""
+    from .strings import unify_dictionaries
+
+    lcols, rcols = [], []
+    for ln, rn in zip(lk, rk):
+        lc, rc = left[ln], right[rn]
+        if lc.dtype.is_string or rc.dtype.is_string:
+            assert lc.dtype.is_string and rc.dtype.is_string
+            lc, rc = unify_dictionaries([lc, rc])
+        elif lc.dtype != rc.dtype:
+            common = dtypes.common_dtype(lc.dtype, rc.dtype)
+            lc, rc = cast(lc, common), cast(rc, common)
+        lcols.append(lc)
+        rcols.append(rc)
+    return lcols, rcols
+
+
+def _join_key_operands(cols: Sequence[Column]) -> List[jnp.ndarray]:
+    """Equality operands with a null flag ALWAYS present (cross-side parity)."""
+    ops: List[jnp.ndarray] = []
+    for c in cols:
+        eq = rowcodes.equality_operands(c)
+        if c.validity is None:
+            ops.append(jnp.zeros((c.capacity,), jnp.uint8))
+        ops.extend(eq)
+    return ops
+
+
+def _lex_lt(a_ops, b_ops):
+    """Lexicographic a < b across operand lists (elementwise arrays)."""
+    lt = jnp.zeros(a_ops[0].shape, jnp.bool_)
+    eq = jnp.ones(a_ops[0].shape, jnp.bool_)
+    for a, b in zip(a_ops, b_ops):
+        lt = lt | (eq & (a < b))
+        eq = eq & (a == b)
+    return lt, eq
+
+
+@partial(jax.jit, static_argnames=("nulls_equal",))
+def _probe(lcols, rcols, nulls_equal):
+    """Size pass: returns (counts, lb, r_perm, n_search) for the probe side."""
+    capL = lcols[0].capacity
+    capR = rcols[0].capacity
+    # ---- build: sort right by keys (nulls last, padding last) -------------
+    r_ops = rowcodes.grouping_operands(rcols, rcols[0].length)
+    pos = jnp.arange(capR, dtype=jnp.int32)
+    sorted_all = jax.lax.sort(
+        tuple(r_ops) + (pos,), num_keys=len(r_ops) + 1, is_stable=False
+    )
+    r_perm = sorted_all[-1]
+
+    # search domain: in-bounds rows; exclude null-key rows unless nulls_equal
+    inbound_n = jnp.asarray(rcols[0].length, jnp.int32)
+    if nulls_equal:
+        n_search = inbound_n
+    else:
+        anynull = jnp.zeros((capR,), jnp.bool_)
+        for c in rcols:
+            if c.validity is not None:
+                anynull = anynull | ~c.validity
+        n_valid = jnp.sum(
+            ((pos < inbound_n) & ~anynull).astype(jnp.int32)
+        )
+        n_search = n_valid  # null rows sort after valid ones (null flag)
+
+    # comparable operand lists (null flag always present, no oob flag)
+    l_probe = _join_key_operands(lcols)
+    r_sorted = [op[r_perm] for op in _join_key_operands(rcols)]
+
+    # ---- vectorized lexicographic binary search ---------------------------
+    steps = max(1, capR.bit_length())
+
+    def search(le: bool):
+        lo = jnp.zeros((capL,), jnp.int32)
+        hi = jnp.broadcast_to(n_search, (capL,)).astype(jnp.int32)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            midc = jnp.clip(mid, 0, capR - 1)
+            b_at = [op[midc] for op in r_sorted]
+            lt, eq = _lex_lt(b_at, l_probe)  # right[mid] < left?
+            go_right = lt | (eq if le else jnp.zeros_like(lt))
+            lo2 = jnp.where(go_right, mid + 1, lo)
+            hi2 = jnp.where(go_right, hi, mid)
+            return (jnp.where(lo < hi, lo2, lo), jnp.where(lo < hi, hi2, hi))
+
+        lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+        return lo
+
+    lb = search(le=False)   # first right >= left
+    ub = search(le=True)    # first right > left
+    counts = ub - lb
+
+    # zero out padding rows and (if not nulls_equal) null-key left rows
+    linb = jnp.arange(capL, dtype=jnp.int32) < jnp.asarray(lcols[0].length, jnp.int32)
+    keep = linb
+    if not nulls_equal:
+        for c in lcols:
+            if c.validity is not None:
+                keep = keep & c.validity
+    counts = jnp.where(keep, counts, 0)
+    return counts, lb, r_perm, linb
+
+
+@partial(jax.jit, static_argnames=("out_cap", "how"))
+def _expand(counts, lb, r_perm, linb, out_cap, how):
+    """Retrieve pass: produce (left_idx, right_idx) gather maps."""
+    capL = counts.shape[0]
+    capR = r_perm.shape[0]
+    if how == "left":
+        eff = jnp.where(linb, jnp.maximum(counts, 1), 0)
+    else:
+        eff = counts
+    total = jnp.sum(eff)
+    # exclusive prefix; padding rows get offset=total so searchsorted skips them
+    offs = jnp.cumsum(eff) - eff
+    offs = jnp.where(linb, offs, total)
+    j = jnp.arange(out_cap, dtype=eff.dtype)
+    src = jnp.clip(
+        jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1, 0, capL - 1
+    )
+    pos_in = j - offs[src]
+    matched = counts[src] > 0
+    r_sorted_pos = jnp.clip(lb[src] + pos_in.astype(jnp.int32), 0, capR - 1)
+    right_idx = jnp.where(matched, r_perm[r_sorted_pos], -1)
+    left_idx = src
+    valid_out = j < total
+    left_idx = jnp.where(valid_out, left_idx, 0)
+    right_idx = jnp.where(valid_out, right_idx, -1)
+    return left_idx, right_idx, total
+
+
+def _semi_anti_mask(counts, linb, anti: bool):
+    return (counts == 0) if anti else (counts > 0)
+
+
+def join(
+    left: Table,
+    right: Table,
+    left_on: Sequence[str],
+    right_on: Sequence[str],
+    how: str = "inner",
+    nulls_equal: bool = False,
+    suffixes: Tuple[str, str] = ("_x", "_y"),
+) -> Table:
+    """Equi-join two tables. how: inner/left/semi/anti/full."""
+    from .stream_compaction import apply_boolean_mask
+
+    lcols, rcols = _promote_keys(left, left_on, right, right_on)
+    counts, lb, r_perm, linb = _probe(tuple(lcols), tuple(rcols), nulls_equal)
+
+    if how in ("semi", "anti"):
+        keep = _semi_anti_mask(counts, linb, how == "anti")
+        mask = Column(dtypes.bool_, keep, None, left.num_rows)
+        return apply_boolean_mask(left, mask)
+
+    if how in ("inner", "left"):
+        if how == "left":
+            n_out = int(jnp.sum(jnp.where(linb, jnp.maximum(counts, 1), 0)))
+        else:
+            n_out = int(jnp.sum(counts))  # host sync (size pass)
+        out_cap = bucket_capacity(max(n_out, 1))
+        left_idx, right_idx, _ = _expand(counts, lb, r_perm, linb, out_cap, how)
+        return _materialize(left, right, left_on, right_on, left_idx, right_idx,
+                            n_out, how, suffixes, lcols)
+
+    if how == "full":
+        return _full_join(left, right, left_on, right_on, nulls_equal, suffixes)
+
+    raise ValueError(f"unknown join type {how!r}")
+
+
+def _materialize(left, right, left_on, right_on, left_idx, right_idx, n_out,
+                 how, suffixes, lcols) -> Table:
+    out: Dict[str, Column] = {}
+    rnames = set(right.names)
+    key_pairs = dict(zip(left_on, right_on))
+    for name in left.names:
+        cname = name if name not in rnames or name in key_pairs else name + suffixes[0]
+        out[cname] = gather(left[name], left_idx, n_out)
+    for name in right.names:
+        if name in key_pairs.values() and name in left_on:
+            # shared key column name: already emitted from left
+            continue
+        cname = name if name not in set(left.names) else name + suffixes[1]
+        out[cname] = gather(right[name], right_idx, n_out, check_bounds=(how != "inner"))
+    return Table(out)
+
+
+def _full_join(left, right, left_on, right_on, nulls_equal, suffixes) -> Table:
+    """Full outer = left join + unmatched right rows with null left side."""
+    from .copying import concatenate_tables
+    from .stream_compaction import apply_boolean_mask
+
+    lj = join(left, right, left_on, right_on, "left", nulls_equal, suffixes)
+    # unmatched right rows: probe in the other direction, counts == 0
+    rcols2, lcols2 = _promote_keys(right, right_on, left, left_on)
+    counts_r, _, _, rinb = _probe(tuple(rcols2), tuple(lcols2), nulls_equal)
+    keep = (counts_r == 0) & rinb
+    mask = Column(dtypes.bool_, keep, None, right.num_rows)
+    r_only = apply_boolean_mask(right, mask)
+    # build a left-join-shaped table with null left columns
+    n = r_only.num_rows
+    cols: Dict[str, Column] = {}
+    for name in lj.names:
+        if name in r_only.names:
+            cols[name] = r_only[name]
+        elif name in left.names and name in left_on:
+            # key columns: take right values (same key domain)
+            ridx = right_on[left_on.index(name)]
+            cols[name] = r_only[ridx] if ridx in r_only.names else Column.from_scalar(None, n, lj[name].dtype)
+        else:
+            src = lj[name]
+            cols[name] = Column.from_scalar(None, n, src.dtype)
+            cols[name].dictionary = src.dictionary
+    return concatenate_tables([lj, Table({k: cols[k] for k in lj.names})])
+
+
+def cross_join(left: Table, right: Table) -> Table:
+    """cudf::cross_join (cpp/src/join/cross_join.cu)."""
+    nl, nr = left.num_rows, right.num_rows
+    n_out = nl * nr
+    out_cap = bucket_capacity(max(n_out, 1))
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    left_idx = j // max(nr, 1)
+    right_idx = j % max(nr, 1)
+    out = {}
+    for name in left.names:
+        out[name] = gather(left[name], left_idx, n_out)
+    for name in right.names:
+        cname = name if name not in set(left.names) else name + "_y"
+        out[cname] = gather(right[name], right_idx, n_out)
+    return Table(out)

@@ -1,0 +1,195 @@
+"""Order/equality key normalization ("row codes") — all-uint32 operands.
+
+TPU analog of cuDF's row_operator layer (cpp/src/row_operator/
+lexicographic.cuh, equality.cuh, hashing.cuh). Each key column expands into
+a short list of **uint32 operands** whose lexicographic comparison under
+``jax.lax.sort`` reproduces the desired row order, and whose pairwise
+equality reproduces cuDF row equality.
+
+Why uint32-only: measured on the axon TPU stack, an f64 comparator inside a
+multi-operand XLA sort costs 200s+ of compile time (X64 emulation blows up
+the sort comparator), and f64 bitcast is unimplemented. So 64-bit keys are
+decomposed arithmetically:
+
+  * ints <= 32 bits:  one u32 (sign-flip trick)
+  * int64 family:     (hi, lo) u32 pair — i64 shifts/truncs are supported
+  * f32/bf16:         one u32 (IEEE flip trick via supported f32 bitcast)
+  * f64:              (sgnexp, mant_hi, mant_lo) u32 triple extracted with
+                      pure f64 arithmetic (binary-search normalization →
+                      exponent + two 26-bit mantissa chunks). Exact total
+                      order for ALL doubles incl. subnormals/±inf; NaNs
+                      compare equal and largest; -0 == +0.
+  * strings:          dictionary codes (dictionary sorted at ingest)
+  * descending:       complement each code
+  * nulls first/last: leading 0/1 null-flag operand
+
+Semantics follow cuDF defaults: NaN sorts after +inf, null==null and
+NaN==NaN for equality (null_equality::EQUAL, nan_equality::ALL_EQUAL).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.column import Column
+from ..core.dtypes import Kind
+
+_SIGN32 = jnp.uint32(1 << 31)
+
+
+def _f32_code(data: jnp.ndarray) -> jnp.ndarray:
+    u = data.astype(jnp.float32).view(jnp.uint32)
+    sign = (u >> jnp.uint32(31)).astype(jnp.bool_)
+    return jnp.where(sign, ~u, u ^ _SIGN32)
+
+
+def _f64_codes(x: jnp.ndarray) -> List[jnp.ndarray]:
+    """Exact order codes for float64 without bitcast: 3 u32 operands.
+
+    Decomposes |x| = m * 2^e with m in [1,2) using exact power-of-two
+    scaling (binary normalization), then packs (sign+exponent, top 26
+    mantissa bits, low 26 mantissa bits). All arithmetic is exact; converts
+    are f64->i32 on sub-2^26 integers.
+    """
+    neg = x < 0.0
+    a = jnp.abs(x)
+    isz = a == 0.0
+    nan = jnp.isnan(x)
+    inf = jnp.isinf(x)
+    # XLA treats f64 subnormals as zero (DAZ/FTZ) in every device op, so
+    # subnormal inputs are indistinguishable from +-0 here by construction.
+
+    e = jnp.zeros(x.shape, jnp.int32)
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        big = a >= 2.0 ** k
+        a = jnp.where(big, a * (2.0 ** -k), a)
+        e = e + jnp.where(big, jnp.int32(k), jnp.int32(0))
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        small = a < 2.0 ** (1 - k)
+        a = jnp.where(small, a * (2.0 ** k), a)
+        e = e - jnp.where(small, jnp.int32(k), jnp.int32(0))
+
+    f = a - 1.0                      # [0, 1), exact
+    s1 = f * (2.0 ** 26)
+    m1 = jnp.floor(s1)
+    m2 = (s1 - m1) * (2.0 ** 26)     # remaining 26 bits, exact integer
+    m1i = m1.astype(jnp.int32)
+    m2i = m2.astype(jnp.int32)
+
+    v = (e + jnp.int32(1100)).astype(jnp.int32)  # [78, 2123] for normals
+    base = jnp.int32(1 << 14)
+    code1 = jnp.where(neg, base - v, base + v)
+    code1 = jnp.where(isz, base, code1)
+    code1 = jnp.where(inf, jnp.where(neg, base - 4000, base + 4000), code1)
+    code1 = jnp.where(nan, base + 8000, code1)
+
+    mmax = jnp.int32((1 << 26) - 1)
+    special = isz | nan | inf
+    mh = jnp.where(special, 0, jnp.where(neg, mmax - m1i, m1i))
+    ml = jnp.where(special, 0, jnp.where(neg, mmax - m2i, m2i))
+    return [code1.astype(jnp.uint32), mh.astype(jnp.uint32), ml.astype(jnp.uint32)]
+
+
+def _value_codes(col: Column) -> List[jnp.ndarray]:
+    """Canonical ascending u32 order/equality codes for the column values."""
+    d = col.data
+    k = col.dtype.kind
+    if k == Kind.BOOL:
+        return [d.astype(jnp.uint32)]
+    if k == Kind.UINT:
+        if col.dtype.bits == 64:
+            return [(d >> jnp.uint64(32)).astype(jnp.uint32), d.astype(jnp.uint32)]
+        return [d.astype(jnp.uint32)]
+    if k in (Kind.INT, Kind.TIMESTAMP, Kind.DURATION, Kind.DECIMAL):
+        if col.dtype.bits <= 32 and k == Kind.INT:
+            return [d.astype(jnp.int32).view(jnp.uint32) ^ _SIGN32]
+        d64 = d.astype(jnp.int64)
+        hi = (d64 >> 32).astype(jnp.int32).view(jnp.uint32) ^ _SIGN32
+        lo = d64.astype(jnp.uint32)  # truncating: low 32 bits
+        return [hi, lo]
+    if k == Kind.FLOAT:
+        if col.dtype.bits == 64:
+            return _f64_codes(d)
+        return [_f32_code(d)]
+    if k in (Kind.STRING, Kind.DICTIONARY):
+        return [d.astype(jnp.uint32)]
+    raise TypeError(f"cannot order {col.dtype}")
+
+
+def sort_key_operands(col: Column, descending: bool, nulls_last: bool) -> List[jnp.ndarray]:
+    """Operand list for lax.sort reproducing cuDF ordering for this column."""
+    ops: List[jnp.ndarray] = []
+    if col.validity is not None:
+        nk = (~col.validity).astype(jnp.uint8)
+        if not nulls_last:
+            nk = jnp.uint8(1) - nk
+        ops.append(nk)
+    codes = _value_codes(col)
+    if descending:
+        codes = [~c for c in codes]
+    ops.extend(codes)
+    return ops
+
+
+def equality_operands(col: Column) -> List[jnp.ndarray]:
+    """Operands whose pairwise equality == cuDF row equality.
+
+    null==null (payload canonicalized to 0), NaN==NaN (folded into the f64
+    sgnexp code / f32 canonicalization), -0 == +0.
+    """
+    ops: List[jnp.ndarray] = []
+    valid = col.validity
+    if valid is not None:
+        ops.append((~valid).astype(jnp.uint8))
+    if col.dtype.kind == Kind.FLOAT and col.dtype.bits <= 32:
+        nan = jnp.isnan(col.data)
+        codes = [
+            jnp.where(nan, jnp.uint32(0xFFFFFFFF),
+                      _f32_code(jnp.where(nan, 0.0, col.data.astype(jnp.float32)) + 0.0))
+        ]
+    else:
+        codes = _value_codes(col)
+    if valid is not None:
+        codes = [jnp.where(valid, c, jnp.zeros((), c.dtype)) for c in codes]
+    ops.extend(codes)
+    return ops
+
+
+def sort_operands(
+    cols: Sequence[Column],
+    descending: Sequence[bool],
+    nulls_last: Sequence[bool],
+    length: int,
+) -> Tuple[List[jnp.ndarray], int]:
+    """Full lax.sort key-operand list; padding rows always sort last."""
+    cap = cols[0].capacity
+    ops: List[jnp.ndarray] = []
+    oob = (jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(length, jnp.int32)).astype(jnp.uint8)
+    ops.append(oob)
+    for c, desc, nl in zip(cols, descending, nulls_last):
+        ops.extend(sort_key_operands(c, desc, nl))
+    return ops, len(ops)
+
+
+def grouping_operands(cols: Sequence[Column], length: int) -> List[jnp.ndarray]:
+    """Operand list for group-identification sorts: oob + equality-canonical
+    sort keys (ascending, nulls last). Ordering within equal keys is the
+    caller's concern (stable payload)."""
+    cap = cols[0].capacity
+    ops: List[jnp.ndarray] = [
+        (jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(length, jnp.int32)).astype(jnp.uint8)
+    ]
+    for c in cols:
+        ops.extend(equality_operands(c))
+    return ops
+
+
+def adjacent_neq(sorted_ops: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """bool[cap]: row differs from previous row on any operand (row 0 True)."""
+    cap = sorted_ops[0].shape[0]
+    neq = jnp.zeros((cap - 1,), jnp.bool_)
+    for op in sorted_ops:
+        neq = neq | (op[1:] != op[:-1])
+    return jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])

@@ -1,0 +1,127 @@
+"""Sorting: sorted_order, sort_by_key, rank, top-k.
+
+Analog of cpp/src/sort/ (sort.cu radix path, sort_impl.cuh comparator path).
+TPU-native design: normalize keys to order-preserving unsigned codes
+(rowcodes.py) and hand the multi-operand lexicographic sort to
+``jax.lax.sort`` — XLA lowers this to an optimized on-chip bitonic/merge
+sort. A hand-written Pallas radix sort is a later perf upgrade; the
+key-normalization layer already matches the radix-sortable representation it
+would consume.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..core.column import Column
+from ..core.table import Table
+from ..core import dtypes
+from . import rowcodes
+from .copying import gather, gather_table
+
+
+def _norm_flags(n: int, flag: Union[bool, Sequence[bool]]) -> List[bool]:
+    if isinstance(flag, (list, tuple)):
+        assert len(flag) == n
+        return list(flag)
+    return [bool(flag)] * n
+
+
+@partial(jax.jit, static_argnames=("desc", "nl"))
+def _sorted_order_impl(keys, desc, nl):
+    cap = keys[0].capacity
+    ops, num_keys = rowcodes.sort_operands(keys, desc, nl, keys[0].length)
+    ops.append(jnp.arange(cap, dtype=jnp.int32))
+    out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=True)
+    return out[-1]
+
+
+def sorted_order(
+    keys: Sequence[Column],
+    descending: Union[bool, Sequence[bool]] = False,
+    nulls_last: Union[bool, Sequence[bool]] = True,
+) -> jnp.ndarray:
+    """Stable permutation (int32[capacity]) ordering the key columns."""
+    keys = list(keys)
+    desc = tuple(_norm_flags(len(keys), descending))
+    nl = tuple(_norm_flags(len(keys), nulls_last))
+    return _sorted_order_impl(tuple(keys), desc, nl)
+
+
+def sort_by_key(
+    tbl: Table,
+    keys: Sequence[str],
+    descending: Union[bool, Sequence[bool]] = False,
+    nulls_last: Union[bool, Sequence[bool]] = True,
+) -> Table:
+    perm = sorted_order([tbl[k] for k in keys], descending, nulls_last)
+    return gather_table(tbl, perm, tbl.num_rows)
+
+
+def sort_column(col: Column, descending: bool = False, nulls_last: bool = True) -> Column:
+    perm = sorted_order([col], descending, nulls_last)
+    return gather(col, perm, col.length)
+
+
+def top_k(tbl: Table, k: int, keys: Sequence[str], largest: bool = True) -> Table:
+    """cudf::top_k (cpp/src/sort/top_k.cu) — sort then head."""
+    out = sort_by_key(tbl, keys, descending=largest)
+    return out.slice(0, k)
+
+
+@partial(jax.jit, static_argnames=("method", "descending", "pct"))
+def _rank_impl(col, method, descending, pct):
+    cap = col.capacity
+    n = col.length
+    perm = _sorted_order_impl((col,), (descending,), (True,))
+    eq_ops = [op[perm] for op in rowcodes.equality_operands(col)]
+    pos = jnp.arange(cap, dtype=jnp.int64)
+    new_grp = rowcodes.adjacent_neq(eq_ops)
+    if method == "first":
+        r_sorted = pos + 1
+    elif method == "dense":
+        r_sorted = jnp.cumsum(new_grp.astype(jnp.int64))
+    else:
+        grp_start = jnp.where(new_grp, pos, 0)
+        grp_start = jax.lax.associative_scan(jnp.maximum, grp_start)
+        if method == "min":
+            r_sorted = grp_start + 1
+        elif method in ("max", "average"):
+            # group end: next group's start - 1 (computed via reverse max scan)
+            nxt = jnp.concatenate([new_grp[1:], jnp.ones((1,), jnp.bool_)])
+            grp_end = jnp.where(nxt, pos, cap)
+            grp_end = jax.lax.associative_scan(jnp.minimum, grp_end, reverse=True)
+            if method == "max":
+                r_sorted = grp_end + 1
+            else:
+                r_sorted = (grp_start + grp_end).astype(jnp.float64) / 2 + 1
+        else:
+            raise ValueError(method)
+    # scatter ranks back to original row order
+    out = jnp.zeros((cap,), r_sorted.dtype).at[perm].set(r_sorted)
+    validity = col.validity
+    if pct:
+        valid_n = (
+            jnp.asarray(n, jnp.int64)
+            if col.validity is None
+            else jnp.sum(col.valid_mask().astype(jnp.int64))
+        )
+        out = out.astype(jnp.float64) / valid_n.astype(jnp.float64)
+        return Column(dtypes.float64, out, validity, n)
+    out_dt = dtypes.float64 if method == "average" else dtypes.int64
+    return Column(out_dt, out.astype(out_dt.physical), validity, n)
+
+
+def rank(
+    col: Column,
+    method: str = "min",
+    descending: bool = False,
+    pct: bool = False,
+) -> Column:
+    """cudf::rank (cpp/src/sort/rank.cu): average/min/max/first/dense."""
+    from ..utils.jitutil import fix_lengths
+
+    return fix_lengths(_rank_impl(col, method, descending, pct), col.length)

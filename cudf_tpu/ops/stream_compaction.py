@@ -1,0 +1,159 @@
+"""Stream compaction: apply_boolean_mask, drop_nulls, distinct, unique.
+
+Analog of cpp/src/stream_compaction/ (apply_boolean_mask.cu, drop_nulls.cu,
+distinct.cu with its cuco hash set). TPU-native design: compaction is a
+stable partition — sort rows by the single-byte "drop" key with row index as
+payload (XLA's sort network), then gather. Distinct marks first occurrences
+after a key-code sort instead of building a hash table; both are
+sort-by-small-key problems that XLA handles well, and both avoid dynamic
+shapes by carrying the logical length scalar (the output row count is the
+only host sync, mirroring libcudf's size-returning kernels).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.column import Column
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+from . import rowcodes
+from .copying import gather_table, gather
+
+
+def _compaction_perm(keep: jnp.ndarray, length):
+    """Stable permutation moving kept rows to the front; returns (perm, count)."""
+    cap = keep.shape[0]
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(length, jnp.int32)
+    keep = keep & inb
+    drop_key = (~keep).astype(jnp.uint8)
+    _, perm = jax.lax.sort(
+        (drop_key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    return perm, jnp.sum(keep.astype(jnp.int32))
+
+
+@jax.jit
+def _mask_perm(mask: Column):
+    keep = mask.data.astype(jnp.bool_)
+    if mask.validity is not None:
+        keep = keep & mask.validity
+    return _compaction_perm(keep, mask.length)
+
+
+def apply_boolean_mask(tbl: Table, mask: Column) -> Table:
+    """Keep rows where mask is true (null mask rows are dropped — cuDF)."""
+    perm, cnt = _mask_perm(mask)
+    n_out = int(cnt)  # host sync: the one dynamic size
+    out_cap = bucket_capacity(n_out)
+    idx = _head(perm, out_cap) if out_cap <= perm.shape[0] else perm
+    return gather_table(tbl, idx, n_out)
+
+
+def filter_column(col: Column, mask: Column) -> Column:
+    perm, cnt = _mask_perm(mask)
+    n_out = int(cnt)
+    out_cap = bucket_capacity(n_out)
+    return gather(col, _head(perm, out_cap), n_out)
+
+
+def drop_nulls(tbl: Table, keys: Optional[Sequence[str]] = None, keep_threshold: Optional[int] = None) -> Table:
+    """cudf::drop_nulls (cpp/src/stream_compaction/drop_nulls.cu).
+
+    Keeps rows with at least ``keep_threshold`` non-null values in ``keys``
+    (default: all keys non-null).
+    """
+    names = list(keys) if keys is not None else tbl.names
+    if not names:
+        return tbl
+    thresh = len(names) if keep_threshold is None else keep_threshold
+    perm, cnt = _drop_nulls_perm(tuple(tbl[n] for n in names), thresh)
+    n_out = int(cnt)
+    return gather_table(tbl, _head(perm, bucket_capacity(n_out)), n_out)
+
+
+@partial(jax.jit, static_argnames=("thresh",))
+def _drop_nulls_perm(cols, thresh):
+    cap = cols[0].capacity
+    counts = jnp.zeros((cap,), jnp.int32)
+    for c in cols:
+        v = c.validity if c.validity is not None else jnp.ones((cap,), jnp.bool_)
+        counts = counts + v.astype(jnp.int32)
+    return _compaction_perm(counts >= thresh, cols[0].length)
+
+
+@jax.jit
+def _drop_nans_perm(cols):
+    cap = cols[0].capacity
+    bad = jnp.zeros((cap,), jnp.bool_)
+    for c in cols:
+        if c.dtype.is_floating:
+            bad = bad | jnp.isnan(c.data)
+    return _compaction_perm(~bad, cols[0].length)
+
+
+def drop_nans(tbl: Table, keys: Optional[Sequence[str]] = None) -> Table:
+    names = list(keys) if keys is not None else tbl.names
+    perm, cnt = _drop_nans_perm(tuple(tbl[n] for n in names))
+    n_out = int(cnt)
+    return gather_table(tbl, _head(perm, bucket_capacity(n_out)), n_out)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _head(arr, k):
+    return jax.lax.slice(arr, (0,), (k,))
+
+
+@partial(jax.jit, static_argnames=("keep",))
+def _first_occurrence_mask(keys, keep: str = "first"):
+    """bool[cap] marking the kept occurrence of each distinct key row."""
+    length = keys[0].length
+    cap = keys[0].capacity
+    ops = rowcodes.grouping_operands(keys, length)
+    nk = len(ops)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    if keep == "last":
+        # reverse stable order within equal keys by sorting on negated pos
+        sorted_ops = jax.lax.sort(tuple(ops) + (-pos,), num_keys=nk + 1, is_stable=False)
+        perm = -sorted_ops[-1]
+    else:
+        sorted_ops = jax.lax.sort(tuple(ops) + (pos,), num_keys=nk + 1, is_stable=False)
+        perm = sorted_ops[-1]
+    # new-group flag across all key operands (incl. oob so padding differs)
+    newgrp = rowcodes.adjacent_neq(sorted_ops[:nk])
+    # scatter back: row perm[i] is kept iff newgrp[i]
+    keep_mask = jnp.zeros((cap,), jnp.bool_).at[perm].set(newgrp)
+    keep_mask = keep_mask & (pos < jnp.asarray(length, jnp.int32))
+    return keep_mask
+
+
+def distinct(tbl: Table, keys: Optional[Sequence[str]] = None, keep: str = "first") -> Table:
+    """cudf::distinct / stable_distinct (cpp/src/stream_compaction/distinct.cu).
+
+    Null keys compare equal (null_equality::EQUAL), NaNs compare equal —
+    matching cuDF defaults. Output preserves first-occurrence order.
+    """
+    names = list(keys) if keys is not None else tbl.names
+    perm, cnt = _distinct_perm(tuple(tbl[n] for n in names), keep)
+    n_out = int(cnt)
+    return gather_table(tbl, _head(perm, bucket_capacity(n_out)), n_out)
+
+
+@partial(jax.jit, static_argnames=("keep",))
+def _distinct_perm(kcols, keep):
+    keep_mask = _first_occurrence_mask(kcols, keep)
+    return _compaction_perm(keep_mask, kcols[0].length)
+
+
+@jax.jit
+def _unique_count_impl(keys):
+    mask = _first_occurrence_mask(keys, "first")
+    return jnp.sum(mask.astype(jnp.int32))
+
+
+def unique_count(keys: Sequence[Column], length: int = None) -> int:
+    return int(_unique_count_impl(tuple(keys)))

@@ -1,0 +1,157 @@
+"""String column utilities: dictionary unification and scalar encoding.
+
+TPU-native strategy (SURVEY.md §7): strings are dictionary-encoded — device
+buffers hold int32 codes into a host-side *sorted* array of unique values, so
+all device-side comparisons/sorts/joins on strings are integer problems
+(analog of cuDF dictionary columns, cpp/src/dictionary/, combined with the
+lexicographic preprocessing of cpp/src/row_operator/lexicographic.cuh).
+Value-level byte kernels (slice/concat/find of substrings) run against the
+dictionary — which is tiny compared to the column — and results are
+re-broadcast through the codes.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+
+
+@jax.jit
+def _table_gather(table, codes):
+    return table[jnp.clip(codes, 0, table.shape[0] - 1)]
+
+
+def _remap_codes(col: Column, remap: np.ndarray, new_dict: np.ndarray) -> Column:
+    """Gather codes through a host-computed remap table (device gather)."""
+    if len(remap):
+        data = _table_gather(jnp.asarray(remap.astype(np.int32)), col.data)
+    else:
+        data = col.data
+    return Column(col.dtype, data, col.validity, col.length, new_dict)
+
+
+def unify_dictionaries(cols: List[Column]) -> List[Column]:
+    """Recode string columns onto the union dictionary (sorted)."""
+    dicts = [c.dictionary if c.dictionary is not None else np.array([], dtype=str) for c in cols]
+    if all(d is dicts[0] or (len(d) == len(dicts[0]) and (d == dicts[0]).all()) for d in dicts[1:]):
+        return list(cols)
+    merged = np.unique(np.concatenate([d.astype(str) for d in dicts]))
+    out = []
+    for c, d in zip(cols, dicts):
+        remap = np.searchsorted(merged, d.astype(str)).astype(np.int32)
+        out.append(_remap_codes(c, remap, merged))
+    return out
+
+
+def align_string_operands(lhs: Column, rhs: Column) -> Tuple[Column, Column]:
+    l, r = unify_dictionaries([lhs, rhs])
+    return l, r
+
+
+def encode_scalar(col: Column, value: str) -> Tuple[int, Column]:
+    """Return (code, possibly-recoded column) such that code == value's slot."""
+    d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
+    pos = int(np.searchsorted(d, value))
+    if pos < len(d) and d[pos] == value:
+        return pos, col
+    new_dict = np.insert(d, pos, value)
+    remap = np.searchsorted(new_dict, d).astype(np.int32)
+    return pos, _remap_codes(col, remap, new_dict)
+
+
+# ---- value-level ops (computed on the dictionary, host-side numpy) ---------
+def _dict_map(col: Column, fn) -> Column:
+    """Apply a host fn over dictionary values, producing a new string column."""
+    d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
+    new_vals = np.array([fn(x) for x in d.astype(str)], dtype=object).astype(str)
+    uniq, inv = np.unique(new_vals, return_inverse=True) if len(new_vals) else (new_vals, np.array([], np.int64))
+    remap = inv.astype(np.int32)
+    return _remap_codes(col, remap, uniq)
+
+
+def lower(col: Column) -> Column:
+    return _dict_map(col, str.lower)
+
+
+def upper(col: Column) -> Column:
+    return _dict_map(col, str.upper)
+
+
+def capitalize(col: Column) -> Column:
+    return _dict_map(col, str.capitalize)
+
+
+def strip(col: Column) -> Column:
+    return _dict_map(col, str.strip)
+
+
+def slice_strings(col: Column, start=None, stop=None, step=None) -> Column:
+    return _dict_map(col, lambda s: s[start:stop:step])
+
+
+def _dict_predicate(col: Column, fn) -> Column:
+    """Predicate over dictionary values → bool column via code gather."""
+    d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
+    flags = np.array([bool(fn(x)) for x in d.astype(str)], dtype=bool)
+    if not len(flags):
+        flags = np.zeros((1,), bool)
+    out = _table_gather(jnp.asarray(flags), col.data)
+    return Column(dtypes.bool_, out, col.validity, col.length)
+
+
+def contains(col: Column, pat: str, regex: bool = True) -> Column:
+    if regex:
+        import re
+
+        rx = re.compile(pat)
+        return _dict_predicate(col, lambda s: rx.search(s) is not None)
+    return _dict_predicate(col, lambda s: pat in s)
+
+
+def startswith(col: Column, pat: str) -> Column:
+    return _dict_predicate(col, lambda s: s.startswith(pat))
+
+
+def endswith(col: Column, pat: str) -> Column:
+    return _dict_predicate(col, lambda s: s.endswith(pat))
+
+
+def match_like(col: Column, pattern: str) -> Column:
+    """SQL LIKE (%, _) — used by TPC-H queries (cpp/src/strings/search/like.cu)."""
+    import re
+
+    rx = re.compile(
+        "^" + "".join(
+            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+            for ch in pattern
+        ) + "$",
+        re.S,
+    )
+    return _dict_predicate(col, lambda s: rx.match(s) is not None)
+
+
+def len_strings(col: Column) -> Column:
+    d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
+    lens = np.array([len(x) for x in d.astype(str)], dtype=np.int32)
+    if not len(lens):
+        lens = np.zeros((1,), np.int32)
+    out = _table_gather(jnp.asarray(lens), col.data)
+    return Column(dtypes.int32, out, col.validity, col.length)
+
+
+def concat_strings(cols: List[Column], sep: str = "") -> Column:
+    """Row-wise concatenation (host materialization; device path later)."""
+    vals = [c.to_numpy() for c in cols]
+    out = np.array(
+        [None if any(v[i] is None for v in vals) else sep.join(str(v[i]) for v in vals)
+         for i in range(len(vals[0]))],
+        dtype=object,
+    )
+    return Column.from_numpy(out)

@@ -1,0 +1,184 @@
+"""Unary ops, casts, null predicates, rounding, replace.
+
+Analogs: cpp/src/unary/ (cast, math ops, is_null), cpp/src/round/,
+cpp/src/replace/ (replace_nulls, clamp). All pure XLA elementwise.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.dtypes import DType, Kind
+from ..utils.jitutil import elementwise_jit
+
+_UNARY = {
+    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+    "arcsin": jnp.arcsin, "arccos": jnp.arccos, "arctan": jnp.arctan,
+    "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+    "exp": jnp.exp, "log": jnp.log, "log2": jnp.log2, "log10": jnp.log10,
+    "sqrt": jnp.sqrt, "cbrt": jnp.cbrt, "ceil": jnp.ceil, "floor": jnp.floor,
+    "abs": jnp.abs, "rint": jnp.rint, "neg": jnp.negative,
+    "bit_invert": jnp.invert, "not": jnp.logical_not,
+}
+
+
+@elementwise_jit(static_argnames=("op",))
+def unary_op(col: Column, op: str) -> Column:
+    fn = _UNARY[op]
+    out = fn(col.data)
+    out_dt = col.dtype
+    if op == "not":
+        out_dt = dtypes.bool_
+    elif op in ("sin", "cos", "tan", "arcsin", "arccos", "arctan", "sinh",
+                "cosh", "tanh", "exp", "log", "log2", "log10", "sqrt", "cbrt") \
+            and not col.dtype.is_floating:
+        out_dt = dtypes.float64
+        out = out.astype(jnp.float64)
+    return Column(out_dt, out.astype(out_dt.physical), col.validity, col.length, None)
+
+
+def cast(col: Column, to: DType) -> Column:
+    if col.dtype == to:
+        return col
+    if not (col.dtype.is_string or to.is_string):
+        return _cast_impl(col, to)
+    if col.dtype.is_string:
+        # parse strings host-side (convert layer; device parse is a later milestone)
+        vals = col.to_numpy()
+        target = dtypes.to_numpy(to)
+        parsed = np.array([np.nan if v is None else v for v in vals])
+        out = parsed.astype(target)
+        return Column.from_numpy(out, validity=None if col.validity is None else np.asarray(col.validity)[: col.length])
+    if to.is_string:
+        vals = col.to_numpy()
+        strs = np.array([None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v) for v in vals], dtype=object)
+        return Column.from_numpy(strs)
+    raise AssertionError("unreachable")
+
+
+@elementwise_jit(static_argnames=("to",))
+def _cast_impl(col: Column, to: DType) -> Column:
+    data = col.data
+    if col.dtype.is_temporal and to.is_temporal:
+        src_u, dst_u = col.dtype.param or "ns", to.param or "ns"
+        factor = (np.timedelta64(1, src_u) / np.timedelta64(1, dst_u))
+        if factor >= 1:
+            data = data * np.int64(factor)
+        else:
+            data = data // np.int64(round(1 / factor))
+        return Column(to, data, col.validity, col.length)
+    out = data.astype(to.physical)
+    return Column(to, out, col.validity, col.length, None)
+
+
+@elementwise_jit()
+def is_null(col: Column) -> Column:
+    if col.validity is None:
+        out = jnp.zeros((col.capacity,), jnp.bool_)
+    else:
+        out = ~col.validity & col.bounds_mask()
+    return Column(dtypes.bool_, out, None, col.length)
+
+
+@elementwise_jit()
+def is_valid(col: Column) -> Column:
+    if col.validity is None:
+        out = jnp.ones((col.capacity,), jnp.bool_)
+    else:
+        out = col.validity
+    return Column(dtypes.bool_, out, None, col.length)
+
+
+@elementwise_jit()
+def is_nan(col: Column) -> Column:
+    if not col.dtype.is_floating:
+        return Column(dtypes.bool_, jnp.zeros((col.capacity,), jnp.bool_), None, col.length)
+    return Column(dtypes.bool_, jnp.isnan(col.data), col.validity, col.length)
+
+
+def replace_nulls(col: Column, value) -> Column:
+    """cudf::replace_nulls with a scalar or column (cpp/src/replace/nulls.cu)."""
+    if col.validity is None:
+        return col
+    if isinstance(value, Column) or not col.dtype.is_string:
+        return _replace_nulls_impl(col, value)
+    if col.dtype.is_string:
+        # add value to dictionary if absent (host-side recode)
+        from .strings import encode_scalar
+        code, col2 = encode_scalar(col, value)
+        data = jnp.where(col2.validity, col2.data, code)
+        return Column(col2.dtype, data, None, col2.length, col2.dictionary)
+    raise AssertionError("unreachable")
+
+
+@elementwise_jit()
+def _replace_nulls_impl(col: Column, value) -> Column:
+    if isinstance(value, Column):
+        data = jnp.where(col.validity, col.data, value.data)
+        validity = None if value.validity is None else col.validity | value.validity
+        return Column(col.dtype, data, validity, col.length, col.dictionary)
+    data = jnp.where(col.validity, col.data, jnp.asarray(value, col.data.dtype))
+    return Column(col.dtype, data, None, col.length, col.dictionary)
+
+
+@elementwise_jit()
+def fill_nan(col: Column, value: float) -> Column:
+    if not col.dtype.is_floating:
+        return col
+    data = jnp.where(jnp.isnan(col.data), jnp.asarray(value, col.data.dtype), col.data)
+    return Column(col.dtype, data, col.validity, col.length)
+
+
+@elementwise_jit()
+def nans_to_nulls(col: Column) -> Column:
+    if not col.dtype.is_floating:
+        return col
+    nan = jnp.isnan(col.data)
+    v = ~nan if col.validity is None else col.validity & ~nan
+    return Column(col.dtype, col.data, v, col.length)
+
+
+@elementwise_jit()
+def clamp(col: Column, lo=None, hi=None) -> Column:
+    data = col.data
+    if lo is not None:
+        data = jnp.maximum(data, jnp.asarray(lo, data.dtype))
+    if hi is not None:
+        data = jnp.minimum(data, jnp.asarray(hi, data.dtype))
+    return Column(col.dtype, data, col.validity, col.length)
+
+
+@elementwise_jit(static_argnames=("decimals", "how"))
+def round_col(col: Column, decimals: int = 0, how: str = "half_even") -> Column:
+    """cudf::round (cpp/src/round/round.cu) — HALF_UP and HALF_EVEN modes."""
+    if col.dtype.is_integer and decimals >= 0:
+        return col
+    x = col.data
+    scale = 10.0 ** decimals
+    if how == "half_even":
+        out = jnp.round(x * scale) / scale
+    else:  # half_up
+        out = jnp.sign(x) * jnp.floor(jnp.abs(x) * scale + 0.5) / scale
+    if col.dtype.is_integer:
+        out = out.astype(col.dtype.physical)
+    return Column(col.dtype, out.astype(col.dtype.physical), col.validity, col.length)
+
+
+def find_and_replace(col: Column, to_replace, values) -> Column:
+    """cudf::find_and_replace_all (cpp/src/replace/replace.cu)."""
+    return _far_impl(col, tuple(np.asarray(to_replace).tolist()), tuple(np.asarray(values).tolist()))
+
+
+@elementwise_jit(static_argnames=("to_replace", "values"))
+def _far_impl(col: Column, to_replace, values) -> Column:
+    data = col.data
+    out = data
+    for old, new in zip(to_replace, values):
+        out = jnp.where(data == jnp.asarray(old, data.dtype), jnp.asarray(new, data.dtype), out)
+    return Column(col.dtype, out, col.validity, col.length, col.dictionary)

@@ -1,0 +1,45 @@
+"""Jit plumbing for column ops.
+
+Every public operator runs its device work inside exactly one jax.jit call:
+on the axon TPU tunnel each *eager* jnp dispatch costs a remote compile
+(~15-20s), and even locally jit is what lets XLA fuse an operator pipeline
+into a few kernels (the TPU analog of libcudf's hand-fused CUDA kernels).
+
+``elementwise_jit`` wraps a Column->Column (or pytree-of-Columns) function:
+jits it and then restores host-side int lengths on the outputs without a
+device sync (elementwise ops preserve the input length, so the value is
+already known on host).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from ..core.column import Column
+
+
+def fix_lengths(out, length: int):
+    """Walk a pytree of Columns, replacing traced scalar lengths with ints."""
+    if isinstance(out, Column):
+        out.length = int(length)
+        return out
+    if isinstance(out, (list, tuple)):
+        return type(out)(fix_lengths(o, length) for o in out)
+    if isinstance(out, dict):
+        return {k: fix_lengths(v, length) for k, v in out.items()}
+    return out
+
+
+def elementwise_jit(static_argnames=()):
+    def deco(fn):
+        jfn = jax.jit(fn, static_argnames=static_argnames)
+
+        @functools.wraps(fn)
+        def wrapper(col, *args, **kwargs):
+            out = jfn(col, *args, **kwargs)
+            return fix_lengths(out, col.length)
+
+        return wrapper
+
+    return deco

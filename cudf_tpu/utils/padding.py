@@ -1,0 +1,29 @@
+"""Capacity bucketing for static-shape columns.
+
+TPU/XLA compiles one program per distinct shape. cuDF can allocate exact-size
+buffers because CUDA kernels take runtime sizes; on TPU we instead pad every
+column buffer to a *capacity bucket* and pass the logical row count as a
+traced scalar. Buckets are {1, 1.5} x powers of two (both multiples of 128,
+the TPU lane width), so waste is bounded by 33% and the number of distinct
+compiled shapes per workload is O(log(max_rows)).
+"""
+from __future__ import annotations
+
+LANE = 128
+
+
+def bucket_capacity(n: int) -> int:
+    """Smallest capacity in {128*2^k, 192*2^k} that is >= n."""
+    if n <= LANE:
+        return LANE
+    p = LANE
+    while True:
+        if n <= p:
+            return p
+        if n <= p + p // 2:
+            return p + p // 2
+        p *= 2
+
+
+def round_up(n: int, m: int) -> int:
+    return -(-n // m) * m

@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's single-host multi-rank test strategy (SURVEY.md §4:
+Ray cluster sharing one GPU across ranks); here we oversubscribe the host CPU
+into 8 XLA devices so multi-chip sharding code paths execute for real.
+"""
+import os
+
+# The shell env pins JAX_PLATFORMS=axon (the real TPU tunnel); tests must
+# override it — they run on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, overriding the env var — override it back.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,114 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.utils.padding import bucket_capacity
+
+
+def test_bucket_capacity():
+    assert bucket_capacity(1) == 128
+    assert bucket_capacity(128) == 128
+    assert bucket_capacity(129) == 192
+    assert bucket_capacity(193) == 256
+    assert bucket_capacity(1000) == 1024
+    assert bucket_capacity(1500) == 1536
+    assert bucket_capacity(1537) == 2048
+
+
+def test_roundtrip_numeric():
+    for dt in ["int8", "int32", "int64", "uint16", "float32", "float64", "bool"]:
+        arr = np.array([1, 0, 3, 2, 1], dtype=dt)
+        col = Column.from_numpy(arr)
+        assert col.length == 5
+        assert col.capacity == 128
+        np.testing.assert_array_equal(col.to_numpy(), arr)
+
+
+def test_roundtrip_with_nulls():
+    arr = np.array([1.5, 2.5, 3.5], dtype=np.float64)
+    col = Column.from_numpy(arr, validity=np.array([True, False, True]))
+    assert col.null_count == 1
+    out = col.to_numpy()
+    assert out[0] == 1.5 and np.isnan(out[1]) and out[2] == 3.5
+
+
+def test_nan_is_value_not_null():
+    arr = np.array([1.0, np.nan, 3.0])
+    col = Column.from_numpy(arr)
+    assert col.null_count == 0
+    out = col.to_numpy()
+    assert np.isnan(out[1])
+
+
+def test_strings_dictionary_sorted():
+    arr = np.array(["banana", "apple", "cherry", "apple", None], dtype=object)
+    col = Column.from_numpy(arr)
+    assert col.dtype.is_string
+    assert list(col.dictionary) == sorted(set(["banana", "apple", "cherry", ""]))
+    out = col.to_numpy()
+    assert list(out[:4]) == ["banana", "apple", "cherry", "apple"]
+    assert out[4] is None
+    # code order must equal string order for non-null values
+    codes = np.asarray(col.data[:4])
+    assert (np.argsort(codes, kind="stable") == np.argsort(out[:4].astype(str), kind="stable")).all()
+
+
+def test_from_arrow_strings_and_nulls():
+    arr = pa.array(["x", None, "a", "x"])
+    col = Column.from_arrow(arr)
+    out = col.to_numpy()
+    assert list(out) == ["x", None, "a", "x"]
+    assert col.null_count == 1
+    # round trip through arrow
+    back = col.to_arrow()
+    assert back.to_pylist() == ["x", None, "a", "x"]
+
+
+def test_from_arrow_ints_with_nulls():
+    arr = pa.array([1, None, 3])
+    col = Column.from_arrow(arr)
+    assert col.null_count == 1
+    assert col.to_arrow().to_pylist() == [1, None, 3]
+
+
+def test_timestamps():
+    arr = np.array(["2021-01-01", "2022-06-15", "NaT"], dtype="datetime64[ns]")
+    col = Column.from_numpy(arr, validity=~np.isnat(arr))
+    out = col.to_numpy()
+    assert out[0] == arr[0] and out[1] == arr[1] and np.isnat(out[2])
+
+
+def test_table_from_pandas_roundtrip():
+    df = pd.DataFrame(
+        {
+            "a": [1, 2, 3],
+            "b": [1.5, np.nan, 2.5],
+            "c": ["x", "y", None],
+        }
+    )
+    t = Table.from_pandas(df)
+    assert t.num_rows == 3 and t.num_columns == 3
+    back = t.to_pandas()
+    pd.testing.assert_frame_equal(back, df)
+
+
+def test_table_select_slice():
+    t = Table.from_pydict({"a": [1, 2, 3, 4], "b": [10.0, 20.0, 30.0, 40.0]})
+    s = t.select(["b"])
+    assert s.names == ["b"]
+    sl = t.slice(1, 2)
+    assert sl.num_rows == 2
+    np.testing.assert_array_equal(sl["a"].to_numpy(), [2, 3])
+
+
+def test_scalar_column():
+    c = Column.from_scalar(7, 5)
+    np.testing.assert_array_equal(c.to_numpy(), [7] * 5)
+    c2 = Column.from_scalar(None, 3, ct.dtypes.int64)
+    assert c2.null_count == 3
+    c3 = Column.from_scalar("hi", 4)
+    assert list(c3.to_numpy()) == ["hi"] * 4

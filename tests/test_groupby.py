@@ -1,0 +1,208 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops import stream_compaction as sc
+from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+
+
+def col(vals, validity=None):
+    return Column.from_numpy(np.asarray(vals), validity)
+
+
+class TestCompaction:
+    def test_boolean_mask(self):
+        t = Table.from_pydict({"a": [1, 2, 3, 4], "b": [1.0, 2.0, 3.0, 4.0]})
+        m = col([True, False, True, False])
+        out = sc.apply_boolean_mask(t, m)
+        np.testing.assert_array_equal(out["a"].to_numpy(), [1, 3])
+        assert out.num_rows == 2
+
+    def test_mask_with_nulls_drops(self):
+        t = Table.from_pydict({"a": [1, 2, 3]})
+        m = col([True, True, False], validity=[True, False, True])
+        out = sc.apply_boolean_mask(t, m)
+        np.testing.assert_array_equal(out["a"].to_numpy(), [1])
+
+    def test_drop_nulls(self):
+        t = Table({"a": col([1, 2, 3], validity=[True, False, True]),
+                   "b": col([1.0, 2.0, 3.0])})
+        out = sc.drop_nulls(t)
+        np.testing.assert_array_equal(out["a"].to_numpy(), [1, 3])
+
+    def test_distinct_first_order(self):
+        t = Table.from_pydict({"a": [3, 1, 3, 2, 1], "b": [10, 20, 30, 40, 50]})
+        out = sc.distinct(t, keys=["a"])
+        np.testing.assert_array_equal(out["a"].to_numpy(), [3, 1, 2])
+        np.testing.assert_array_equal(out["b"].to_numpy(), [10, 20, 40])
+
+    def test_distinct_keep_last(self):
+        t = Table.from_pydict({"a": [3, 1, 3, 2, 1], "b": [10, 20, 30, 40, 50]})
+        out = sc.distinct(t, keys=["a"], keep="last")
+        np.testing.assert_array_equal(sorted(out["b"].to_numpy()), [30, 40, 50])
+
+    def test_distinct_nulls_and_nans_equal(self):
+        t = Table({"a": col([1.0, np.nan, np.nan, 1.0])})
+        out = sc.distinct(t, keys=["a"])
+        assert out.num_rows == 2
+        t2 = Table({"a": col([1, 1, 2, 2], validity=[False, False, True, True])})
+        out2 = sc.distinct(t2, keys=["a"])
+        assert out2.num_rows == 2
+
+    def test_empty_filter(self):
+        t = Table.from_pydict({"a": [1, 2]})
+        out = sc.apply_boolean_mask(t, col([False, False]))
+        assert out.num_rows == 0
+
+
+def pd_group(df, keys, **agg):
+    return df.groupby(keys, sort=True, as_index=False).agg(**agg)
+
+
+class TestGroupBy:
+    def test_sum_mean_count(self):
+        df = pd.DataFrame({"k": [1, 2, 1, 2, 1], "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(
+            t, ["k"],
+            [AggSpec("v", "sum", "s"), AggSpec("v", "mean", "m"), AggSpec("v", "count", "c")],
+        ).to_pandas()
+        exp = df.groupby("k", as_index=False).agg(s=("v", "sum"), m=("v", "mean"), c=("v", "count"))
+        exp["c"] = exp["c"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_min_max_ints(self):
+        df = pd.DataFrame({"k": [1, 1, 2, 2], "v": [5, 3, 8, 9]})
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(t, ["k"], [AggSpec("v", "min", "lo"), AggSpec("v", "max", "hi")]).to_pandas()
+        exp = df.groupby("k", as_index=False).agg(lo=("v", "min"), hi=("v", "max"))
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_multi_key_with_strings(self):
+        df = pd.DataFrame({
+            "a": ["x", "y", "x", "y", "x"],
+            "b": [1, 1, 2, 1, 1],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        })
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(t, ["a", "b"], [AggSpec("v", "sum", "v")]).to_pandas()
+        exp = df.groupby(["a", "b"], as_index=False).agg(v=("v", "sum"))
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_null_keys_dropped(self):
+        t = Table({
+            "k": col([1, 2, 1, 2], validity=[True, False, True, True]),
+            "v": col([1.0, 2.0, 3.0, 4.0]),
+        })
+        out = groupby_aggregate(t, ["k"], [AggSpec("v", "sum", "v")]).to_pandas()
+        assert list(out["k"]) == [1, 2]
+        assert list(out["v"]) == [4.0, 4.0]
+
+    def test_null_values_skipped(self):
+        t = Table({
+            "k": col([1, 1, 2, 2]),
+            "v": col([1.0, 2.0, 3.0, 4.0], validity=[True, False, False, False]),
+        })
+        out = groupby_aggregate(t, ["k"], [AggSpec("v", "sum", "s"), AggSpec("v", "count", "c")])
+        s = out["s"].to_numpy()
+        assert s[0] == 1.0
+        assert np.isnan(s[1])  # all-null group -> null sum (cuDF semantics)
+        np.testing.assert_array_equal(out["c"].to_numpy(), [1, 0])
+
+    def test_var_std(self):
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({"k": rng.integers(0, 5, 100), "v": rng.normal(size=100)})
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(t, ["k"], [AggSpec("v", "var", "var"), AggSpec("v", "std", "std")]).to_pandas()
+        exp = df.groupby("k", as_index=False).agg(var=("v", "var"), std=("v", "std"))
+        pd.testing.assert_frame_equal(out, exp, rtol=1e-12)
+
+    def test_first_last(self):
+        df = pd.DataFrame({"k": [1, 1, 2, 2], "v": [np.nan, 5.0, 7.0, 8.0]})
+        t = Table({
+            "k": col(df["k"].to_numpy()),
+            "v": col([0.0, 5.0, 7.0, 8.0], validity=[False, True, True, True]),
+        })
+        out = groupby_aggregate(t, ["k"], [AggSpec("v", "first", "f"), AggSpec("v", "last", "l")])
+        np.testing.assert_array_equal(out["f"].to_numpy(), [5.0, 7.0])
+        np.testing.assert_array_equal(out["l"].to_numpy(), [5.0, 8.0])
+
+    def test_nunique(self):
+        df = pd.DataFrame({"k": [1, 1, 1, 2, 2], "v": [3, 3, 4, 5, 5]})
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(t, ["k"], [AggSpec("v", "nunique", "n")]).to_pandas()
+        exp = df.groupby("k", as_index=False).agg(n=("v", "nunique"))
+        exp["n"] = exp["n"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_median_quantile(self):
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({"k": rng.integers(0, 4, 50), "v": rng.normal(size=50)})
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(
+            t, ["k"], [AggSpec("v", "median", "med"), AggSpec("v", "quantile", "q", 0.25)]
+        ).to_pandas()
+        exp = df.groupby("k", as_index=False).agg(
+            med=("v", "median"), q=("v", lambda s: s.quantile(0.25))
+        )
+        pd.testing.assert_frame_equal(out, exp, rtol=1e-12)
+
+    def test_argmin_argmax(self):
+        df = pd.DataFrame({"k": [1, 1, 2, 2], "v": [5.0, 3.0, 8.0, 9.0]})
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(t, ["k"], [AggSpec("v", "argmin", "i"), AggSpec("v", "argmax", "j")])
+        np.testing.assert_array_equal(out["i"].to_numpy(), [1, 2])
+        np.testing.assert_array_equal(out["j"].to_numpy(), [0, 3])
+
+    def test_any_all_product(self):
+        df = pd.DataFrame({"k": [1, 1, 2, 2], "b": [True, False, False, False], "v": [2, 3, 4, 5]})
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(
+            t, ["k"],
+            [AggSpec("b", "any", "any"), AggSpec("b", "all", "all"), AggSpec("v", "product", "p")],
+        )
+        np.testing.assert_array_equal(out["any"].to_numpy(), [True, False])
+        np.testing.assert_array_equal(out["all"].to_numpy(), [False, False])
+        np.testing.assert_array_equal(out["p"].to_numpy(), [6, 20])
+
+    def test_large_random_vs_pandas(self):
+        rng = np.random.default_rng(7)
+        n = 20_000
+        df = pd.DataFrame({
+            "k1": rng.integers(0, 100, n),
+            "k2": rng.integers(0, 7, n),
+            "v": rng.normal(size=n),
+            "w": rng.integers(0, 1000, n),
+        })
+        t = Table.from_pandas(df)
+        out = groupby_aggregate(
+            t, ["k1", "k2"],
+            [AggSpec("v", "sum", "vs"), AggSpec("v", "mean", "vm"),
+             AggSpec("w", "min", "wmin"), AggSpec("w", "max", "wmax"),
+             AggSpec("", "size", "n")],
+        ).to_pandas()
+        exp = df.groupby(["k1", "k2"], as_index=False).agg(
+            vs=("v", "sum"), vm=("v", "mean"), wmin=("w", "min"), wmax=("w", "max"), n=("v", "size")
+        )
+        exp["n"] = exp["n"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp, rtol=1e-9)
+
+    def test_readme_config1(self):
+        # BASELINE config 1: dropna + groupby(['A','B']).mean()
+        rng = np.random.default_rng(3)
+        n = 5000
+        df = pd.DataFrame({
+            "A": rng.integers(0, 20, n).astype(np.float64),
+            "B": rng.integers(0, 5, n),
+            "C": rng.normal(size=n),
+        })
+        df.loc[rng.choice(n, 200, replace=False), "A"] = np.nan
+        t = Table.from_pandas(df)
+        from cudf_tpu.ops.unaryop import nans_to_nulls
+        t = Table({"A": nans_to_nulls(t["A"]), "B": t["B"], "C": t["C"]})
+        t2 = sc.drop_nulls(t)
+        out = groupby_aggregate(t2, ["A", "B"], [AggSpec("C", "mean", "C")]).to_pandas()
+        exp = df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean"))
+        pd.testing.assert_frame_equal(out, exp, rtol=1e-12)

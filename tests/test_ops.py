@@ -1,0 +1,241 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.core import dtypes
+from cudf_tpu.ops import binaryop, unaryop, copying, sorting, strings
+
+
+def col(vals, validity=None):
+    return Column.from_numpy(np.asarray(vals), validity)
+
+
+class TestBinaryOp:
+    def test_add_ints(self):
+        out = binaryop.binary_op(col([1, 2, 3]), col([10, 20, 30]), "add")
+        np.testing.assert_array_equal(out.to_numpy(), [11, 22, 33])
+
+    def test_null_propagation(self):
+        a = col([1, 2, 3], validity=[True, False, True])
+        b = col([10, 20, 30])
+        out = binaryop.binary_op(a, b, "add")
+        assert out.null_count == 1
+        assert out.to_numpy()[1] is None or np.isnan(float(out.to_numpy()[1] or np.nan))
+
+    def test_scalar_rhs(self):
+        out = binaryop.binary_op(col([1, 2, 3]), 5, "mul")
+        np.testing.assert_array_equal(out.to_numpy(), [5, 10, 15])
+
+    def test_div_promotes_float(self):
+        out = binaryop.binary_op(col([1, 2, 3]), col([2, 2, 2]), "div")
+        assert out.dtype == dtypes.float64
+        np.testing.assert_allclose(out.to_numpy(), [0.5, 1.0, 1.5])
+
+    def test_compare(self):
+        out = binaryop.binary_op(col([1, 5, 3]), col([2, 2, 3]), "lt")
+        np.testing.assert_array_equal(out.to_numpy(), [True, False, False])
+
+    def test_string_compare(self):
+        a = col(np.array(["a", "b", "c"], object))
+        b = col(np.array(["b", "b", "a"], object))
+        out = binaryop.binary_op(a, b, "eq")
+        np.testing.assert_array_equal(out.to_numpy(), [False, True, False])
+        out = binaryop.binary_op(a, b, "lt")
+        np.testing.assert_array_equal(out.to_numpy(), [True, False, False])
+
+    def test_kleene_and(self):
+        a = col([True, False, True], validity=[False, True, True])
+        b = col([True, True, True])
+        out = binaryop.binary_op(a, b, "and")
+        # NULL & True = NULL;  False & True = False; True & True = True
+        res = out.to_numpy()
+        assert res[0] is None
+        assert res[1] == False and res[2] == True
+
+    def test_timestamp_sub(self):
+        a = col(np.array(["2021-01-02", "2021-01-03"], dtype="datetime64[ns]"))
+        b = col(np.array(["2021-01-01", "2021-01-01"], dtype="datetime64[ns]"))
+        out = binaryop.binary_op(a, b, "sub")
+        assert out.dtype.kind == "duration"
+        np.testing.assert_array_equal(
+            out.to_numpy(), np.array([1, 2], dtype="timedelta64[D]").astype("timedelta64[ns]")
+        )
+
+
+class TestUnary:
+    def test_cast(self):
+        out = unaryop.cast(col([1.7, 2.2]), dtypes.int32)
+        np.testing.assert_array_equal(out.to_numpy(), [1, 2])
+
+    def test_cast_to_string(self):
+        out = unaryop.cast(col([1, 2]), dtypes.string)
+        assert list(out.to_numpy()) == ["1", "2"]
+
+    def test_is_null(self):
+        c = col([1, 2, 3], validity=[True, False, True])
+        np.testing.assert_array_equal(unaryop.is_null(c).to_numpy(), [False, True, False])
+
+    def test_replace_nulls(self):
+        c = col([1, 2, 3], validity=[True, False, True])
+        out = unaryop.replace_nulls(c, 99)
+        np.testing.assert_array_equal(out.to_numpy(), [1, 99, 3])
+        assert out.null_count == 0
+
+    def test_nans_to_nulls(self):
+        c = col([1.0, np.nan, 3.0])
+        out = unaryop.nans_to_nulls(c)
+        assert out.null_count == 1
+
+    def test_round(self):
+        c = col([1.45, 2.55, -1.5])
+        out = unaryop.round_col(c, 1, "half_up")
+        np.testing.assert_allclose(out.to_numpy(), [1.5, 2.6, -1.5])
+
+
+class TestCopying:
+    def test_gather(self):
+        import jax.numpy as jnp
+
+        c = col([10, 20, 30, 40])
+        idx = jnp.array([3, 0, 1] + [0] * 125, dtype=np.int32)
+        out = copying.gather(c, idx, 3)
+        np.testing.assert_array_equal(out.to_numpy(), [40, 10, 20])
+
+    def test_gather_oob_nullifies(self):
+        import jax.numpy as jnp
+
+        c = col([10, 20, 30])
+        idx = jnp.array([5, 0] + [0] * 126, dtype=np.int32)
+        out = copying.gather(c, idx, 2, check_bounds=True)
+        assert out.to_numpy()[0] is None
+
+    def test_concat(self):
+        out = copying.concatenate([col([1, 2]), col([3, 4, 5])])
+        np.testing.assert_array_equal(out.to_numpy(), [1, 2, 3, 4, 5])
+
+    def test_concat_strings(self):
+        a = col(np.array(["b", "a"], object))
+        b = col(np.array(["c", "a"], object))
+        out = copying.concatenate([a, b])
+        assert list(out.to_numpy()) == ["b", "a", "c", "a"]
+
+    def test_interleave(self):
+        t = Table.from_pydict({"a": [1, 2], "b": [10, 20]})
+        out = copying.interleave_columns(t)
+        np.testing.assert_array_equal(out.to_numpy(), [1, 10, 2, 20])
+
+
+class TestSort:
+    def test_sort_ints(self):
+        c = col([3, 1, 2])
+        out = sorting.sort_column(c)
+        np.testing.assert_array_equal(out.to_numpy(), [1, 2, 3])
+
+    def test_sort_desc(self):
+        out = sorting.sort_column(col([3, 1, 2]), descending=True)
+        np.testing.assert_array_equal(out.to_numpy(), [3, 2, 1])
+
+    def test_sort_floats_with_neg(self):
+        vals = [2.5, -1.0, 0.0, -3.5, 1.25]
+        out = sorting.sort_column(col(vals))
+        np.testing.assert_array_equal(out.to_numpy(), sorted(vals))
+
+    def test_sort_nulls_last(self):
+        c = col([3, 1, 2], validity=[True, False, True])
+        out = sorting.sort_column(c)
+        res = out.to_numpy()
+        assert res[0] == 2 and res[1] == 3 and res[2] is None
+        out2 = sorting.sort_column(c, nulls_last=False)
+        assert out2.to_numpy()[0] is None
+
+    def test_multi_key_mixed_order(self):
+        t = Table.from_pydict({"a": [1, 2, 1, 2], "b": [9.0, 8.0, 7.0, 6.0]})
+        out = sorting.sort_by_key(t, ["a", "b"], descending=[False, True])
+        np.testing.assert_array_equal(out["a"].to_numpy(), [1, 1, 2, 2])
+        np.testing.assert_array_equal(out["b"].to_numpy(), [9.0, 7.0, 8.0, 6.0])
+
+    def test_sort_matches_pandas(self):
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({
+            "k1": rng.integers(0, 10, 500),
+            "k2": rng.normal(size=500),
+            "v": np.arange(500),
+        })
+        t = Table.from_pandas(df)
+        out = sorting.sort_by_key(t, ["k1", "k2"]).to_pandas()
+        exp = df.sort_values(["k1", "k2"], kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_sort_strings(self):
+        c = col(np.array(["pear", "apple", "fig"], object))
+        out = sorting.sort_column(c)
+        assert list(out.to_numpy()) == ["apple", "fig", "pear"]
+
+    def test_rank(self):
+        c = col([10.0, 30.0, 20.0, 30.0])
+        out = sorting.rank(c, method="min")
+        np.testing.assert_array_equal(out.to_numpy(), [1, 3, 2, 3])
+        out = sorting.rank(c, method="average")
+        np.testing.assert_array_equal(out.to_numpy(), [1.0, 3.5, 2.0, 3.5])
+
+    def test_top_k(self):
+        t = Table.from_pydict({"a": [5, 1, 9, 3]})
+        out = sorting.top_k(t, 2, ["a"])
+        np.testing.assert_array_equal(out["a"].to_numpy(), [9, 5])
+
+
+class TestStrings:
+    def test_lower_contains(self):
+        c = col(np.array(["Apple", "BANANA", None], object))
+        out = strings.lower(c)
+        assert list(out.to_numpy()[:2]) == ["apple", "banana"]
+        m = strings.contains(c, "AN", regex=False)
+        res = m.to_numpy()
+        assert res[0] == False and res[1] == True and res[2] is None
+
+    def test_like(self):
+        c = col(np.array(["promo pack", "standard", "promo box"], object))
+        out = strings.match_like(c, "promo%")
+        np.testing.assert_array_equal(out.to_numpy(), [True, False, True])
+
+    def test_len(self):
+        c = col(np.array(["ab", "", "xyz"], object))
+        np.testing.assert_array_equal(strings.len_strings(c).to_numpy(), [2, 0, 3])
+
+
+class TestF64Codes:
+    def test_f64_code_total_order_extremes(self):
+        import jax.numpy as jnp
+        from cudf_tpu.ops.rowcodes import _f64_codes
+
+        vals = np.array([
+            -np.inf, -1.8e308, -1e300, -2.5, -1.0000000000000002, -1.0,
+            -1e-300, -5e-324, -0.0, 0.0, 5e-324, 1e-310, 2.2250738585072014e-308,
+            1.0, 1.0000000000000002, 2.5, 1e300, 1.8e308, np.inf, np.nan,
+        ])
+        codes = _f64_codes(jnp.asarray(vals))
+        rows = list(zip(*[np.asarray(c) for c in codes]))
+        order = sorted(range(len(vals)), key=lambda i: rows[i])
+        got = [vals[i] for i in order]
+        # expected: ascending with NaN last
+        exp = list(np.sort(vals[:-1])) + [np.nan]
+        for g, e in zip(got, exp):
+            assert (np.isnan(g) and np.isnan(e)) or g == e, (got, exp)
+        # injectivity up to documented collisions: 1.8e308 parses to inf,
+        # -1.8e308 to -inf, and +-0 plus ALL subnormals share one code (XLA
+        # DAZ treats f64 subnormals as zero): 19 rows -> 13 unique codes.
+        finite_rows = [rows[i] for i in range(len(vals) - 1)]
+        assert len(set(finite_rows)) == 13
+
+    def test_f64_sort_random_extreme(self):
+        rng = np.random.default_rng(5)
+        vals = np.concatenate([
+            rng.normal(size=500) * 10.0 ** rng.integers(-300, 300, 500),
+            np.array([np.nan, np.inf, -np.inf, 0.0, -0.0]),
+        ])
+        from cudf_tpu.ops import sorting
+        out = sorting.sort_column(Column.from_numpy(vals)).to_numpy()
+        exp = np.sort(vals)  # numpy: ascending, NaN last
+        np.testing.assert_array_equal(out, exp)
