@@ -246,6 +246,8 @@ class Column:
                 length,
                 dictionary=np.array([value], dtype=object).astype(str),
             )
+        if isinstance(value, (np.datetime64, np.timedelta64)):
+            return cls.from_numpy(np.full((length,), value))
         if dtype is None:
             dtype = dtypes.from_numpy(np.min_scalar_type(value) if isinstance(value, int) else np.asarray(value).dtype)
             if dtype.is_integer:

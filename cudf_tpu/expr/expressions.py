@@ -1,0 +1,466 @@
+"""Expression DSL evaluated against Tables.
+
+Analog of cudf-polars' expression nodes (reference: python/cudf_polars/
+cudf_polars/dsl/expressions/ — Col base.py:134, BinOp binaryop.py:26, Agg
+aggregation.py:28, StringFunction string.py:58, TemporalFunction
+datetime.py:40, Ternary ternary.py:27, Cast/UnaryFunction unary.py:23-74)
+and of libcudf's AST layer (cpp/src/ast/). On TPU every expression tree
+evaluates to a chain of jitted column ops which XLA fuses — the capability
+the reference needs NVRTC JIT (cpp/src/jit/row_ir.cpp) for.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.column import Column
+from ..core.table import Table
+from ..core import dtypes
+from ..ops import binaryop, unaryop, strings as str_ops, datetime as dt_ops
+from .nodebase import Node, CachingVisitor
+
+
+class Expr(Node):
+    """Base expression node."""
+
+    # -- sugar ---------------------------------------------------------------
+    def _bin(self, other, op):
+        return BinOp(op, children=(self, _wrap(other)))
+
+    def __add__(self, o):
+        return self._bin(o, "add")
+
+    def __radd__(self, o):
+        return _wrap(o)._bin(self, "add")
+
+    def __sub__(self, o):
+        return self._bin(o, "sub")
+
+    def __rsub__(self, o):
+        return _wrap(o)._bin(self, "sub")
+
+    def __mul__(self, o):
+        return self._bin(o, "mul")
+
+    def __rmul__(self, o):
+        return _wrap(o)._bin(self, "mul")
+
+    def __truediv__(self, o):
+        return self._bin(o, "div")
+
+    def __rtruediv__(self, o):
+        return _wrap(o)._bin(self, "div")
+
+    def __mod__(self, o):
+        return self._bin(o, "mod")
+
+    def __pow__(self, o):
+        return self._bin(o, "pow")
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._bin(o, "eq")
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._bin(o, "ne")
+
+    def __lt__(self, o):
+        return self._bin(o, "lt")
+
+    def __le__(self, o):
+        return self._bin(o, "le")
+
+    def __gt__(self, o):
+        return self._bin(o, "gt")
+
+    def __ge__(self, o):
+        return self._bin(o, "ge")
+
+    def __and__(self, o):
+        return self._bin(o, "and")
+
+    def __or__(self, o):
+        return self._bin(o, "or")
+
+    def __invert__(self):
+        return UnaryFn("not", children=(self,))
+
+    def __neg__(self):
+        return UnaryFn("neg", children=(self,))
+
+    def __hash__(self):
+        return Node.__hash__(self)
+
+    def alias(self, name: str) -> "NamedExpr":
+        return NamedExpr(name, self)
+
+    def cast(self, to) -> "Cast":
+        return Cast(to, children=(self,))
+
+    def is_null(self):
+        return UnaryFn("is_null", children=(self,))
+
+    def is_not_null(self):
+        return UnaryFn("is_valid", children=(self,))
+
+    def is_nan(self):
+        return UnaryFn("is_nan", children=(self,))
+
+    def fill_null(self, value):
+        return FillNull(value, children=(self,))
+
+    def abs(self):
+        return UnaryFn("abs", children=(self,))
+
+    def is_in(self, values) -> "IsIn":
+        return IsIn(tuple(values), children=(self,))
+
+    def between(self, lo, hi, inclusive: bool = True):
+        if inclusive:
+            return (self >= lo) & (self <= hi)
+        return (self > lo) & (self < hi)
+
+    # aggregations (usable in groupby/select contexts)
+    def sum(self):
+        return Agg("sum", children=(self,))
+
+    def mean(self):
+        return Agg("mean", children=(self,))
+
+    def min(self):
+        return Agg("min", children=(self,))
+
+    def max(self):
+        return Agg("max", children=(self,))
+
+    def count(self):
+        return Agg("count", children=(self,))
+
+    def nunique(self):
+        return Agg("nunique", children=(self,))
+
+    def var(self, ddof=1):
+        return Agg("var", ddof, children=(self,))
+
+    def std(self, ddof=1):
+        return Agg("std", ddof, children=(self,))
+
+    def median(self):
+        return Agg("median", children=(self,))
+
+    def quantile(self, q):
+        return Agg("quantile", q, children=(self,))
+
+    def first(self):
+        return Agg("first", children=(self,))
+
+    def last(self):
+        return Agg("last", children=(self,))
+
+    @property
+    def str(self):
+        return _StrNS(self)
+
+    @property
+    def dt(self):
+        return _DtNS(self)
+
+
+def _wrap(v) -> Expr:
+    return v if isinstance(v, Expr) else Literal(v)
+
+
+class Col(Expr):
+    def __init__(self, name: str, children=()):
+        super().__init__(name)
+
+    @property
+    def name(self):
+        return self.args[0]
+
+
+class Literal(Expr):
+    def __init__(self, value, children=()):
+        if isinstance(value, np.generic) and not isinstance(
+            value, (np.datetime64, np.timedelta64)
+        ):
+            value = value.item()
+        super().__init__(value)
+
+    @property
+    def value(self):
+        return self.args[0]
+
+
+class BinOp(Expr):
+    def __init__(self, op: str, children=()):
+        super().__init__(op, children=children)
+
+    @property
+    def op(self):
+        return self.args[0]
+
+
+class UnaryFn(Expr):
+    def __init__(self, fn: str, children=()):
+        super().__init__(fn, children=children)
+
+
+class Cast(Expr):
+    def __init__(self, to, children=()):
+        super().__init__(to, children=children)
+
+
+class FillNull(Expr):
+    def __init__(self, value, children=()):
+        super().__init__(value, children=children)
+
+
+class IsIn(Expr):
+    def __init__(self, values: tuple, children=()):
+        super().__init__(values, children=children)
+
+
+class Ternary(Expr):
+    """when(cond).then(a).otherwise(b)"""
+
+    def __init__(self, children=()):
+        super().__init__(children=children)
+
+
+class Agg(Expr):
+    def __init__(self, kind: str, param: float = 0.0, children=()):
+        super().__init__(kind, param, children=children)
+
+    @property
+    def kind(self):
+        return self.args[0]
+
+    @property
+    def param(self):
+        return self.args[1]
+
+
+class Len(Expr):
+    """Row count (polars pl.len())."""
+
+    def __init__(self, children=()):
+        super().__init__()
+
+
+class StringFn(Expr):
+    def __init__(self, fn: str, params: tuple = (), children=()):
+        super().__init__(fn, params, children=children)
+
+
+class TemporalFn(Expr):
+    def __init__(self, fn: str, params: tuple = (), children=()):
+        super().__init__(fn, params, children=children)
+
+
+class SortedIndices(Expr):
+    """argsort of child (for Gather-style exprs)."""
+
+    def __init__(self, descending=False, children=()):
+        super().__init__(descending, children=children)
+
+
+class NamedExpr:
+    """(name, expr) pair — not a dag node (reference base.py NamedExpr)."""
+
+    __slots__ = ("name", "expr")
+
+    def __init__(self, name: str, expr: Expr):
+        self.name = name
+        self.expr = expr
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.expr!r}.alias({self.name!r})"
+
+
+class _StrNS:
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def contains(self, pat, regex=True):
+        return StringFn("contains", (pat, regex), children=(self._e,))
+
+    def startswith(self, pat):
+        return StringFn("startswith", (pat,), children=(self._e,))
+
+    def endswith(self, pat):
+        return StringFn("endswith", (pat,), children=(self._e,))
+
+    def like(self, pattern):
+        return StringFn("like", (pattern,), children=(self._e,))
+
+    def lower(self):
+        return StringFn("lower", (), children=(self._e,))
+
+    def upper(self):
+        return StringFn("upper", (), children=(self._e,))
+
+    def strip(self):
+        return StringFn("strip", (), children=(self._e,))
+
+    def slice(self, start, stop=None):
+        return StringFn("slice", (start, stop), children=(self._e,))
+
+    def len(self):
+        return StringFn("len", (), children=(self._e,))
+
+
+class _DtNS:
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def __getattr__(self, field):
+        if field in ("year", "month", "day", "weekday", "hour", "minute",
+                     "second", "day_of_year"):
+            return lambda: TemporalFn("extract", (field,), children=(self._e,))
+        raise AttributeError(field)
+
+    def truncate(self, freq):
+        return TemporalFn("truncate", (freq,), children=(self._e,))
+
+
+def col(name: str) -> Col:
+    return Col(name)
+
+
+def lit(value) -> Literal:
+    return Literal(value)
+
+
+def when(cond: Expr):
+    class _When:
+        def __init__(self, c):
+            self.c = c
+
+        def then(self, a):
+            c = self.c
+
+            class _Then:
+                def otherwise(self, b):
+                    return Ternary(children=(c, _wrap(a), _wrap(b)))
+
+            return _Then()
+
+    return _When(cond)
+
+
+# ---------------------------------------------------------------------------
+def evaluate(expr: Expr, tbl: Table) -> Column:
+    """Evaluate an expression against a table, returning a Column."""
+
+    def _eval(node: Expr, visitor) -> Column:
+        if isinstance(node, Col):
+            return tbl[node.name]
+        if isinstance(node, Literal):
+            return Column.from_scalar(node.value, max(tbl.num_rows, 0))
+        if isinstance(node, BinOp):
+            l = visitor(node.children[0])
+            r = visitor(node.children[1])
+            return binaryop.binary_op(l, r, node.op)
+        if isinstance(node, UnaryFn):
+            c = visitor(node.children[0])
+            fn = node.args[0]
+            if fn == "is_null":
+                return unaryop.is_null(c)
+            if fn == "is_valid":
+                return unaryop.is_valid(c)
+            if fn == "is_nan":
+                return unaryop.is_nan(c)
+            return unaryop.unary_op(c, fn)
+        if isinstance(node, Cast):
+            return unaryop.cast(visitor(node.children[0]), node.args[0])
+        if isinstance(node, FillNull):
+            return unaryop.replace_nulls(visitor(node.children[0]), node.args[0])
+        if isinstance(node, IsIn):
+            c = visitor(node.children[0])
+            vals = node.args[0]
+            out = None
+            for v in vals:
+                m = binaryop.binary_op(c, v, "eq")
+                out = m if out is None else binaryop.binary_op(out, m, "or")
+            if out is None:
+                return Column.from_scalar(False, c.length)
+            return out
+        if isinstance(node, Ternary):
+            cond = visitor(node.children[0])
+            a = visitor(node.children[1])
+            b = visitor(node.children[2])
+            return _where(cond, a, b)
+        if isinstance(node, StringFn):
+            c = visitor(node.children[0])
+            fn, params = node.args[0], node.args[1]
+            if fn == "contains":
+                return str_ops.contains(c, params[0], regex=params[1])
+            if fn == "startswith":
+                return str_ops.startswith(c, params[0])
+            if fn == "endswith":
+                return str_ops.endswith(c, params[0])
+            if fn == "like":
+                return str_ops.match_like(c, params[0])
+            if fn == "lower":
+                return str_ops.lower(c)
+            if fn == "upper":
+                return str_ops.upper(c)
+            if fn == "strip":
+                return str_ops.strip(c)
+            if fn == "slice":
+                return str_ops.slice_strings(c, params[0], params[1])
+            if fn == "len":
+                return str_ops.len_strings(c)
+            raise ValueError(f"string fn {fn}")
+        if isinstance(node, TemporalFn):
+            c = visitor(node.children[0])
+            fn, params = node.args[0], node.args[1]
+            if fn == "extract":
+                return dt_ops.extract(c, params[0])
+            if fn == "truncate":
+                return dt_ops.truncate(c, params[0])
+            raise ValueError(f"temporal fn {fn}")
+        if isinstance(node, Len):
+            return Column.from_scalar(tbl.num_rows, 1, dtypes.int64)
+        if isinstance(node, Agg):
+            c = visitor(node.children[0])
+            return _full_column_agg(c, node.kind, node.param)
+        raise TypeError(f"cannot evaluate {type(node).__name__}")
+
+    return CachingVisitor(_eval)(expr)
+
+
+def _where(cond: Column, a: Column, b: Column) -> Column:
+    """Elementwise select with null propagation from the chosen side."""
+    import jax
+    import jax.numpy as jnp
+    from ..utils.jitutil import fix_lengths
+
+    if a.dtype.is_string or b.dtype.is_string:
+        from ..ops.strings import unify_dictionaries
+
+        a, b = unify_dictionaries([a, b])
+
+    @jax.jit
+    def impl(cond, a, b):
+        c = cond.data.astype(jnp.bool_)
+        if cond.validity is not None:
+            c = c & cond.validity  # null condition -> take b (cuDF copy_if_else)
+        common = a.dtype if a.dtype == b.dtype else dtypes.common_dtype(a.dtype, b.dtype)
+        data = jnp.where(c, a.data.astype(common.physical), b.data.astype(common.physical))
+        av = a.validity if a.validity is not None else jnp.ones((a.capacity,), jnp.bool_)
+        bv = b.validity if b.validity is not None else jnp.ones((b.capacity,), jnp.bool_)
+        validity = None
+        if a.validity is not None or b.validity is not None:
+            validity = jnp.where(c, av, bv)
+        return Column(common, data, validity, a.length, a.dictionary)
+
+    return fix_lengths(impl(cond, a, b), a.length)
+
+
+def _full_column_agg(c: Column, kind: str, param) -> Column:
+    """Whole-column reduction via a single-group groupby (ops/reductions)."""
+    from ..ops.reductions import reduce as reduce_op
+
+    return reduce_op(c, kind, param)

@@ -1,0 +1,247 @@
+"""Logical plan IR + in-memory executor.
+
+Analog of cudf-polars' IR (reference: python/cudf_polars/cudf_polars/dsl/
+ir.py — Scan:418, DataFrameScan:1311, Select:1437, GroupBy:1778, Join:2224,
+HStack:2633, Distinct:2686, Sort:2781, Slice:2864, Filter:2892, Union:3200,
+HConcat:3242) with the same evaluate-recursion shape (ir.py:254-300). The
+in-memory executor evaluates bottom-up; the distributed executor in
+parallel/ lowers the same IR to partition-wise tasks (streaming/parallel.py
+analog).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from ..core.column import Column
+from ..core.table import Table
+from ..ops import sorting, stream_compaction, join as join_ops, copying
+from ..ops.groupby import AggSpec, groupby_aggregate
+from .nodebase import Node, CachingVisitor
+from .expressions import Agg, Col, Expr, Len, NamedExpr, evaluate
+
+
+class IR(Node):
+    """Base logical plan node."""
+
+
+class DataFrameScan(IR):
+    """Wrap an in-memory Table."""
+
+    def __init__(self, tbl: Table, children=()):
+        super().__init__(id(tbl))
+        object.__setattr__(self, "_tbl", tbl)
+
+    __slots__ = ("_tbl",)
+
+    def _key(self):
+        return (type(self), self.args)
+
+
+class Scan(IR):
+    """File scan: (fmt, paths, columns, predicate)."""
+
+    def __init__(self, fmt: str, paths: tuple, columns: Optional[tuple] = None,
+                 children=()):
+        super().__init__(fmt, paths, columns)
+
+
+class Select(IR):
+    def __init__(self, exprs: Tuple[NamedExpr, ...], children=()):
+        super().__init__(tuple((e.name, e.expr) for e in exprs), children=children)
+
+    @property
+    def exprs(self):
+        return [NamedExpr(n, e) for n, e in self.args[0]]
+
+
+class HStack(IR):
+    """with_columns: add/replace columns."""
+
+    def __init__(self, exprs: Tuple[NamedExpr, ...], children=()):
+        super().__init__(tuple((e.name, e.expr) for e in exprs), children=children)
+
+    @property
+    def exprs(self):
+        return [NamedExpr(n, e) for n, e in self.args[0]]
+
+
+class Filter(IR):
+    def __init__(self, predicate: Expr, children=()):
+        super().__init__(predicate, children=children)
+
+    @property
+    def predicate(self):
+        return self.args[0]
+
+
+class GroupBy(IR):
+    def __init__(self, keys: tuple, aggs: Tuple[NamedExpr, ...], children=()):
+        super().__init__(tuple(keys), tuple((e.name, e.expr) for e in aggs),
+                         children=children)
+
+    @property
+    def keys(self):
+        return list(self.args[0])
+
+    @property
+    def agg_exprs(self):
+        return [NamedExpr(n, e) for n, e in self.args[1]]
+
+
+class Join(IR):
+    def __init__(self, left_on: tuple, right_on: tuple, how: str,
+                 nulls_equal: bool = False, suffixes=("_x", "_y"), children=()):
+        super().__init__(tuple(left_on), tuple(right_on), how, nulls_equal,
+                         tuple(suffixes), children=children)
+
+
+class Sort(IR):
+    def __init__(self, by: tuple, descending: tuple, nulls_last: tuple, children=()):
+        super().__init__(tuple(by), tuple(descending), tuple(nulls_last),
+                         children=children)
+
+
+class Distinct(IR):
+    def __init__(self, subset: Optional[tuple], keep: str = "first", children=()):
+        super().__init__(None if subset is None else tuple(subset), keep,
+                         children=children)
+
+
+class Slice(IR):
+    def __init__(self, offset: int, length: Optional[int], children=()):
+        super().__init__(offset, length, children=children)
+
+
+class Union(IR):
+    def __init__(self, children=()):
+        super().__init__(children=children)
+
+
+class HConcat(IR):
+    def __init__(self, children=()):
+        super().__init__(children=children)
+
+
+class Projection(IR):
+    def __init__(self, columns: tuple, children=()):
+        super().__init__(tuple(columns), children=children)
+
+
+class Empty(IR):
+    def __init__(self, children=()):
+        super().__init__()
+
+
+class Sink(IR):
+    """Write result to a file (fmt, path)."""
+
+    def __init__(self, fmt: str, path: str, children=()):
+        super().__init__(fmt, path, children=children)
+
+
+class Cache(IR):
+    def __init__(self, key: int, children=()):
+        super().__init__(key, children=children)
+
+
+# ---------------------------------------------------------------------------
+def _groupby_via_specs(tbl: Table, keys: List[str], agg_exprs: List[NamedExpr]) -> Table:
+    """Lower groupby agg expressions to AggSpecs, pre-materializing inputs.
+
+    ``Agg(sum, child)`` — child may be any expression: materialize it into a
+    temp column first (cuDF evaluates pre-aggregation expressions the same
+    way, core/groupby/groupby.py agg path).
+    """
+    work = tbl
+    specs: List[AggSpec] = []
+    tmp_i = 0
+    post: List[Tuple[str, Any]] = []
+    for ne in agg_exprs:
+        e = ne.expr
+        if isinstance(e, Agg):
+            child = e.children[0]
+            if isinstance(child, Col):
+                in_name = child.name
+            else:
+                in_name = f"__tmp{tmp_i}"
+                tmp_i += 1
+                work = work.with_column(in_name, evaluate(child, work))
+            specs.append(AggSpec(in_name, e.kind, ne.name, e.param or 0.0))
+        elif isinstance(e, Len):
+            specs.append(AggSpec("", "size", ne.name))
+        else:
+            raise ValueError(f"groupby agg must be an aggregation: {e!r}")
+    out = groupby_aggregate(work, keys, specs)
+    return out.select(keys + [ne.name for ne in agg_exprs])
+
+
+def execute(node: IR) -> Table:
+    """In-memory recursive evaluation (reference ir.py IR.evaluate)."""
+
+    def _exec(n: IR, visitor) -> Table:
+        if isinstance(n, DataFrameScan):
+            return n._tbl
+        if isinstance(n, Scan):
+            from ..io import scan as io_scan
+
+            fmt, paths, columns = n.args
+            return io_scan(fmt, list(paths), None if columns is None else list(columns))
+        if isinstance(n, Select):
+            child = visitor(n.children[0])
+            return Table({ne.name: evaluate(ne.expr, child) for ne in n.exprs})
+        if isinstance(n, HStack):
+            child = visitor(n.children[0])
+            out = child
+            for ne in n.exprs:
+                out = out.with_column(ne.name, evaluate(ne.expr, out))
+            return out
+        if isinstance(n, Filter):
+            child = visitor(n.children[0])
+            mask = evaluate(n.predicate, child)
+            return stream_compaction.apply_boolean_mask(child, mask)
+        if isinstance(n, GroupBy):
+            child = visitor(n.children[0])
+            return _groupby_via_specs(child, n.keys, n.agg_exprs)
+        if isinstance(n, Join):
+            left = visitor(n.children[0])
+            right = visitor(n.children[1])
+            lo, ro, how, ne_, suf = n.args
+            return join_ops.join(left, right, list(lo), list(ro), how, ne_, suf)
+        if isinstance(n, Sort):
+            child = visitor(n.children[0])
+            by, desc, nl = n.args
+            return sorting.sort_by_key(child, list(by), list(desc), list(nl))
+        if isinstance(n, Distinct):
+            child = visitor(n.children[0])
+            subset, keep = n.args
+            return stream_compaction.distinct(
+                child, None if subset is None else list(subset), keep
+            )
+        if isinstance(n, Slice):
+            child = visitor(n.children[0])
+            return child.slice(n.args[0], n.args[1])
+        if isinstance(n, Union):
+            return copying.concatenate_tables([visitor(c) for c in n.children])
+        if isinstance(n, HConcat):
+            tables = [visitor(c) for c in n.children]
+            cols = {}
+            for t in tables:
+                for name, c in t:
+                    cols[name] = c
+            return Table(cols)
+        if isinstance(n, Projection):
+            child = visitor(n.children[0])
+            return child.select(list(n.args[0]))
+        if isinstance(n, Empty):
+            return Table({})
+        if isinstance(n, Sink):
+            child = visitor(n.children[0])
+            from ..io import write as io_write
+
+            io_write(child, n.args[0], n.args[1])
+            return child
+        if isinstance(n, Cache):
+            return visitor(n.children[0])
+        raise TypeError(f"cannot execute {type(n).__name__}")
+
+    return CachingVisitor(_exec)(node)

@@ -1,0 +1,124 @@
+"""I/O: parquet / CSV / JSON / ORC / feather readers and writers.
+
+Analog of cpp/src/io/ (parquet 46k LoC of GPU decode kernels, etc.). On
+TPU there is no on-device decompression engine, so decode runs host-side
+through pyarrow's vectorized readers and columns upload via one
+device_put per buffer (SURVEY.md §7: "parquet decode host-side via
+pyarrow; a device decode path is stretch"). Chunked/streaming variants
+live in parallel/partition.py.
+"""
+from __future__ import annotations
+
+import glob as _glob
+from typing import List, Optional, Sequence, Union
+
+from ..core.column import Column
+from ..core.table import Table
+
+
+def _expand_paths(paths) -> List[str]:
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    out: List[str] = []
+    for p in paths:
+        hits = sorted(_glob.glob(str(p)))
+        out.extend(hits if hits else [str(p)])
+    return out
+
+
+def read_parquet(paths, columns: Optional[Sequence[str]] = None,
+                 filters=None) -> Table:
+    """cudf::io::read_parquet analog (cpp/src/io/functions.cpp:631)."""
+    import pyarrow.parquet as pq
+
+    tbls = []
+    for p in _expand_paths(paths):
+        tbls.append(pq.read_table(p, columns=list(columns) if columns else None,
+                                  filters=filters))
+    import pyarrow as pa
+
+    at = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+    return Table.from_arrow(at)
+
+
+def read_csv(path, columns=None, **kwargs) -> Table:
+    import pyarrow.csv as pc
+
+    at = pc.read_csv(path)
+    t = Table.from_arrow(at)
+    return t.select(list(columns)) if columns else t
+
+
+def read_json(path, lines: bool = True, **kwargs) -> Table:
+    import pandas as pd
+
+    df = pd.read_json(path, lines=lines, **kwargs)
+    return Table.from_pandas(df)
+
+
+def read_orc(path, columns=None) -> Table:
+    import pyarrow.orc as po
+
+    at = po.read_table(path, columns=list(columns) if columns else None)
+    return Table.from_arrow(at)
+
+
+def read_feather(path, columns=None) -> Table:
+    import pyarrow.feather as pf
+
+    at = pf.read_table(path, columns=list(columns) if columns else None)
+    return Table.from_arrow(at)
+
+
+def write_parquet(tbl: Table, path: str, **kwargs) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl.to_arrow(), path, **kwargs)
+
+
+def write_csv(tbl: Table, path: str, **kwargs) -> None:
+    import pyarrow.csv as pc
+
+    pc.write_csv(tbl.to_arrow(), path)
+
+
+def write_json(tbl: Table, path: str, lines: bool = True) -> None:
+    tbl.to_pandas().to_json(path, orient="records", lines=lines)
+
+
+def write_orc(tbl: Table, path: str) -> None:
+    import pyarrow.orc as po
+
+    po.write_table(tbl.to_arrow(), path)
+
+
+def scan(fmt: str, paths: List[str], columns: Optional[List[str]] = None) -> Table:
+    if fmt == "parquet":
+        return read_parquet(paths, columns)
+    if fmt == "csv":
+        return read_csv(paths[0], columns)
+    if fmt == "json":
+        return read_json(paths[0])
+    if fmt == "orc":
+        return read_orc(paths[0], columns)
+    raise ValueError(f"unknown scan format {fmt}")
+
+
+def write(tbl: Table, fmt: str, path: str) -> None:
+    if fmt == "parquet":
+        write_parquet(tbl, path)
+    elif fmt == "csv":
+        write_csv(tbl, path)
+    elif fmt == "json":
+        write_json(tbl, path)
+    elif fmt == "orc":
+        write_orc(tbl, path)
+    else:
+        raise ValueError(f"unknown sink format {fmt}")
+
+
+def parquet_metadata(path):
+    """cudf::io::read_parquet_metadata analog."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata

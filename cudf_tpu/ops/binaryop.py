@@ -117,6 +117,16 @@ def binary_op(lhs: Union[Column, Scalar], rhs: Union[Column, Scalar], op: str) -
         assert op in _CMP_OPS, f"op {op} not supported on strings"
         lhs, rhs = align_string_operands(lhs, rhs)
 
+    if lhs.dtype.is_temporal and rhs.dtype.is_temporal and lhs.dtype.param != rhs.dtype.param:
+        # normalize to the finer unit before comparing/subtracting
+        from .unaryop import cast as _cast
+
+        units = ["Y", "M", "W", "D", "h", "m", "s", "ms", "us", "ns"]
+        finer = max(lhs.dtype.param or "ns", rhs.dtype.param or "ns", key=units.index)
+        target_l = dtypes.DType(lhs.dtype.kind, 64, finer)
+        target_r = dtypes.DType(rhs.dtype.kind, 64, finer)
+        lhs, rhs = _cast(lhs, target_l), _cast(rhs, target_r)
+
     return fix_lengths(_binary_impl(lhs, rhs, op), lhs.length)
 
 

@@ -1,0 +1,124 @@
+"""Datetime field extraction / arithmetic on int64 epoch timestamps.
+
+Analog of cpp/src/datetime/datetime_ops.cu. Civil-calendar math is Howard
+Hinnant's integer algorithm (public domain) expressed as XLA int64 ops —
+runs fully on device, no host round-trip.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.dtypes import Kind
+from ..utils.jitutil import elementwise_jit
+
+_NS = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def _per_second(unit: str) -> int:
+    return {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+
+
+def _civil(days):
+    """days since 1970-01-01 -> (year, month, day)."""
+    z = days.astype(jnp.int64) + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = jnp.floor_divide(
+        doe - jnp.floor_divide(doe, 1460) + jnp.floor_divide(doe, 36524)
+        - jnp.floor_divide(doe, 146096),
+        365,
+    )
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + jnp.floor_divide(yoe, 4) - jnp.floor_divide(yoe, 100))
+    mp = jnp.floor_divide(5 * doy + 2, 153)
+    d = doy - jnp.floor_divide(153 * mp + 2, 5) + 1
+    m = mp + jnp.where(mp < 10, 3, -9)
+    y = y + (m <= 2)
+    return y, m, d
+
+
+@elementwise_jit(static_argnames=("field",))
+def extract(col: Column, field: str) -> Column:
+    """Extract a datetime field (year/month/day/weekday/hour/minute/second/...)."""
+    assert col.dtype.kind == Kind.TIMESTAMP, col.dtype
+    unit = col.dtype.param or "ns"
+    ticks = col.data
+    per_s = _per_second(unit)
+    per_day = 86400 * per_s
+    days = jnp.floor_divide(ticks, per_day)
+    secs_in_day = jnp.floor_divide(ticks - days * per_day, per_s)
+
+    if field in ("year", "month", "day"):
+        y, m, d = _civil(days)
+        out = {"year": y, "month": m, "day": d}[field]
+    elif field == "weekday":
+        # days 1970-01-01 was a Thursday; ISO Monday=1..Sunday=7 (cuDF)
+        out = jnp.mod(days + 3, 7) + 1
+    elif field == "hour":
+        out = jnp.floor_divide(secs_in_day, 3600)
+    elif field == "minute":
+        out = jnp.mod(jnp.floor_divide(secs_in_day, 60), 60)
+    elif field == "second":
+        out = jnp.mod(secs_in_day, 60)
+    elif field in ("millisecond", "microsecond", "nanosecond"):
+        sub = ticks - (days * per_day + secs_in_day * per_s)
+        scale = {"millisecond": per_s // 10**3, "microsecond": per_s // 10**6,
+                 "nanosecond": 1}[field]
+        out = jnp.floor_divide(sub, max(scale, 1)) if per_s >= 10**3 else jnp.zeros_like(sub)
+        if field == "millisecond":
+            out = jnp.mod(out, 1000)
+        elif field == "microsecond":
+            out = jnp.mod(jnp.floor_divide(sub, max(per_s // 10**6, 1)), 10**6)
+    elif field == "day_of_year":
+        y, m, d = _civil(days)
+        jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+        out = days - jan1 + 1
+    else:
+        raise ValueError(f"unknown field {field}")
+    return Column(dtypes.int16 if field in ("year",) else dtypes.int16, out.astype(jnp.int16), col.validity, col.length)
+
+
+def _days_from_civil(y, m, d):
+    y = y - (m <= 2)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    doy = jnp.floor_divide(153 * (m + jnp.where(m > 2, -3, 9)) + 2, 5) + d - 1
+    doe = yoe * 365 + jnp.floor_divide(yoe, 4) - jnp.floor_divide(yoe, 100) + doy
+    return era * 146097 + doe
+
+
+@elementwise_jit(static_argnames=("freq",))
+def truncate(col: Column, freq: str) -> Column:
+    """Floor timestamps to day/month/year boundaries (cudf::datetime::floor)."""
+    unit = col.dtype.param or "ns"
+    per_day = 86400 * _per_second(unit)
+    days = jnp.floor_divide(col.data, per_day)
+    if freq == "D":
+        out_days = days
+    else:
+        y, m, d = _civil(days)
+        if freq == "M":
+            out_days = _days_from_civil(y, m, jnp.ones_like(d))
+        elif freq == "Y":
+            out_days = _days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d))
+        else:
+            raise ValueError(freq)
+    return Column(col.dtype, out_days * per_day, col.validity, col.length)
+
+
+def timestamp_from_strings(col: Column, fmt: str = "%Y-%m-%d") -> Column:
+    """Parse dictionary-encoded date strings host-side (tiny dictionary)."""
+    import pandas as pd
+
+    d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
+    parsed = pd.to_datetime(list(d.astype(str)), format=fmt, errors="coerce")
+    ticks = np.asarray(parsed.view("int64"))
+    from .strings import _table_gather
+
+    table = jnp.asarray(ticks if len(ticks) else np.zeros(1, np.int64))
+    out = _table_gather(table, col.data)
+    return Column(dtypes.timestamp("ns"), out, col.validity, col.length)

@@ -61,23 +61,48 @@ def _minmax_identity(dt, for_min: bool):
 
 
 @jax.jit
-def _grouping(keys):
-    """Sort rows by key; return (perm, seg, newgrp, inb_sorted, n_groups_dev)."""
+def _grouping_codes(keys):
+    return tuple(rowcodes.grouping_operands(keys, keys[0].length))
+
+
+@jax.jit
+def _grouping_finish(keys, perm):
+    """Given the key-sorted permutation: (seg, newgrp, inb_sorted, n_groups)."""
     length = keys[0].length
     cap = keys[0].capacity
     ops = rowcodes.grouping_operands(keys, length)
+    sorted_ops = [op[perm] for op in ops]
+    newgrp = rowcodes.adjacent_neq(sorted_ops)
     pos = jnp.arange(cap, dtype=jnp.int32)
-    sorted_all = jax.lax.sort(tuple(ops) + (pos,), num_keys=len(ops) + 1, is_stable=False)
-    perm = sorted_all[-1]
-    newgrp = rowcodes.adjacent_neq(sorted_all[:-1])
     inb_sorted = pos < jnp.asarray(length, jnp.int32)  # padding sorts last
     n_groups = jnp.sum((newgrp & inb_sorted).astype(jnp.int32))
     seg = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    return seg, newgrp, inb_sorted, n_groups
+
+
+@partial(jax.jit, static_argnames=("ordered",))
+def _value_sort_codes(kcols, vcol, ordered):
+    """Codes for a (keys..., value) radix sort: ordered=True keeps value order
+    (quantile); ordered=False only needs value-equality runs (nunique)."""
+    ops = rowcodes.grouping_operands(list(kcols), kcols[0].length)
+    if ordered:
+        vops = rowcodes.sort_key_operands(vcol, False, True)
+    else:
+        vops = rowcodes.equality_operands(vcol)
+    return tuple(list(ops) + list(vops))
+
+
+def _grouping(keys):
+    """Radix-sort rows by key; return (perm, seg, newgrp, inb_sorted, n_groups)."""
+    from .sortprim import multisort_perm
+
+    perm = multisort_perm(_grouping_codes(keys))
+    seg, newgrp, inb_sorted, n_groups = _grouping_finish(keys, perm)
     return perm, seg, newgrp, inb_sorted, n_groups
 
 
 @partial(jax.jit, static_argnames=("keynames", "aggs", "out_cap"))
-def _aggregate_impl(kcols, vcols, keynames, aggs, out_cap, perm, seg, inb_sorted, n_groups):
+def _aggregate_impl(kcols, vcols, keynames, aggs, out_cap, perm, seg, inb_sorted, n_groups, vperms):
     cap = kcols[0].capacity
     nseg = out_cap + 1  # overflow bucket for padding rows
     pos = jnp.arange(cap, dtype=jnp.int32)
@@ -96,9 +121,10 @@ def _aggregate_impl(kcols, vcols, keynames, aggs, out_cap, perm, seg, inb_sorted
         inb_sorted.astype(jnp.int64), seg_c, num_segments=nseg
     )[:out_cap]
 
-    for spec, vcol in zip(aggs, vcols):
+    for spec, vcol, vperm in zip(aggs, vcols, vperms):
         out_cols[spec.out_name] = _compute_agg(
-            vcol, spec, perm, seg_c, inb_sorted, nseg, out_cap, n_groups, counts_all, kcols
+            vcol, spec, perm, seg_c, inb_sorted, nseg, out_cap, n_groups,
+            counts_all, kcols, vperm,
         )
     return out_cols
 
@@ -122,9 +148,18 @@ def groupby_aggregate(
     out_cap = bucket_capacity(max(n_groups, 1))
 
     vcols = tuple(tbl[s.column] if s.column else kcols[0] for s in aggs)
+    vperms = []
+    for s_ in aggs:
+        if s_.kind in ("nunique", "median", "quantile"):
+            from .sortprim import multisort_perm
+
+            ops = _value_sort_codes(kcols, tbl[s_.column], s_.kind != "nunique")
+            vperms.append(multisort_perm(ops))
+        else:
+            vperms.append(None)
     out_cols = _aggregate_impl(
         kcols, vcols, tuple(keys), tuple(aggs), out_cap,
-        perm, seg, inb_sorted, n_groups_dev,
+        perm, seg, inb_sorted, n_groups_dev, tuple(vperms),
     )
     out_cols = fix_lengths(out_cols, n_groups)
     return Table({n: out_cols[n] for n in list(keys) + [s.out_name for s in aggs]})
@@ -134,7 +169,7 @@ def _compute_agg(
     vcol: Column,
     spec: AggSpec,
     perm, seg_c, inb_sorted, nseg: int, out_cap: int, n_groups,
-    counts_all, kcols,
+    counts_all, kcols, vperm=None,
 ) -> Column:
     kind = spec.kind
     if kind == "size":
@@ -237,33 +272,29 @@ def _compute_agg(
         return Column(out.dtype, out.data, v & validity, n_groups, vcol.dictionary)
 
     if kind == "nunique":
-        return _nunique(kcols, vcol, out_cap, nseg, n_groups)
+        return _nunique(kcols, vcol, out_cap, nseg, n_groups, vperm)
 
     if kind in ("median", "quantile"):
         q = 0.5 if kind == "median" else float(spec.param)
-        return _quantile(kcols, vcol, out_cap, nseg, n_groups, q)
+        return _quantile(kcols, vcol, out_cap, nseg, n_groups, q, vperm)
 
     raise ValueError(f"unsupported aggregation {kind!r}")
 
 
-def _nunique(kcols, vcol: Column, out_cap: int, nseg: int, n_groups) -> Column:
-    """Distinct valid values per group: sort by (keys, value), count adjacent-neq."""
+def _nunique(kcols, vcol: Column, out_cap: int, nseg: int, n_groups, perm) -> Column:
+    """Distinct valid values per group: sorted by (keys, value); count runs."""
     length = kcols[0].length
     cap = vcol.capacity
     ops = rowcodes.grouping_operands(list(kcols), length)
     vops = rowcodes.equality_operands(vcol)
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    sorted_all = jax.lax.sort(
-        tuple(ops) + tuple(vops) + (pos,),
-        num_keys=len(ops) + len(vops) + 1, is_stable=False,
-    )
-    perm = sorted_all[-1]
+    sorted_all = [op[perm] for op in (list(ops) + list(vops))]
     key_sorted = sorted_all[: len(ops)]
     newgrp = rowcodes.adjacent_neq(key_sorted)
+    pos = jnp.arange(cap, dtype=jnp.int32)
     seg = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
     inb = pos < jnp.asarray(length, jnp.int32)
     seg_c = jnp.where(inb, jnp.minimum(seg, nseg - 1), nseg - 1)
-    newval = rowcodes.adjacent_neq(sorted_all[:-1])  # keys+value change
+    newval = rowcodes.adjacent_neq(sorted_all)  # keys+value change
     svalid = inb
     if vcol.validity is not None:
         svalid = svalid & vcol.validity[perm]
@@ -279,20 +310,13 @@ def _nunique(kcols, vcol: Column, out_cap: int, nseg: int, n_groups) -> Column:
     return Column(dtypes.int64, r, None, n_groups)
 
 
-def _quantile(kcols, vcol: Column, out_cap: int, nseg: int, n_groups, q: float) -> Column:
+def _quantile(kcols, vcol: Column, out_cap: int, nseg: int, n_groups, q: float, perm) -> Column:
     """Per-group linear-interpolation quantile via (keys, value) sort."""
     length = kcols[0].length
     cap = vcol.capacity
     ops = rowcodes.grouping_operands(list(kcols), length)
-    # sort null/nan values last within group
-    vops = rowcodes.sort_key_operands(vcol, descending=False, nulls_last=True)
+    key_sorted = [op[perm] for op in ops]
     pos = jnp.arange(cap, dtype=jnp.int32)
-    sorted_all = jax.lax.sort(
-        tuple(ops) + tuple(vops) + (pos,),
-        num_keys=len(ops) + len(vops), is_stable=True,
-    )
-    perm = sorted_all[-1]
-    key_sorted = sorted_all[: len(ops)]
     newgrp = rowcodes.adjacent_neq(key_sorted)
     seg = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
     inb = pos < jnp.asarray(length, jnp.int32)

@@ -64,7 +64,7 @@ def _join_key_operands(cols: Sequence[Column]) -> List[jnp.ndarray]:
     for c in cols:
         eq = rowcodes.equality_operands(c)
         if c.validity is None:
-            ops.append(jnp.zeros((c.capacity,), jnp.uint8))
+            ops.append(jnp.zeros((c.capacity,), jnp.uint32))
         ops.extend(eq)
     return ops
 
@@ -79,18 +79,25 @@ def _lex_lt(a_ops, b_ops):
     return lt, eq
 
 
-@partial(jax.jit, static_argnames=("nulls_equal",))
+@jax.jit
+def _build_codes(rcols):
+    return tuple(rowcodes.grouping_operands(rcols, rcols[0].length))
+
+
 def _probe(lcols, rcols, nulls_equal):
-    """Size pass: returns (counts, lb, r_perm, n_search) for the probe side."""
+    """Build + size pass (sort right, search left); one host-free call pair."""
+    from .sortprim import multisort_perm
+
+    r_perm = multisort_perm(_build_codes(rcols))
+    return _probe_impl(lcols, rcols, r_perm, nulls_equal)
+
+
+@partial(jax.jit, static_argnames=("nulls_equal",))
+def _probe_impl(lcols, rcols, r_perm, nulls_equal):
+    """Size pass: returns (counts, lb, r_perm, linb) for the probe side."""
     capL = lcols[0].capacity
     capR = rcols[0].capacity
-    # ---- build: sort right by keys (nulls last, padding last) -------------
-    r_ops = rowcodes.grouping_operands(rcols, rcols[0].length)
     pos = jnp.arange(capR, dtype=jnp.int32)
-    sorted_all = jax.lax.sort(
-        tuple(r_ops) + (pos,), num_keys=len(r_ops) + 1, is_stable=False
-    )
-    r_perm = sorted_all[-1]
 
     # search domain: in-bounds rows; exclude null-key rows unless nulls_equal
     inbound_n = jnp.asarray(rcols[0].length, jnp.int32)

@@ -1,0 +1,164 @@
+"""Full-column reductions and scans.
+
+Analog of cpp/src/reductions/ (6.3k LoC of CUB-based reduce/scan kernels).
+On TPU each reduction is one jitted masked jnp reduction; XLA emits the
+tree-reduce. Scans are XLA cumulative ops (associative_scan under the
+hood). Null handling: nulls are skipped; empty/all-null input yields null
+(cuDF semantics).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.dtypes import DType
+from ..utils.jitutil import fix_lengths
+
+
+def _acc_dtype(dt: DType):
+    if dt.is_floating:
+        return jnp.float32 if dt.bits <= 32 else jnp.float64
+    return jnp.int64
+
+
+@partial(jax.jit, static_argnames=("kind", "param"))
+def _reduce_impl(col: Column, kind: str, param) -> Column:
+    valid = col.valid_mask()
+    cnt = jnp.sum(valid.astype(jnp.int64))
+    nonempty = cnt > 0
+    x = col.data
+
+    if kind == "count":
+        return Column(dtypes.int64, cnt[None], None, 1)
+    if kind == "size":
+        return Column(dtypes.int64, jnp.asarray(col.length, jnp.int64)[None], None, 1)
+
+    if kind in ("sum", "mean", "var", "std", "sum_of_squares", "m2"):
+        acc = _acc_dtype(col.dtype)
+        xz = jnp.where(valid, x, jnp.zeros((), x.dtype)).astype(acc)
+        s = jnp.sum(xz)
+        if kind == "sum":
+            return Column(dtypes.from_numpy(np.dtype(acc)), s[None], nonempty[None], 1)
+        if kind == "sum_of_squares":
+            return Column(dtypes.from_numpy(np.dtype(acc)), jnp.sum(xz * xz)[None], nonempty[None], 1)
+        mean = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
+        if kind == "mean":
+            return Column(dtypes.float64, mean[None], nonempty[None], 1)
+        cent = jnp.where(valid, x.astype(jnp.float64) - mean, 0.0)
+        m2 = jnp.sum(cent * cent)
+        if kind == "m2":
+            return Column(dtypes.float64, m2[None], nonempty[None], 1)
+        ddof = int(param) if param else 1
+        denom = cnt - ddof
+        ok = denom > 0
+        var = jnp.where(ok, m2 / jnp.maximum(denom, 1), jnp.nan)
+        out = var if kind == "var" else jnp.sqrt(var)
+        return Column(dtypes.float64, out[None], (nonempty & ok)[None], 1)
+
+    if kind in ("min", "max"):
+        if col.dtype.is_floating:
+            ident = jnp.asarray(jnp.inf if kind == "min" else -jnp.inf, col.dtype.physical)
+        else:
+            info = jnp.iinfo(col.dtype.physical)
+            ident = jnp.asarray(info.max if kind == "min" else info.min, col.dtype.physical)
+        xm = jnp.where(valid, x, ident)
+        r = jnp.min(xm) if kind == "min" else jnp.max(xm)
+        return Column(col.dtype, r[None], nonempty[None], 1, col.dictionary)
+
+    if kind == "product":
+        acc = _acc_dtype(col.dtype)
+        xz = jnp.where(valid, x, jnp.ones((), x.dtype)).astype(acc)
+        return Column(dtypes.from_numpy(np.dtype(acc)), jnp.prod(xz)[None], nonempty[None], 1)
+
+    if kind in ("any", "all"):
+        b = x.astype(jnp.bool_)
+        if kind == "any":
+            r = jnp.any(jnp.where(valid, b, False))
+        else:
+            r = jnp.all(jnp.where(valid, b, True))
+        return Column(dtypes.bool_, r[None], None, 1)
+
+    if kind in ("argmin", "argmax"):
+        if col.dtype.is_floating:
+            ident = jnp.asarray(jnp.inf if kind == "argmin" else -jnp.inf, col.dtype.physical)
+        else:
+            info = jnp.iinfo(col.dtype.physical)
+            ident = jnp.asarray(info.max if kind == "argmin" else info.min, col.dtype.physical)
+        xm = jnp.where(valid, x, ident)
+        r = jnp.argmin(xm) if kind == "argmin" else jnp.argmax(xm)
+        return Column(dtypes.int64, r.astype(jnp.int64)[None], nonempty[None], 1)
+
+    raise ValueError(f"unsupported reduction {kind!r}")
+
+
+def reduce(col: Column, kind: str, param=0.0) -> Column:
+    """Reduce a column to a 1-row column (null if empty/all-null)."""
+    if kind in ("median", "quantile", "nunique", "first", "last"):
+        return _order_reduce(col, kind, param)
+    out = _reduce_impl(col, kind, float(param) if param else 0.0)
+    return fix_lengths(out, 1)
+
+
+def _order_reduce(col: Column, kind: str, param) -> Column:
+    from ..core.table import Table
+    from .groupby import AggSpec, groupby_aggregate
+
+    t = Table({"__k": Column.from_scalar(0, col.length, dtypes.int8), "v": col})
+    out = groupby_aggregate(t, ["__k"], [AggSpec("v", kind, "r", float(param) if param else 0.0)])
+    return out["r"]
+
+
+def to_scalar(col: Column):
+    """1-row column -> python scalar (None if null)."""
+    v = col.to_numpy()
+    if len(v) == 0:
+        return None
+    x = v[0]
+    if x is None or (isinstance(x, float) and np.isnan(x) and col.null_count):
+        return None
+    return x.item() if hasattr(x, "item") else x
+
+
+_SCAN_KINDS = ("cumsum", "cummax", "cummin", "cumprod", "cumcount")
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def _scan_impl(col: Column, kind: str) -> Column:
+    valid = col.valid_mask()
+    x = col.data
+    if kind == "cumsum":
+        xz = jnp.where(valid, x, jnp.zeros((), x.dtype))
+        out = jnp.cumsum(xz)
+        out_dt = col.dtype if col.dtype.is_floating else dtypes.int64
+        out = out.astype(out_dt.physical)
+    elif kind == "cumprod":
+        xz = jnp.where(valid, x, jnp.ones((), x.dtype))
+        out = jnp.cumprod(xz)
+        out_dt = col.dtype if col.dtype.is_floating else dtypes.int64
+        out = out.astype(out_dt.physical)
+    elif kind in ("cummax", "cummin"):
+        if col.dtype.is_floating:
+            ident = jnp.asarray(jnp.inf if kind == "cummin" else -jnp.inf, x.dtype)
+        else:
+            info = jnp.iinfo(x.dtype)
+            ident = jnp.asarray(info.max if kind == "cummin" else info.min, x.dtype)
+        xz = jnp.where(valid, x, ident)
+        fn = jnp.minimum if kind == "cummin" else jnp.maximum
+        out = jax.lax.associative_scan(fn, xz)
+        out_dt = col.dtype
+    elif kind == "cumcount":
+        out = jnp.cumsum(valid.astype(jnp.int64))
+        out_dt = dtypes.int64
+    else:
+        raise ValueError(kind)
+    return Column(out_dt, out, col.validity, col.length, col.dictionary)
+
+
+def scan(col: Column, kind: str) -> Column:
+    return fix_lengths(_scan_impl(col, kind), col.length)

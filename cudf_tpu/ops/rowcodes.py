@@ -122,9 +122,9 @@ def sort_key_operands(col: Column, descending: bool, nulls_last: bool) -> List[j
     """Operand list for lax.sort reproducing cuDF ordering for this column."""
     ops: List[jnp.ndarray] = []
     if col.validity is not None:
-        nk = (~col.validity).astype(jnp.uint8)
+        nk = (~col.validity).astype(jnp.uint32)
         if not nulls_last:
-            nk = jnp.uint8(1) - nk
+            nk = jnp.uint32(1) - nk
         ops.append(nk)
     codes = _value_codes(col)
     if descending:
@@ -142,7 +142,7 @@ def equality_operands(col: Column) -> List[jnp.ndarray]:
     ops: List[jnp.ndarray] = []
     valid = col.validity
     if valid is not None:
-        ops.append((~valid).astype(jnp.uint8))
+        ops.append((~valid).astype(jnp.uint32))
     if col.dtype.kind == Kind.FLOAT and col.dtype.bits <= 32:
         nan = jnp.isnan(col.data)
         codes = [
@@ -166,7 +166,7 @@ def sort_operands(
     """Full lax.sort key-operand list; padding rows always sort last."""
     cap = cols[0].capacity
     ops: List[jnp.ndarray] = []
-    oob = (jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(length, jnp.int32)).astype(jnp.uint8)
+    oob = (jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(length, jnp.int32)).astype(jnp.uint32)
     ops.append(oob)
     for c, desc, nl in zip(cols, descending, nulls_last):
         ops.extend(sort_key_operands(c, desc, nl))
@@ -179,7 +179,7 @@ def grouping_operands(cols: Sequence[Column], length: int) -> List[jnp.ndarray]:
     caller's concern (stable payload)."""
     cap = cols[0].capacity
     ops: List[jnp.ndarray] = [
-        (jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(length, jnp.int32)).astype(jnp.uint8)
+        (jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(length, jnp.int32)).astype(jnp.uint32)
     ]
     for c in cols:
         ops.extend(equality_operands(c))

@@ -31,12 +31,9 @@ def _norm_flags(n: int, flag: Union[bool, Sequence[bool]]) -> List[bool]:
 
 
 @partial(jax.jit, static_argnames=("desc", "nl"))
-def _sorted_order_impl(keys, desc, nl):
-    cap = keys[0].capacity
-    ops, num_keys = rowcodes.sort_operands(keys, desc, nl, keys[0].length)
-    ops.append(jnp.arange(cap, dtype=jnp.int32))
-    out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=True)
-    return out[-1]
+def _sort_codes(keys, desc, nl):
+    ops, _ = rowcodes.sort_operands(keys, desc, nl, keys[0].length)
+    return tuple(ops)
 
 
 def sorted_order(
@@ -45,10 +42,22 @@ def sorted_order(
     nulls_last: Union[bool, Sequence[bool]] = True,
 ) -> jnp.ndarray:
     """Stable permutation (int32[capacity]) ordering the key columns."""
+    from .sortprim import multisort_perm
+
     keys = list(keys)
     desc = tuple(_norm_flags(len(keys), descending))
     nl = tuple(_norm_flags(len(keys), nulls_last))
-    return _sorted_order_impl(tuple(keys), desc, nl)
+    ops = _sort_codes(tuple(keys), desc, nl)
+    return multisort_perm(ops)
+
+
+def _sorted_order_impl(keys, desc, nl):
+    """In-jit variant (used by rank): single fused multi-operand sort."""
+    cap = keys[0].capacity
+    ops, num_keys = rowcodes.sort_operands(keys, desc, nl, keys[0].length)
+    ops.append(jnp.arange(cap, dtype=jnp.int32))
+    out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=True)
+    return out[-1]
 
 
 def sort_by_key(

@@ -2,18 +2,15 @@
 
 Analog of cpp/src/stream_compaction/ (apply_boolean_mask.cu, drop_nulls.cu,
 distinct.cu with its cuco hash set). TPU-native design: compaction is a
-stable partition — sort rows by the single-byte "drop" key with row index as
-payload (XLA's sort network), then gather. Distinct marks first occurrences
-after a key-code sort instead of building a hash table; both are
-sort-by-small-key problems that XLA handles well, and both avoid dynamic
-shapes by carrying the logical length scalar (the output row count is the
-only host sync, mirroring libcudf's size-returning kernels).
+stable partition — one radix pass over a 0/1 "drop" key (sortprim.py), then
+gather. Distinct marks first occurrences after a key-code radix sort
+instead of building a hash table. The output row count is the only host
+sync, mirroring libcudf's size-returning kernels.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
-
 from functools import partial
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,84 +20,7 @@ from ..core.table import Table
 from ..utils.padding import bucket_capacity
 from . import rowcodes
 from .copying import gather_table, gather
-
-
-def _compaction_perm(keep: jnp.ndarray, length):
-    """Stable permutation moving kept rows to the front; returns (perm, count)."""
-    cap = keep.shape[0]
-    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(length, jnp.int32)
-    keep = keep & inb
-    drop_key = (~keep).astype(jnp.uint8)
-    _, perm = jax.lax.sort(
-        (drop_key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=True
-    )
-    return perm, jnp.sum(keep.astype(jnp.int32))
-
-
-@jax.jit
-def _mask_perm(mask: Column):
-    keep = mask.data.astype(jnp.bool_)
-    if mask.validity is not None:
-        keep = keep & mask.validity
-    return _compaction_perm(keep, mask.length)
-
-
-def apply_boolean_mask(tbl: Table, mask: Column) -> Table:
-    """Keep rows where mask is true (null mask rows are dropped — cuDF)."""
-    perm, cnt = _mask_perm(mask)
-    n_out = int(cnt)  # host sync: the one dynamic size
-    out_cap = bucket_capacity(n_out)
-    idx = _head(perm, out_cap) if out_cap <= perm.shape[0] else perm
-    return gather_table(tbl, idx, n_out)
-
-
-def filter_column(col: Column, mask: Column) -> Column:
-    perm, cnt = _mask_perm(mask)
-    n_out = int(cnt)
-    out_cap = bucket_capacity(n_out)
-    return gather(col, _head(perm, out_cap), n_out)
-
-
-def drop_nulls(tbl: Table, keys: Optional[Sequence[str]] = None, keep_threshold: Optional[int] = None) -> Table:
-    """cudf::drop_nulls (cpp/src/stream_compaction/drop_nulls.cu).
-
-    Keeps rows with at least ``keep_threshold`` non-null values in ``keys``
-    (default: all keys non-null).
-    """
-    names = list(keys) if keys is not None else tbl.names
-    if not names:
-        return tbl
-    thresh = len(names) if keep_threshold is None else keep_threshold
-    perm, cnt = _drop_nulls_perm(tuple(tbl[n] for n in names), thresh)
-    n_out = int(cnt)
-    return gather_table(tbl, _head(perm, bucket_capacity(n_out)), n_out)
-
-
-@partial(jax.jit, static_argnames=("thresh",))
-def _drop_nulls_perm(cols, thresh):
-    cap = cols[0].capacity
-    counts = jnp.zeros((cap,), jnp.int32)
-    for c in cols:
-        v = c.validity if c.validity is not None else jnp.ones((cap,), jnp.bool_)
-        counts = counts + v.astype(jnp.int32)
-    return _compaction_perm(counts >= thresh, cols[0].length)
-
-
-@jax.jit
-def _drop_nans_perm(cols):
-    cap = cols[0].capacity
-    bad = jnp.zeros((cap,), jnp.bool_)
-    for c in cols:
-        if c.dtype.is_floating:
-            bad = bad | jnp.isnan(c.data)
-    return _compaction_perm(~bad, cols[0].length)
-
-
-def drop_nans(tbl: Table, keys: Optional[Sequence[str]] = None) -> Table:
-    names = list(keys) if keys is not None else tbl.names
-    perm, cnt = _drop_nans_perm(tuple(tbl[n] for n in names))
-    n_out = int(cnt)
-    return gather_table(tbl, _head(perm, bucket_capacity(n_out)), n_out)
+from .sortprim import multisort_perm
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -108,27 +28,112 @@ def _head(arr, k):
     return jax.lax.slice(arr, (0,), (k,))
 
 
-@partial(jax.jit, static_argnames=("keep",))
-def _first_occurrence_mask(keys, keep: str = "first"):
-    """bool[cap] marking the kept occurrence of each distinct key row."""
-    length = keys[0].length
+@jax.jit
+def _mask_drop_key(mask: Column):
+    """(drop_key u32, kept_count) from a boolean mask column."""
+    cap = mask.capacity
+    keep = mask.data.astype(jnp.bool_)
+    if mask.validity is not None:
+        keep = keep & mask.validity
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(mask.length, jnp.int32)
+    keep = keep & inb
+    return (~keep).astype(jnp.uint32), jnp.sum(keep.astype(jnp.int32))
+
+
+def _compact(tbl: Table, drop_key, cnt) -> Table:
+    n_out = int(cnt)  # host sync: the one dynamic size
+    perm = multisort_perm([drop_key])
+    out_cap = bucket_capacity(n_out)
+    idx = _head(perm, out_cap) if out_cap <= perm.shape[0] else perm
+    return gather_table(tbl, idx, n_out)
+
+
+def apply_boolean_mask(tbl: Table, mask: Column) -> Table:
+    """Keep rows where mask is true (null mask rows are dropped — cuDF)."""
+    drop_key, cnt = _mask_drop_key(mask)
+    return _compact(tbl, drop_key, cnt)
+
+
+def filter_column(col: Column, mask: Column) -> Column:
+    drop_key, cnt = _mask_drop_key(mask)
+    n_out = int(cnt)
+    perm = multisort_perm([drop_key])
+    return gather(col, _head(perm, bucket_capacity(n_out)), n_out)
+
+
+@partial(jax.jit, static_argnames=("thresh",))
+def _null_drop_key(cols, thresh):
+    cap = cols[0].capacity
+    counts = jnp.zeros((cap,), jnp.int32)
+    for c in cols:
+        v = c.validity if c.validity is not None else jnp.ones((cap,), jnp.bool_)
+        counts = counts + v.astype(jnp.int32)
+    keep = counts >= thresh
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(cols[0].length, jnp.int32)
+    keep = keep & inb
+    return (~keep).astype(jnp.uint32), jnp.sum(keep.astype(jnp.int32))
+
+
+def drop_nulls(tbl: Table, keys: Optional[Sequence[str]] = None,
+               keep_threshold: Optional[int] = None) -> Table:
+    """cudf::drop_nulls (cpp/src/stream_compaction/drop_nulls.cu)."""
+    names = list(keys) if keys is not None else tbl.names
+    if not names:
+        return tbl
+    thresh = len(names) if keep_threshold is None else keep_threshold
+    drop_key, cnt = _null_drop_key(tuple(tbl[n] for n in names), thresh)
+    return _compact(tbl, drop_key, cnt)
+
+
+@jax.jit
+def _nan_drop_key(cols):
+    cap = cols[0].capacity
+    bad = jnp.zeros((cap,), jnp.bool_)
+    for c in cols:
+        if c.dtype.is_floating:
+            bad = bad | jnp.isnan(c.data)
+    keep = ~bad
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(cols[0].length, jnp.int32)
+    keep = keep & inb
+    return (~keep).astype(jnp.uint32), jnp.sum(keep.astype(jnp.int32))
+
+
+def drop_nans(tbl: Table, keys: Optional[Sequence[str]] = None) -> Table:
+    names = list(keys) if keys is not None else tbl.names
+    drop_key, cnt = _nan_drop_key(tuple(tbl[n] for n in names))
+    return _compact(tbl, drop_key, cnt)
+
+
+@partial(jax.jit, static_argnames=("last",))
+def _grouping_codes(keys, last: bool = False):
+    """u32 operand list for a distinct/grouping radix sort (+pos tiebreak)."""
+    ops = rowcodes.grouping_operands(keys, keys[0].length)
+    if last:
+        cap = keys[0].capacity
+        pos = jnp.arange(cap, dtype=jnp.uint32)
+        ops = ops + [jnp.uint32(0xFFFFFFFF) - pos]
+    return tuple(ops)
+
+
+@jax.jit
+def _first_occurrence_finish(keys, perm):
+    """bool[cap] marking the row that leads each distinct-key run."""
     cap = keys[0].capacity
+    length = keys[0].length
     ops = rowcodes.grouping_operands(keys, length)
-    nk = len(ops)
+    sorted_ops = [op[perm] for op in ops]
+    newgrp = rowcodes.adjacent_neq(sorted_ops)
     pos = jnp.arange(cap, dtype=jnp.int32)
-    if keep == "last":
-        # reverse stable order within equal keys by sorting on negated pos
-        sorted_ops = jax.lax.sort(tuple(ops) + (-pos,), num_keys=nk + 1, is_stable=False)
-        perm = -sorted_ops[-1]
-    else:
-        sorted_ops = jax.lax.sort(tuple(ops) + (pos,), num_keys=nk + 1, is_stable=False)
-        perm = sorted_ops[-1]
-    # new-group flag across all key operands (incl. oob so padding differs)
-    newgrp = rowcodes.adjacent_neq(sorted_ops[:nk])
-    # scatter back: row perm[i] is kept iff newgrp[i]
     keep_mask = jnp.zeros((cap,), jnp.bool_).at[perm].set(newgrp)
     keep_mask = keep_mask & (pos < jnp.asarray(length, jnp.int32))
-    return keep_mask
+    drop_key = (~keep_mask).astype(jnp.uint32)
+    return keep_mask, drop_key, jnp.sum(keep_mask.astype(jnp.int32))
+
+
+def _distinct_perm(kcols, keep: str):
+    ops = _grouping_codes(kcols, last=(keep == "last"))
+    perm = multisort_perm(ops)
+    return _first_occurrence_finish(kcols, perm)
 
 
 def distinct(tbl: Table, keys: Optional[Sequence[str]] = None, keep: str = "first") -> Table:
@@ -138,22 +143,10 @@ def distinct(tbl: Table, keys: Optional[Sequence[str]] = None, keep: str = "firs
     matching cuDF defaults. Output preserves first-occurrence order.
     """
     names = list(keys) if keys is not None else tbl.names
-    perm, cnt = _distinct_perm(tuple(tbl[n] for n in names), keep)
-    n_out = int(cnt)
-    return gather_table(tbl, _head(perm, bucket_capacity(n_out)), n_out)
-
-
-@partial(jax.jit, static_argnames=("keep",))
-def _distinct_perm(kcols, keep):
-    keep_mask = _first_occurrence_mask(kcols, keep)
-    return _compaction_perm(keep_mask, kcols[0].length)
-
-
-@jax.jit
-def _unique_count_impl(keys):
-    mask = _first_occurrence_mask(keys, "first")
-    return jnp.sum(mask.astype(jnp.int32))
+    _, drop_key, cnt = _distinct_perm(tuple(tbl[n] for n in names), keep)
+    return _compact(tbl, drop_key, cnt)
 
 
 def unique_count(keys: Sequence[Column], length: int = None) -> int:
-    return int(_unique_count_impl(tuple(keys)))
+    _, _, cnt = _distinct_perm(tuple(keys), "first")
+    return int(cnt)

@@ -1,0 +1,207 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.expr import expressions as E
+from cudf_tpu.expr import ir as IR
+from cudf_tpu.expr.expressions import col, lit, when
+
+
+def scan(df):
+    return IR.DataFrameScan(Table.from_pandas(df))
+
+
+class TestExpr:
+    def test_arithmetic_chain(self):
+        df = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]})
+        t = Table.from_pandas(df)
+        out = E.evaluate((col("a") + col("b")) * 2 - 1, t)
+        np.testing.assert_allclose(out.to_numpy(), (df.a + df.b) * 2 - 1)
+
+    def test_comparison_and_logic(self):
+        df = pd.DataFrame({"a": [1, 5, 3], "b": [2, 2, 3]})
+        t = Table.from_pandas(df)
+        out = E.evaluate((col("a") > col("b")) | (col("a") == 3), t)
+        np.testing.assert_array_equal(out.to_numpy(), [False, True, True])
+
+    def test_ternary(self):
+        df = pd.DataFrame({"a": [1, -2, 3]})
+        t = Table.from_pandas(df)
+        out = E.evaluate(when(col("a") > 0).then(col("a")).otherwise(lit(0)), t)
+        np.testing.assert_array_equal(out.to_numpy(), [1, 0, 3])
+
+    def test_is_in(self):
+        df = pd.DataFrame({"a": [1, 2, 3, 4]})
+        out = E.evaluate(col("a").is_in([2, 4]), Table.from_pandas(df))
+        np.testing.assert_array_equal(out.to_numpy(), [False, True, False, True])
+
+    def test_string_fns(self):
+        df = pd.DataFrame({"s": ["foo", "bar", "foobar"]})
+        t = Table.from_pandas(df)
+        out = E.evaluate(col("s").str.startswith("foo"), t)
+        np.testing.assert_array_equal(out.to_numpy(), [True, False, True])
+
+    def test_dt_fns(self):
+        dts = pd.to_datetime(["2021-03-15", "1999-12-31", "2024-02-29"])
+        df = pd.DataFrame({"d": dts})
+        t = Table.from_pandas(df)
+        np.testing.assert_array_equal(E.evaluate(col("d").dt.year(), t).to_numpy(), [2021, 1999, 2024])
+        np.testing.assert_array_equal(E.evaluate(col("d").dt.month(), t).to_numpy(), [3, 12, 2])
+        np.testing.assert_array_equal(E.evaluate(col("d").dt.day(), t).to_numpy(), [15, 31, 29])
+
+    def test_full_column_agg(self):
+        df = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0]})
+        t = Table.from_pandas(df)
+        from cudf_tpu.ops.reductions import to_scalar
+        assert to_scalar(E.evaluate(col("a").sum(), t)) == 10.0
+        assert to_scalar(E.evaluate(col("a").mean(), t)) == 2.5
+        assert to_scalar(E.evaluate(col("a").max(), t)) == 4.0
+
+
+class TestIRExecutor:
+    def test_select_filter_sort(self):
+        df = pd.DataFrame({"a": [3, 1, 2, 5], "b": [1.0, 2.0, 3.0, 4.0]})
+        plan = IR.Sort(("a",), (False,), (True,), children=(
+            IR.Filter(col("a") > 1, children=(
+                IR.Select((E.NamedExpr("a", col("a")), E.NamedExpr("ab", col("a") * col("b"))),
+                          children=(scan(df),)),
+            )),
+        ))
+        out = IR.execute(plan).to_pandas()
+        exp = df.assign(ab=df.a * df.b)[["a", "ab"]]
+        exp = exp[exp.a > 1].sort_values("a", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_groupby_plan(self):
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({"k": rng.integers(0, 5, 100), "v": rng.normal(size=100)})
+        plan = IR.GroupBy(("k",), (E.NamedExpr("s", col("v").sum()),
+                                   E.NamedExpr("n", E.Len())),
+                          children=(scan(df),))
+        out = IR.execute(plan).to_pandas()
+        exp = df.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        exp["n"] = exp["n"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_join_plan(self):
+        l = pd.DataFrame({"k": [1, 2, 3], "a": [1.0, 2.0, 3.0]})
+        r = pd.DataFrame({"k": [2, 3, 4], "b": [20.0, 30.0, 40.0]})
+        plan = IR.Join(("k",), ("k",), "inner", children=(scan(l), scan(r)))
+        out = IR.execute(plan).to_pandas()
+        exp = l.merge(r, on="k")
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_union_slice_distinct(self):
+        a = pd.DataFrame({"x": [1, 2]})
+        b = pd.DataFrame({"x": [2, 3]})
+        plan = IR.Distinct(None, "first", children=(
+            IR.Union(children=(scan(a), scan(b))),
+        ))
+        out = IR.execute(plan).to_pandas()
+        np.testing.assert_array_equal(out["x"], [1, 2, 3])
+
+
+def tpch_tables(sf_rows=3000, seed=7):
+    """Tiny synthetic TPC-H-shaped dataset."""
+    rng = np.random.default_rng(seed)
+    n_li = sf_rows
+    n_ord = sf_rows // 4
+    n_cust = sf_rows // 20
+    dates = pd.Timestamp("1992-01-01") + pd.to_timedelta(rng.integers(0, 2500, n_li), unit="D")
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_ord, n_li),
+        "l_quantity": rng.integers(1, 50, n_li).astype(np.float64),
+        "l_extendedprice": rng.uniform(1000, 100000, n_li).round(2),
+        "l_discount": rng.integers(0, 11, n_li) / 100.0,
+        "l_tax": rng.integers(0, 9, n_li) / 100.0,
+        "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+        "l_linestatus": rng.choice(["O", "F"], n_li),
+        "l_shipdate": dates,
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord),
+        "o_custkey": rng.integers(0, n_cust, n_ord),
+        "o_orderdate": pd.Timestamp("1992-01-01") + pd.to_timedelta(rng.integers(0, 2500, n_ord), unit="D"),
+        "o_shippriority": rng.integers(0, 5, n_ord),
+    })
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(n_cust),
+        "c_mktsegment": rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"], n_cust),
+    })
+    return lineitem, orders, customer
+
+
+class TestTPCH:
+    def test_q1_shape(self):
+        lineitem, _, _ = tpch_tables()
+        cutoff = pd.Timestamp("1998-09-02")
+        plan = IR.Sort(("l_returnflag", "l_linestatus"), (False, False), (True, True), children=(
+            IR.GroupBy(
+                ("l_returnflag", "l_linestatus"),
+                (
+                    E.NamedExpr("sum_qty", col("l_quantity").sum()),
+                    E.NamedExpr("sum_base_price", col("l_extendedprice").sum()),
+                    E.NamedExpr("sum_disc_price", (col("l_extendedprice") * (1 - col("l_discount"))).sum()),
+                    E.NamedExpr("sum_charge", (col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))).sum()),
+                    E.NamedExpr("avg_qty", col("l_quantity").mean()),
+                    E.NamedExpr("avg_price", col("l_extendedprice").mean()),
+                    E.NamedExpr("avg_disc", col("l_discount").mean()),
+                    E.NamedExpr("count_order", E.Len()),
+                ),
+                children=(
+                    IR.Filter(col("l_shipdate") <= E.Literal(np.datetime64(cutoff.to_datetime64())),
+                              children=(scan(lineitem),)),
+                ),
+            ),
+        ))
+        out = IR.execute(plan).to_pandas()
+        li = lineitem[lineitem.l_shipdate <= cutoff]
+        exp = li.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("l_extendedprice", lambda s: (s * (1 - li.loc[s.index, "l_discount"])).sum()),
+            sum_charge=("l_extendedprice", lambda s: (s * (1 - li.loc[s.index, "l_discount"]) * (1 + li.loc[s.index, "l_tax"])).sum()),
+            avg_qty=("l_quantity", "mean"),
+            avg_price=("l_extendedprice", "mean"),
+            avg_disc=("l_discount", "mean"),
+            count_order=("l_quantity", "size"),
+        ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        exp["count_order"] = exp["count_order"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp, rtol=1e-9)
+
+    def test_q3_shape(self):
+        lineitem, orders, customer = tpch_tables()
+        seg = "BUILDING"
+        cutoff = np.datetime64("1995-03-15")
+        plan = IR.Slice(0, 10, children=(
+            IR.Sort(("revenue",), (True,), (True,), children=(
+                IR.GroupBy(
+                    ("o_orderkey", "o_shippriority"),
+                    (E.NamedExpr("revenue", (col("l_extendedprice") * (1 - col("l_discount"))).sum()),),
+                    children=(
+                        IR.Join(("o_orderkey",), ("l_orderkey",), "inner", children=(
+                            IR.Join(("c_custkey",), ("o_custkey",), "inner", children=(
+                                IR.Filter(col("c_mktsegment") == E.lit(seg), children=(scan(customer),)),
+                                IR.Filter(col("o_orderdate") < E.Literal(cutoff), children=(scan(orders),)),
+                            )),
+                            IR.Filter(col("l_shipdate") > E.Literal(cutoff), children=(scan(lineitem),)),
+                        )),
+                    ),
+                ),
+            )),
+        ))
+        out = IR.execute(plan).to_pandas()
+        c = customer[customer.c_mktsegment == seg]
+        o = orders[orders.o_orderdate < pd.Timestamp(cutoff.item())]
+        li = lineitem[lineitem.l_shipdate > pd.Timestamp(cutoff.item())]
+        m = c.merge(o, left_on="c_custkey", right_on="o_custkey").merge(
+            li, left_on="o_orderkey", right_on="l_orderkey")
+        m["revenue"] = m.l_extendedprice * (1 - m.l_discount)
+        exp = (m.groupby(["o_orderkey", "o_shippriority"], as_index=False)
+               .agg(revenue=("revenue", "sum"))
+               .sort_values("revenue", ascending=False, kind="stable")
+               .head(10).reset_index(drop=True))
+        # match column subset & order
+        outp = out[["o_orderkey", "o_shippriority", "revenue"]]
+        pd.testing.assert_frame_equal(outp, exp[["o_orderkey", "o_shippriority", "revenue"]], rtol=1e-9)

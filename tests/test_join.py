@@ -1,0 +1,173 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops.join import join, cross_join
+
+
+def col(vals, validity=None):
+    return Column.from_numpy(np.asarray(vals), validity)
+
+
+def assert_join_eq(out, exp, sort_by):
+    outp = out.to_pandas().sort_values(sort_by, kind="stable").reset_index(drop=True)
+    expp = exp.sort_values(sort_by, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outp, expp[outp.columns], check_like=True)
+
+
+class TestInner:
+    def test_basic(self):
+        l = Table.from_pydict({"k": [1, 2, 3, 2], "a": [10.0, 20.0, 30.0, 40.0]})
+        r = Table.from_pydict({"k": [2, 2, 4], "b": [100.0, 200.0, 300.0]})
+        out = join(l, r, ["k"], ["k"], "inner")
+        exp = pd.DataFrame({"k": [2, 2, 2, 2], "a": [20.0, 20.0, 40.0, 40.0],
+                            "b": [100.0, 200.0, 100.0, 200.0]})
+        assert_join_eq(out, exp, ["k", "a", "b"])
+
+    def test_no_matches(self):
+        l = Table.from_pydict({"k": [1, 2]})
+        r = Table.from_pydict({"k": [3, 4]})
+        out = join(l, r, ["k"], ["k"], "inner")
+        assert out.num_rows == 0
+
+    def test_multi_key_mixed_dtypes(self):
+        rng = np.random.default_rng(0)
+        n = 2000
+        ldf = pd.DataFrame({
+            "k1": rng.integers(0, 30, n),
+            "k2": rng.integers(0, 5, n).astype(np.float64),
+            "v": np.arange(n),
+        })
+        rdf = pd.DataFrame({
+            "k1": rng.integers(0, 30, 500),
+            "k2": rng.integers(0, 5, 500).astype(np.float64),
+            "w": np.arange(500) * 1.5,
+        })
+        out = join(Table.from_pandas(ldf), Table.from_pandas(rdf), ["k1", "k2"], ["k1", "k2"], "inner")
+        exp = ldf.merge(rdf, on=["k1", "k2"], how="inner")
+        assert_join_eq(out, exp, ["k1", "k2", "v", "w"])
+
+    def test_left_order_preserved(self):
+        l = Table.from_pydict({"k": [3, 1, 2], "a": [1, 2, 3]})
+        r = Table.from_pydict({"k": [1, 2, 3], "b": [10, 20, 30]})
+        out = join(l, r, ["k"], ["k"], "inner")
+        np.testing.assert_array_equal(out["k"].to_numpy(), [3, 1, 2])
+        np.testing.assert_array_equal(out["b"].to_numpy(), [30, 10, 20])
+
+    def test_string_keys(self):
+        l = Table.from_pydict({"k": np.array(["a", "b", "c"], object), "v": [1, 2, 3]})
+        r = Table.from_pydict({"k": np.array(["b", "c", "d"], object), "w": [20, 30, 40]})
+        out = join(l, r, ["k"], ["k"], "inner")
+        assert list(out["k"].to_numpy()) == ["b", "c"]
+        np.testing.assert_array_equal(out["w"].to_numpy(), [20, 30])
+
+    def test_dtype_promotion(self):
+        l = Table.from_pydict({"k": np.array([1, 2], np.int32), "v": [1, 2]})
+        r = Table.from_pydict({"k": np.array([2, 3], np.int64), "w": [20, 30]})
+        out = join(l, r, ["k"], ["k"], "inner")
+        np.testing.assert_array_equal(out["v"].to_numpy(), [2])
+
+    def test_different_key_names(self):
+        l = Table.from_pydict({"lk": [1, 2], "v": [1, 2]})
+        r = Table.from_pydict({"rk": [2, 3], "w": [20, 30]})
+        out = join(l, r, ["lk"], ["rk"], "inner")
+        assert "lk" in out.names and "rk" in out.names
+        np.testing.assert_array_equal(out["v"].to_numpy(), [2])
+
+
+class TestLeft:
+    def test_basic(self):
+        l = Table.from_pydict({"k": [1, 2, 3], "a": [10, 20, 30]})
+        r = Table.from_pydict({"k": [2], "b": [100.0]})
+        out = join(l, r, ["k"], ["k"], "left")
+        assert out.num_rows == 3
+        p = out.to_pandas()
+        exp = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30], "b": [np.nan, 100.0, np.nan]})
+        pd.testing.assert_frame_equal(p, exp)
+
+    def test_vs_pandas_random(self):
+        rng = np.random.default_rng(1)
+        ldf = pd.DataFrame({"k": rng.integers(0, 50, 1000), "v": np.arange(1000)})
+        rdf = pd.DataFrame({"k": rng.integers(0, 50, 300), "w": np.arange(300) * 2.0})
+        out = join(Table.from_pandas(ldf), Table.from_pandas(rdf), ["k"], ["k"], "left")
+        exp = ldf.merge(rdf, on="k", how="left")
+        assert_join_eq(out, exp, ["k", "v", "w"])
+
+
+class TestNullKeys:
+    def test_nulls_dont_match_by_default(self):
+        l = Table({"k": col([1, 2, 0], validity=[True, True, False]), "v": col([1, 2, 3])})
+        r = Table({"k": col([2, 0], validity=[True, False]), "w": col([20, 30])})
+        out = join(l, r, ["k"], ["k"], "inner")
+        assert out.num_rows == 1
+        np.testing.assert_array_equal(out["v"].to_numpy(), [2])
+
+    def test_nulls_equal_option(self):
+        l = Table({"k": col([1, 0], validity=[True, False]), "v": col([1, 2])})
+        r = Table({"k": col([0], validity=[False]), "w": col([30])})
+        out = join(l, r, ["k"], ["k"], "inner", nulls_equal=True)
+        assert out.num_rows == 1
+        np.testing.assert_array_equal(out["v"].to_numpy(), [2])
+
+    def test_nan_matches_nan(self):
+        # pandas merge matches NaN keys; so do we
+        l = Table.from_pydict({"k": [1.0, np.nan], "v": [1, 2]})
+        r = Table.from_pydict({"k": [np.nan, 2.0], "w": [30, 40]})
+        out = join(l, r, ["k"], ["k"], "inner")
+        assert out.num_rows == 1
+        np.testing.assert_array_equal(out["v"].to_numpy(), [2])
+
+
+class TestSemiAnti:
+    def test_semi(self):
+        l = Table.from_pydict({"k": [1, 2, 3], "v": [1, 2, 3]})
+        r = Table.from_pydict({"k": [2, 3, 3]})
+        out = join(l, r, ["k"], ["k"], "semi")
+        np.testing.assert_array_equal(out["v"].to_numpy(), [2, 3])
+
+    def test_anti(self):
+        l = Table.from_pydict({"k": [1, 2, 3], "v": [1, 2, 3]})
+        r = Table.from_pydict({"k": [2, 3]})
+        out = join(l, r, ["k"], ["k"], "anti")
+        np.testing.assert_array_equal(out["v"].to_numpy(), [1])
+
+
+class TestFull:
+    def test_basic(self):
+        l = Table.from_pydict({"k": [1, 2], "a": [10.0, 20.0]})
+        r = Table.from_pydict({"k": [2, 3], "b": [100.0, 200.0]})
+        out = join(l, r, ["k"], ["k"], "full")
+        exp = pd.DataFrame({"k": [1, 2, 3], "a": [10.0, 20.0, np.nan], "b": [np.nan, 100.0, 200.0]})
+        assert_join_eq(out, exp, ["k"])
+
+
+class TestCross:
+    def test_basic(self):
+        l = Table.from_pydict({"a": [1, 2]})
+        r = Table.from_pydict({"b": [10, 20, 30]})
+        out = cross_join(l, r)
+        assert out.num_rows == 6
+        np.testing.assert_array_equal(out["a"].to_numpy(), [1, 1, 1, 2, 2, 2])
+        np.testing.assert_array_equal(out["b"].to_numpy(), [10, 20, 30, 10, 20, 30])
+
+
+class TestTPCHShape:
+    def test_orders_lineitem_like(self):
+        # BASELINE config 3 shape: orders x lineitem inner join + filter + count
+        rng = np.random.default_rng(42)
+        n_orders, n_items = 5000, 20000
+        orders = pd.DataFrame({
+            "o_orderkey": np.arange(n_orders),
+            "o_totalprice": rng.uniform(100, 10000, n_orders),
+        })
+        lineitem = pd.DataFrame({
+            "l_orderkey": rng.integers(0, n_orders, n_items),
+            "l_quantity": rng.integers(1, 50, n_items).astype(np.float64),
+        })
+        out = join(Table.from_pandas(orders), Table.from_pandas(lineitem),
+                   ["o_orderkey"], ["l_orderkey"], "inner")
+        exp = orders.merge(lineitem, left_on="o_orderkey", right_on="l_orderkey", how="inner")
+        assert out.num_rows == len(exp)
+        assert_join_eq(out, exp, ["o_orderkey", "l_quantity"])
