@@ -27,7 +27,37 @@ if _cache_dir:
 from .core import dtypes
 from .core.column import Column
 from .core.table import Table
+from .frame import DataFrame, Series, concat
+from . import io as _io
+
+
+def read_parquet(path, columns=None, filters=None) -> "DataFrame":
+    return DataFrame._from_table(_io.read_parquet(path, columns, filters))
+
+
+def read_csv(path, **kw) -> "DataFrame":
+    return DataFrame._from_table(_io.read_csv(path, **kw))
+
+
+def read_json(path, lines=True, **kw) -> "DataFrame":
+    return DataFrame._from_table(_io.read_json(path, lines=lines, **kw))
+
+
+def read_orc(path, columns=None) -> "DataFrame":
+    return DataFrame._from_table(_io.read_orc(path, columns))
+
+
+def from_pandas(obj):
+    import pandas as pd
+
+    if isinstance(obj, pd.DataFrame):
+        return DataFrame.from_pandas(obj)
+    return Series(obj)
+
 
 __version__ = "0.1.0"
 
-__all__ = ["dtypes", "Column", "Table"]
+__all__ = [
+    "dtypes", "Column", "Table", "DataFrame", "Series", "concat",
+    "read_parquet", "read_csv", "read_json", "read_orc", "from_pandas",
+]

@@ -1,0 +1,327 @@
+"""DataFrame: pandas-like 2-D API over Table.
+
+Analog of cudf.DataFrame (reference: python/cudf/cudf/core/dataframe.py:901)
+with the positional RangeIndex model (align-by-position; groupby/merge
+results follow as_index=False / reset_index(drop=True) conventions).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.table import Table
+from ..ops import sorting, stream_compaction as sc, join as join_ops, copying, unaryop
+from .series import Series
+
+
+class DataFrame:
+    __slots__ = ("_tbl",)
+
+    def __init__(self, data=None, columns=None):
+        if data is None:
+            self._tbl = Table({})
+        elif isinstance(data, Table):
+            self._tbl = data
+        elif isinstance(data, dict):
+            cols = {}
+            n = None
+            for k, v in data.items():
+                if isinstance(v, Series):
+                    cols[str(k)] = v._col
+                elif isinstance(v, Column):
+                    cols[str(k)] = v
+                else:
+                    arr = np.asarray(v)
+                    if arr.ndim == 0:  # scalar broadcast later
+                        raise ValueError("scalar dict values need explicit length")
+                    if arr.dtype == object:
+                        validity = np.array([x is not None for x in v])
+                        cols[str(k)] = Column.from_numpy(arr, validity if not validity.all() else None)
+                    else:
+                        cols[str(k)] = Column.from_numpy(arr)
+            self._tbl = Table(cols)
+        else:
+            import pandas as pd
+
+            if isinstance(data, pd.DataFrame):
+                self._tbl = Table.from_pandas(data)
+            elif isinstance(data, np.ndarray):
+                names = columns or [str(i) for i in range(data.shape[1])]
+                self._tbl = Table({n: Column.from_numpy(data[:, i]) for i, n in enumerate(names)})
+            else:
+                raise TypeError(f"cannot construct DataFrame from {type(data)}")
+
+    @classmethod
+    def _from_table(cls, tbl: Table) -> "DataFrame":
+        out = object.__new__(cls)
+        out._tbl = tbl
+        return out
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def table(self) -> Table:
+        return self._tbl
+
+    @property
+    def columns(self):
+        import pandas as pd
+
+        return pd.Index(self._tbl.names)
+
+    @property
+    def shape(self):
+        return (self._tbl.num_rows, self._tbl.num_columns)
+
+    @property
+    def dtypes(self):
+        import pandas as pd
+
+        return pd.Series({n: dtypes.to_numpy(c.dtype) for n, c in self._tbl})
+
+    def __len__(self):
+        return self._tbl.num_rows
+
+    def __contains__(self, k):
+        return k in self._tbl
+
+    def __repr__(self):  # pragma: no cover
+        return f"DataFrame({self._tbl!r})\n{self.head(5).to_pandas()}"
+
+    # ---------------------------------------------------------------- access
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return Series(column=self._tbl[key], name=key)
+        if isinstance(key, list):
+            return DataFrame._from_table(self._tbl.select(key))
+        if isinstance(key, Series):  # boolean mask
+            return DataFrame._from_table(sc.apply_boolean_mask(self._tbl, key._col))
+        if isinstance(key, slice):
+            start, stop, step = key.indices(len(self))
+            assert step == 1
+            return DataFrame._from_table(self._tbl.slice(start, stop - start))
+        raise KeyError(key)
+
+    def __setitem__(self, key, value):
+        if isinstance(value, Series):
+            col = value._col
+        elif isinstance(value, Column):
+            col = value
+        elif np.isscalar(value) or value is None or isinstance(value, (np.datetime64, np.timedelta64)):
+            col = Column.from_scalar(value, len(self))
+        else:
+            arr = np.asarray(value)
+            col = Column.from_numpy(arr)
+        self._tbl = self._tbl.with_column(str(key), col)
+
+    def __getattr__(self, name):
+        tbl = object.__getattribute__(self, "_tbl")
+        if name in tbl:
+            return Series(column=tbl[name], name=name)
+        raise AttributeError(name)
+
+    def assign(self, **kwargs):
+        out = self._tbl
+        for k, v in kwargs.items():
+            if callable(v):
+                v = v(DataFrame._from_table(out))
+            out = out.with_column(k, v._col if isinstance(v, Series) else Column.from_numpy(np.asarray(v)))
+        return DataFrame._from_table(out)
+
+    def drop(self, columns=None, **kw):
+        cols = columns if isinstance(columns, (list, tuple)) else [columns]
+        return DataFrame._from_table(self._tbl.drop(cols))
+
+    def rename(self, columns: Dict[str, str] = None, **kw):
+        return DataFrame._from_table(self._tbl.rename(columns or {}))
+
+    # ------------------------------------------------------------ operations
+    def head(self, n=5):
+        return DataFrame._from_table(self._tbl.slice(0, n))
+
+    def tail(self, n=5):
+        return DataFrame._from_table(self._tbl.slice(max(0, len(self) - n)))
+
+    def sort_values(self, by, ascending=True, na_position="last", kind=None):
+        by = [by] if isinstance(by, str) else list(by)
+        asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
+        desc = [not a for a in asc]
+        return DataFrame._from_table(
+            sorting.sort_by_key(self._tbl, by, desc, na_position == "last")
+        )
+
+    def nlargest(self, n, columns):
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return DataFrame._from_table(sorting.top_k(self._tbl, n, cols, largest=True))
+
+    def nsmallest(self, n, columns):
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return DataFrame._from_table(sorting.top_k(self._tbl, n, cols, largest=False))
+
+    def dropna(self, subset=None, how="any", thresh=None):
+        tbl = self._tbl
+        names = list(subset) if subset is not None else tbl.names
+        # pandas treats NaN as missing: convert NaNs to nulls on float cols
+        conv = {}
+        for n, c in tbl:
+            if n in names and c.dtype.is_floating:
+                conv[n] = unaryop.nans_to_nulls(c)
+            else:
+                conv[n] = c
+        tbl2 = Table(conv)
+        if thresh is not None:
+            kt = thresh
+        elif how == "all":
+            kt = 1
+        else:
+            kt = len(names)
+        return DataFrame._from_table(sc.drop_nulls(tbl2, names, kt))
+
+    def fillna(self, value):
+        cols = {}
+        for n, c in self._tbl:
+            v = value.get(n) if isinstance(value, dict) else value
+            if v is None:
+                cols[n] = c
+            else:
+                cc = unaryop.nans_to_nulls(c) if c.dtype.is_floating else c
+                cols[n] = unaryop.replace_nulls(cc, v)
+        return DataFrame._from_table(Table(cols))
+
+    def isna(self):
+        return DataFrame._from_table(
+            Table({n: Series(column=c, name=n).isna()._col for n, c in self._tbl})
+        )
+
+    def drop_duplicates(self, subset=None, keep="first"):
+        return DataFrame._from_table(
+            sc.distinct(self._tbl, None if subset is None else list(subset), keep)
+        )
+
+    def query(self, expr_str: str):
+        from ..expr import expressions as E
+
+        env = {n: E.col(n) for n in self._tbl.names}
+        mask_expr = eval(expr_str, {"__builtins__": {}}, env)  # noqa: S307
+        mask = E.evaluate(mask_expr, self._tbl)
+        return DataFrame._from_table(sc.apply_boolean_mask(self._tbl, mask))
+
+    def merge(self, right, on=None, left_on=None, right_on=None, how="inner",
+              suffixes=("_x", "_y")):
+        if on is not None:
+            left_on = right_on = [on] if isinstance(on, str) else list(on)
+        else:
+            left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+            right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+        how_map = {"inner": "inner", "left": "left", "outer": "full",
+                   "leftsemi": "semi", "leftanti": "anti", "cross": "cross"}
+        h = how_map[how]
+        r = right._tbl if isinstance(right, DataFrame) else right
+        if h == "cross":
+            return DataFrame._from_table(join_ops.cross_join(self._tbl, r))
+        return DataFrame._from_table(
+            join_ops.join(self._tbl, r, left_on, right_on, h, suffixes=suffixes)
+        )
+
+    def groupby(self, by, sort=True, as_index=False, dropna=True):
+        from .groupby import DataFrameGroupBy
+
+        keys = [by] if isinstance(by, str) else list(by)
+        return DataFrameGroupBy(self, keys, sort=sort, dropna=dropna)
+
+    def concat_with(self, others):
+        tables = [self._tbl] + [o._tbl for o in others]
+        return DataFrame._from_table(copying.concatenate_tables(tables))
+
+    def reset_index(self, drop=True):
+        return self
+
+    def copy(self, deep=False):
+        return DataFrame._from_table(self._tbl)
+
+    def astype(self, mapping):
+        if not isinstance(mapping, dict):
+            mapping = {n: mapping for n in self._tbl.names}
+        cols = {}
+        for n, c in self._tbl:
+            if n in mapping:
+                cols[n] = unaryop.cast(c, dtypes.from_numpy(np.dtype(mapping[n])))
+            else:
+                cols[n] = c
+        return DataFrame._from_table(Table(cols))
+
+    def select_dtypes(self, include=None):
+        kinds = {np.dtype(i).kind for i in (include if isinstance(include, list) else [include])}
+        keep = [n for n, c in self._tbl if dtypes.to_numpy(c.dtype).kind in kinds]
+        return DataFrame._from_table(self._tbl.select(keep))
+
+    # ------------------------------------------------------------ reductions
+    def _agg_all(self, method):
+        import pandas as pd
+
+        vals = {}
+        for n, c in self._tbl:
+            if c.dtype.is_numeric:
+                vals[n] = getattr(Series(column=c, name=n), method)()
+        return pd.Series(vals)
+
+    def sum(self):
+        return self._agg_all("sum")
+
+    def mean(self):
+        return self._agg_all("mean")
+
+    def min(self):
+        return self._agg_all("min")
+
+    def max(self):
+        return self._agg_all("max")
+
+    def count(self):
+        import pandas as pd
+
+        return pd.Series({n: Series(column=c, name=n).count() for n, c in self._tbl})
+
+    # --------------------------------------------------------------- export
+    def to_pandas(self):
+        return self._tbl.to_pandas()
+
+    def to_arrow(self):
+        return self._tbl.to_arrow()
+
+    def to_parquet(self, path, **kw):
+        from .. import io
+
+        io.write_parquet(self._tbl, path, **kw)
+
+    def to_csv(self, path, **kw):
+        from .. import io
+
+        io.write_csv(self._tbl, path)
+
+    @classmethod
+    def from_pandas(cls, df):
+        return cls._from_table(Table.from_pandas(df))
+
+    @classmethod
+    def from_arrow(cls, at):
+        return cls._from_table(Table.from_arrow(at))
+
+
+def concat(objs: Sequence[Union[DataFrame, Series]], ignore_index=True, axis=0):
+    if axis == 1:
+        cols = {}
+        for o in objs:
+            if isinstance(o, Series):
+                cols[o.name or f"col{len(cols)}"] = o._col
+            else:
+                for n, c in o._tbl:
+                    cols[n] = c
+        return DataFrame._from_table(Table(cols))
+    if isinstance(objs[0], Series):
+        col = copying.concatenate([o._col for o in objs])
+        return Series(column=col, name=objs[0].name)
+    tables = [o._tbl for o in objs]
+    return DataFrame._from_table(copying.concatenate_tables(tables))

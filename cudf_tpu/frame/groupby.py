@@ -1,0 +1,85 @@
+"""DataFrameGroupBy: pandas-like grouped aggregation.
+
+Analog of cudf.core.groupby.GroupBy (reference: python/cudf/cudf/core/
+groupby/groupby.py:426-463 — holds a lazily-built plc GroupBy; here the
+sort-based engine in ops/groupby.py plays that role).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+from ..core.table import Table
+from ..ops.groupby import AggSpec, groupby_aggregate
+
+_METHODS = (
+    "sum", "mean", "min", "max", "count", "size", "nunique", "var", "std",
+    "median", "first", "last", "any", "all", "product",
+)
+
+
+class DataFrameGroupBy:
+    def __init__(self, df, keys: List[str], sort=True, dropna=True, value_cols=None):
+        self._df = df
+        self._keys = keys
+        self._dropna = dropna
+        self._value_cols = value_cols
+
+    def __getitem__(self, cols):
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return DataFrameGroupBy(self._df, self._keys, dropna=self._dropna, value_cols=cols)
+
+    def _value_columns(self):
+        if self._value_cols is not None:
+            return self._value_cols
+        return [n for n in self._df._tbl.names if n not in self._keys]
+
+    def _run(self, specs):
+        from .dataframe import DataFrame
+
+        out = groupby_aggregate(self._df._tbl, self._keys, specs, self._dropna)
+        return DataFrame._from_table(out)
+
+    def _method(self, kind, param=0.0, numeric_only=True):
+        specs = []
+        for n in self._value_columns():
+            c = self._df._tbl[n]
+            if kind in ("sum", "mean", "var", "std", "median", "product") and not c.dtype.is_numeric:
+                continue
+            specs.append(AggSpec(n, kind, n, param))
+        return self._run(specs)
+
+    def agg(self, arg=None, **named):
+        """agg({"col": "sum"}) / agg(out=("col", "mean")) styles."""
+        specs = []
+        if arg is not None:
+            if isinstance(arg, str):
+                return self._method(arg)
+            for col_name, how in arg.items():
+                hows = [how] if isinstance(how, str) else list(how)
+                for h in hows:
+                    out_name = col_name if len(hows) == 1 else f"{col_name}_{h}"
+                    specs.append(AggSpec(col_name, _norm_kind(h), out_name))
+        for out_name, (col_name, how) in named.items():
+            specs.append(AggSpec(col_name if _norm_kind(how) != "size" else "", _norm_kind(how), out_name))
+        return self._run(specs)
+
+    aggregate = agg
+
+    def size(self):
+        return self._run([AggSpec("", "size", "size")])
+
+
+def _norm_kind(how: str) -> str:
+    return {"prod": "product", "count": "count", "size": "size"}.get(how, how)
+
+
+for _m in _METHODS:
+    def _make(m):
+        def fn(self, *a, **k):
+            if m == "size":
+                return self.size()
+            return self._method(m)
+        fn.__name__ = m
+        return fn
+
+    setattr(DataFrameGroupBy, _m, _make(_m))

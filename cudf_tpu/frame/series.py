@@ -1,0 +1,457 @@
+"""Series: 1-D labeled column (pandas-like API surface).
+
+Analog of cudf.Series (reference: python/cudf/cudf/core/series.py:432).
+Index model: positional RangeIndex only in round 1 — operations align by
+position, matching the reset_index(drop=True) convention used throughout
+the benchmark suites.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..ops import binaryop, unaryop, reductions, sorting, strings as str_ops, datetime as dt_ops
+from ..ops.stream_compaction import filter_column
+
+
+class Series:
+    __slots__ = ("_col", "name")
+
+    def __init__(self, data=None, name: Optional[str] = None, column: Optional[Column] = None):
+        if column is not None:
+            self._col = column
+        elif isinstance(data, Series):
+            self._col = data._col
+        elif isinstance(data, Column):
+            self._col = data
+        else:
+            import pandas as pd
+
+            if isinstance(data, pd.Series):
+                name = name if name is not None else data.name
+                vals = data.to_numpy()
+                if vals.dtype == object or str(data.dtype) in ("string", "category"):
+                    isnull = data.isna().to_numpy()
+                    self._col = Column.from_numpy(vals, ~isnull if isnull.any() else None)
+                else:
+                    isnull = data.isna().to_numpy()
+                    self._col = Column.from_numpy(
+                        vals, ~isnull if (isnull.any() and vals.dtype.kind not in "f") else None
+                    )
+            else:
+                arr = np.asarray(data)
+                if arr.dtype == object:
+                    validity = np.array([x is not None for x in data])
+                    self._col = Column.from_numpy(arr, validity if not validity.all() else None)
+                else:
+                    self._col = Column.from_numpy(arr)
+        self.name = name
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def column(self) -> Column:
+        return self._col
+
+    def __len__(self):
+        return self._col.length
+
+    @property
+    def dtype(self):
+        return dtypes.to_numpy(self._col.dtype)
+
+    @property
+    def values(self):
+        return self.to_numpy()
+
+    def __repr__(self):  # pragma: no cover
+        return f"Series({self.to_pandas().__repr__()})"
+
+    # ----------------------------------------------------------------- maths
+    def _binop(self, other, op, reflect=False):
+        rhs = other._col if isinstance(other, Series) else other
+        if reflect:
+            out = binaryop.binary_op(rhs, self._col, op)
+        else:
+            out = binaryop.binary_op(self._col, rhs, op)
+        return Series(column=out, name=self.name)
+
+    def __add__(self, o):
+        return self._binop(o, "add")
+
+    def __radd__(self, o):
+        return self._binop(o, "add", True)
+
+    def __sub__(self, o):
+        return self._binop(o, "sub")
+
+    def __rsub__(self, o):
+        return self._binop(o, "sub", True)
+
+    def __mul__(self, o):
+        return self._binop(o, "mul")
+
+    def __rmul__(self, o):
+        return self._binop(o, "mul", True)
+
+    def __truediv__(self, o):
+        return self._binop(o, "div")
+
+    def __rtruediv__(self, o):
+        return self._binop(o, "div", True)
+
+    def __floordiv__(self, o):
+        return self._binop(o, "floordiv")
+
+    def __mod__(self, o):
+        return self._binop(o, "mod")
+
+    def __pow__(self, o):
+        return self._binop(o, "pow")
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._binop(o, "eq")
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._binop(o, "ne")
+
+    def __lt__(self, o):
+        return self._binop(o, "lt")
+
+    def __le__(self, o):
+        return self._binop(o, "le")
+
+    def __gt__(self, o):
+        return self._binop(o, "gt")
+
+    def __ge__(self, o):
+        return self._binop(o, "ge")
+
+    def __and__(self, o):
+        return self._binop(o, "and")
+
+    def __or__(self, o):
+        return self._binop(o, "or")
+
+    def __invert__(self):
+        return Series(column=unaryop.unary_op(self._col, "not"), name=self.name)
+
+    def __neg__(self):
+        return Series(column=unaryop.unary_op(self._col, "neg"), name=self.name)
+
+    def __abs__(self):
+        return self.abs()
+
+    def abs(self):
+        return Series(column=unaryop.unary_op(self._col, "abs"), name=self.name)
+
+    def round(self, decimals=0):
+        return Series(column=unaryop.round_col(self._col, decimals), name=self.name)
+
+    def __hash__(self):
+        raise TypeError("unhashable")
+
+    # ------------------------------------------------------------ predicates
+    def isna(self):
+        c = unaryop.is_null(self._col)
+        if self._col.dtype.is_floating:
+            nan = unaryop.is_nan(self._col)
+            c = binaryop.binary_op(c, nan, "or")
+        return Series(column=c, name=self.name)
+
+    isnull = isna
+
+    def notna(self):
+        return ~self.isna()
+
+    notnull = notna
+
+    def isin(self, values):
+        out = None
+        for v in values:
+            m = binaryop.binary_op(self._col, v, "eq")
+            out = m if out is None else binaryop.binary_op(out, m, "or")
+        if out is None:
+            out = Column.from_scalar(False, self._col.length)
+        return Series(column=out, name=self.name)
+
+    def between(self, lo, hi, inclusive="both"):
+        if inclusive == "both":
+            return (self >= lo) & (self <= hi)
+        return (self > lo) & (self < hi)
+
+    # ------------------------------------------------------------ transforms
+    def fillna(self, value):
+        col = self._col
+        if col.dtype.is_floating:
+            col = unaryop.nans_to_nulls(col)
+        return Series(column=unaryop.replace_nulls(col, value), name=self.name)
+
+    def astype(self, dtype):
+        target = dtypes.from_numpy(np.dtype(dtype) if not isinstance(dtype, str) or dtype != "str" else np.dtype(object))
+        return Series(column=unaryop.cast(self._col, target), name=self.name)
+
+    def clip(self, lower=None, upper=None):
+        return Series(column=unaryop.clamp(self._col, lower, upper), name=self.name)
+
+    def where(self, cond, other):
+        from ..expr.expressions import _where
+
+        cond_c = cond._col if isinstance(cond, Series) else cond
+        other_c = other._col if isinstance(other, Series) else Column.from_scalar(other, len(self))
+        return Series(column=_where(cond_c, self._col, other_c), name=self.name)
+
+    def replace(self, to_replace, value=None):
+        if isinstance(to_replace, dict):
+            keys, vals = list(to_replace.keys()), list(to_replace.values())
+        else:
+            keys = to_replace if isinstance(to_replace, (list, tuple)) else [to_replace]
+            vals = value if isinstance(value, (list, tuple)) else [value] * len(keys)
+        return Series(column=unaryop.find_and_replace(self._col, keys, vals), name=self.name)
+
+    def head(self, n=5):
+        return Series(column=self._col.slice(0, n), name=self.name)
+
+    def tail(self, n=5):
+        return Series(column=self._col.slice(max(0, len(self) - n)), name=self.name)
+
+    def sort_values(self, ascending=True, na_position="last"):
+        return Series(
+            column=sorting.sort_column(self._col, not ascending, na_position == "last"),
+            name=self.name,
+        )
+
+    def dropna(self):
+        mask = self.notna()
+        return Series(column=filter_column(self._col, mask._col), name=self.name)
+
+    def unique(self):
+        from ..core.table import Table
+        from ..ops.stream_compaction import distinct
+
+        t = distinct(Table({"v": self._col}))
+        return Series(column=t["v"], name=self.name)
+
+    def nunique(self) -> int:
+        from ..ops.stream_compaction import unique_count
+
+        c = self._col
+        if c.validity is not None:
+            c = c  # nulls excluded below
+            from ..ops.stream_compaction import filter_column as _f
+
+            c = _f(self._col, self.notna()._col)
+        return unique_count([c], c.length)
+
+    def value_counts(self, ascending=False):
+        from ..core.table import Table
+        from ..ops.groupby import AggSpec, groupby_aggregate
+        from ..ops.sorting import sort_by_key
+
+        t = Table({"v": self._col})
+        g = groupby_aggregate(t, ["v"], [AggSpec("", "size", "count")])
+        g = sort_by_key(g, ["count"], descending=not ascending)
+        return DataFrameProxy(g)
+
+    def cumsum(self):
+        return Series(column=reductions.scan(self._col, "cumsum"), name=self.name)
+
+    def cummax(self):
+        return Series(column=reductions.scan(self._col, "cummax"), name=self.name)
+
+    def cummin(self):
+        return Series(column=reductions.scan(self._col, "cummin"), name=self.name)
+
+    def cumprod(self):
+        return Series(column=reductions.scan(self._col, "cumprod"), name=self.name)
+
+    def rank(self, method="average", ascending=True, pct=False):
+        return Series(column=sorting.rank(self._col, method, not ascending, pct), name=self.name)
+
+    def __getitem__(self, key):
+        if isinstance(key, Series):
+            return Series(column=filter_column(self._col, key._col), name=self.name)
+        if isinstance(key, slice):
+            start, stop, step = key.indices(len(self))
+            assert step == 1
+            return Series(column=self._col.slice(start, stop - start), name=self.name)
+        return self.to_numpy()[key]
+
+    # ------------------------------------------------------------ reductions
+    def _reduce(self, kind, param=0.0):
+        return reductions.to_scalar(reductions.reduce(self._col, kind, param))
+
+    def sum(self):
+        c = self._col
+        if c.dtype.is_floating:
+            c = unaryop.nans_to_nulls(c)
+        v = reductions.to_scalar(reductions.reduce(c, "sum"))
+        return 0 if v is None else v
+
+    def mean(self):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return reductions.to_scalar(reductions.reduce(c, "mean"))
+
+    def min(self):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return reductions.to_scalar(reductions.reduce(c, "min"))
+
+    def max(self):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return reductions.to_scalar(reductions.reduce(c, "max"))
+
+    def count(self):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return self._count_of(c)
+
+    @staticmethod
+    def _count_of(c):
+        return reductions.to_scalar(reductions.reduce(c, "count"))
+
+    def var(self, ddof=1):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return reductions.to_scalar(reductions.reduce(c, "var", ddof))
+
+    def std(self, ddof=1):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return reductions.to_scalar(reductions.reduce(c, "std", ddof))
+
+    def median(self):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return reductions.to_scalar(reductions.reduce(c, "median"))
+
+    def quantile(self, q=0.5):
+        c = unaryop.nans_to_nulls(self._col) if self._col.dtype.is_floating else self._col
+        return reductions.to_scalar(reductions.reduce(c, "quantile", q))
+
+    def any(self):
+        return bool(self._reduce("any"))
+
+    def all(self):
+        return bool(self._reduce("all"))
+
+    def prod(self):
+        v = self._reduce("product")
+        return 1 if v is None else v
+
+    def argmin(self):
+        return self._reduce("argmin")
+
+    def argmax(self):
+        return self._reduce("argmax")
+
+    # ------------------------------------------------------------- accessors
+    @property
+    def str(self):
+        return _StringAccessor(self)
+
+    @property
+    def dt(self):
+        return _DatetimeAccessor(self)
+
+    # --------------------------------------------------------------- export
+    def to_numpy(self):
+        return self._col.to_numpy()
+
+    def to_pandas(self):
+        import pandas as pd
+
+        return pd.Series(self.to_numpy(), name=self.name)
+
+    def to_arrow(self):
+        return self._col.to_arrow()
+
+
+class _StringAccessor:
+    def __init__(self, s: Series):
+        self._s = s
+
+    def _wrap(self, col):
+        return Series(column=col, name=self._s.name)
+
+    def lower(self):
+        return self._wrap(str_ops.lower(self._s._col))
+
+    def upper(self):
+        return self._wrap(str_ops.upper(self._s._col))
+
+    def capitalize(self):
+        return self._wrap(str_ops.capitalize(self._s._col))
+
+    def strip(self):
+        return self._wrap(str_ops.strip(self._s._col))
+
+    def contains(self, pat, regex=True):
+        return self._wrap(str_ops.contains(self._s._col, pat, regex))
+
+    def startswith(self, pat):
+        return self._wrap(str_ops.startswith(self._s._col, pat))
+
+    def endswith(self, pat):
+        return self._wrap(str_ops.endswith(self._s._col, pat))
+
+    def match_like(self, pattern):
+        return self._wrap(str_ops.match_like(self._s._col, pattern))
+
+    def len(self):
+        return self._wrap(str_ops.len_strings(self._s._col))
+
+    def slice(self, start=None, stop=None, step=None):
+        return self._wrap(str_ops.slice_strings(self._s._col, start, stop, step))
+
+    def cat(self, others=None, sep=""):
+        cols = [self._s._col] + [o._col if isinstance(o, Series) else o for o in (others or [])]
+        return self._wrap(str_ops.concat_strings(cols, sep))
+
+
+class _DatetimeAccessor:
+    def __init__(self, s: Series):
+        self._s = s
+
+    def _field(self, f):
+        return Series(column=dt_ops.extract(self._s._col, f), name=self._s.name)
+
+    @property
+    def year(self):
+        return self._field("year")
+
+    @property
+    def month(self):
+        return self._field("month")
+
+    @property
+    def day(self):
+        return self._field("day")
+
+    @property
+    def hour(self):
+        return self._field("hour")
+
+    @property
+    def minute(self):
+        return self._field("minute")
+
+    @property
+    def second(self):
+        return self._field("second")
+
+    @property
+    def weekday(self):
+        # pandas: Monday=0
+        s = self._field("weekday")
+        return s - 1
+
+    @property
+    def dayofyear(self):
+        return self._field("day_of_year")
+
+
+class DataFrameProxy:
+    """Minimal deferred import hook: value_counts returns a DataFrame."""
+
+    def __new__(cls, tbl):
+        from .dataframe import DataFrame
+
+        return DataFrame._from_table(tbl)

@@ -1,0 +1,193 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+
+
+def dfs(data):
+    pdf = pd.DataFrame(data)
+    return ct.DataFrame.from_pandas(pdf), pdf
+
+
+def assert_df_eq(gdf, pdf, **kw):
+    pd.testing.assert_frame_equal(gdf.to_pandas(), pdf.reset_index(drop=True), **kw)
+
+
+class TestBasics:
+    def test_construct_dict(self):
+        df = ct.DataFrame({"a": [1, 2, 3], "b": [1.5, 2.5, 3.5]})
+        assert df.shape == (3, 2)
+        assert list(df.columns) == ["a", "b"]
+
+    def test_getitem_series(self):
+        df, pdf = dfs({"a": [1, 2, 3]})
+        s = df["a"]
+        np.testing.assert_array_equal(s.to_numpy(), pdf["a"].to_numpy())
+
+    def test_setitem(self):
+        df, pdf = dfs({"a": [1, 2, 3]})
+        df["b"] = df["a"] * 2
+        np.testing.assert_array_equal(df["b"].to_numpy(), [2, 4, 6])
+        df["c"] = 7
+        np.testing.assert_array_equal(df["c"].to_numpy(), [7, 7, 7])
+
+    def test_boolean_mask(self):
+        df, pdf = dfs({"a": [1, 2, 3, 4], "b": [1.0, 2.0, 3.0, 4.0]})
+        out = df[df["a"] > 2]
+        assert_df_eq(out, pdf[pdf.a > 2])
+
+    def test_attribute_access(self):
+        df, _ = dfs({"a": [1, 2]})
+        np.testing.assert_array_equal(df.a.to_numpy(), [1, 2])
+
+    def test_head_tail_slice(self):
+        df, pdf = dfs({"a": list(range(10))})
+        assert_df_eq(df.head(3), pdf.head(3))
+        assert_df_eq(df.tail(2), pdf.tail(2))
+        assert_df_eq(df[2:5], pdf[2:5])
+
+
+class TestSeriesOps:
+    def test_arith_matches_pandas(self):
+        s = ct.Series([1.0, 2.0, 3.0])
+        p = pd.Series([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(((s + 1) * 2 / 4 - 0.5).to_numpy(), ((p + 1) * 2 / 4 - 0.5).to_numpy())
+
+    def test_reductions(self):
+        vals = [1.0, 2.0, np.nan, 4.0]
+        s = ct.Series(vals)
+        p = pd.Series(vals)
+        assert s.sum() == p.sum()
+        assert s.mean() == p.mean()
+        assert s.count() == p.count()
+        assert s.max() == p.max()
+        np.testing.assert_allclose(s.std(), p.std())
+
+    def test_fillna(self):
+        s = ct.Series([1.0, np.nan, 3.0])
+        np.testing.assert_array_equal(s.fillna(0).to_numpy(), [1.0, 0.0, 3.0])
+
+    def test_value_counts(self):
+        s = ct.Series([1, 2, 2, 3, 3, 3])
+        out = s.value_counts().to_pandas()
+        assert list(out["count"]) == [3, 2, 1]
+
+    def test_cumsum(self):
+        s = ct.Series([1, 2, 3])
+        np.testing.assert_array_equal(s.cumsum().to_numpy(), [1, 3, 6])
+
+    def test_unique_nunique(self):
+        s = ct.Series([3, 1, 3, 2])
+        assert sorted(s.unique().to_numpy()) == [1, 2, 3]
+        assert s.nunique() == 3
+
+    def test_str_accessor(self):
+        s = ct.Series(["Foo", "bar", None])
+        out = s.str.lower().to_numpy()
+        assert list(out[:2]) == ["foo", "bar"]
+        m = s.str.contains("o", regex=False).to_numpy()
+        assert m[0] == True and m[1] == False
+
+    def test_dt_accessor(self):
+        s = ct.Series(pd.Series(pd.to_datetime(["2020-05-17", "1988-01-02"])))
+        np.testing.assert_array_equal(s.dt.year.to_numpy(), [2020, 1988])
+        np.testing.assert_array_equal(s.dt.month.to_numpy(), [5, 1])
+
+    def test_isin_between(self):
+        s = ct.Series([1, 2, 3, 4])
+        np.testing.assert_array_equal(s.isin([2, 4]).to_numpy(), [False, True, False, True])
+        np.testing.assert_array_equal(s.between(2, 3).to_numpy(), [False, True, True, False])
+
+
+class TestFrameOps:
+    def test_sort_values(self):
+        df, pdf = dfs({"a": [3, 1, 2], "b": [1.0, 2.0, 3.0]})
+        assert_df_eq(df.sort_values("a"), pdf.sort_values("a", kind="stable"))
+        assert_df_eq(df.sort_values("a", ascending=False), pdf.sort_values("a", ascending=False, kind="stable"))
+
+    def test_dropna(self):
+        df, pdf = dfs({"a": [1.0, np.nan, 3.0], "b": [1, 2, 3]})
+        assert_df_eq(df.dropna(), pdf.dropna())
+
+    def test_drop_duplicates(self):
+        df, pdf = dfs({"a": [1, 1, 2], "b": [1, 1, 3]})
+        assert_df_eq(df.drop_duplicates(), pdf.drop_duplicates())
+
+    def test_merge(self):
+        l, pl = dfs({"k": [1, 2, 3], "a": [1.0, 2.0, 3.0]})
+        r, pr = dfs({"k": [2, 3, 4], "b": [20.0, 30.0, 40.0]})
+        assert_df_eq(l.merge(r, on="k"), pl.merge(pr, on="k"))
+        assert_df_eq(l.merge(r, on="k", how="left"), pl.merge(pr, on="k", how="left"))
+
+    def test_groupby_methods(self):
+        rng = np.random.default_rng(0)
+        pdf = pd.DataFrame({"k": rng.integers(0, 5, 200), "v": rng.normal(size=200),
+                            "w": rng.integers(0, 100, 200)})
+        df = ct.DataFrame.from_pandas(pdf)
+        out = df.groupby("k").sum().to_pandas()
+        exp = pdf.groupby("k", as_index=False).sum()
+        pd.testing.assert_frame_equal(out, exp)
+        out = df.groupby("k")[["v"]].mean().to_pandas()
+        exp = pdf.groupby("k", as_index=False)[["v"]].mean()
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_groupby_agg_named(self):
+        pdf = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+        df = ct.DataFrame.from_pandas(pdf)
+        out = df.groupby("k").agg(total=("v", "sum"), n=("v", "size")).to_pandas()
+        exp = pdf.groupby("k", as_index=False).agg(total=("v", "sum"), n=("v", "size"))
+        exp["n"] = exp["n"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_readme_flow(self):
+        # the cuDF README example flow
+        rng = np.random.default_rng(1)
+        pdf = pd.DataFrame({
+            "a": rng.integers(0, 10, 500).astype(float),
+            "b": rng.integers(0, 3, 500),
+            "c": rng.normal(size=500),
+        })
+        pdf.loc[rng.choice(500, 30, replace=False), "a"] = np.nan
+        df = ct.DataFrame.from_pandas(pdf)
+        out = df.dropna().groupby(["a", "b"]).agg(c=("c", "mean")).to_pandas()
+        exp = pdf.dropna().groupby(["a", "b"], as_index=False).agg(c=("c", "mean"))
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_concat(self):
+        a, pa_ = dfs({"x": [1, 2]})
+        b, pb = dfs({"x": [3]})
+        assert_df_eq(ct.concat([a, b]), pd.concat([pa_, pb], ignore_index=True))
+
+    def test_query(self):
+        df, pdf = dfs({"a": [1, 2, 3, 4], "b": [10, 20, 30, 40]})
+        out = df.query("(a > 1) & (b < 40)")
+        assert_df_eq(out, pdf.query("(a > 1) & (b < 40)"))
+
+    def test_astype(self):
+        df, _ = dfs({"a": [1.7, 2.2]})
+        out = df.astype({"a": "int32"})
+        assert out.to_pandas()["a"].dtype == np.int32
+
+    def test_nlargest(self):
+        df, pdf = dfs({"a": [5, 1, 9, 3]})
+        assert_df_eq(df.nlargest(2, "a"), pdf.nlargest(2, "a"))
+
+
+class TestIO:
+    def test_parquet_roundtrip(self, tmp_path):
+        pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", None], "c": [1.5, np.nan, 2.5]})
+        p = str(tmp_path / "t.parquet")
+        pdf.to_parquet(p)
+        df = ct.read_parquet(p)
+        pd.testing.assert_frame_equal(df.to_pandas(), pdf)
+        p2 = str(tmp_path / "out.parquet")
+        df.to_parquet(p2)
+        pd.testing.assert_frame_equal(pd.read_parquet(p2), pdf)
+
+    def test_csv(self, tmp_path):
+        pdf = pd.DataFrame({"a": [1, 2], "b": [1.5, 2.5]})
+        p = str(tmp_path / "t.csv")
+        pdf.to_csv(p, index=False)
+        df = ct.read_csv(p)
+        pd.testing.assert_frame_equal(df.to_pandas(), pdf)
