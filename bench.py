@@ -1,0 +1,124 @@
+"""Benchmark driver: core-operator throughput vs pandas on the same host.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workloads mirror BASELINE.json configs: multi-key sort, dropna+groupby.mean
+(README config), and a fact-dim inner join — measured warm (post-compile) on
+the real TPU chip, against pandas wall-clock as the baseline engine.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+
+N = int(float(__import__("os").environ.get("CUDF_TPU_BENCH_ROWS", "2000000")))
+REPS = 5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, reps=REPS):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import cudf_tpu as ct
+    from cudf_tpu.ops import sorting
+    from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+    from cudf_tpu.ops import stream_compaction as sc
+    from cudf_tpu.ops.join import join as tpu_join
+    from cudf_tpu.ops.unaryop import nans_to_nulls
+
+    log(f"bench: backend={jax.default_backend()} rows={N}")
+    rng = np.random.default_rng(0)
+
+    # ---------------- data ----------------
+    sort_df = pd.DataFrame({
+        "k1": rng.integers(0, 100_000, N),
+        "k2": rng.normal(size=N).astype(np.float32),
+        "v": rng.normal(size=N).astype(np.float32),
+    })
+    gb_df = pd.DataFrame({
+        "A": rng.integers(0, 1000, N).astype(np.float64),
+        "B": rng.integers(0, 50, N),
+        "C": rng.normal(size=N),
+    })
+    gb_df.loc[rng.choice(N, N // 100, replace=False), "A"] = np.nan
+    n_dim = max(N // 20, 1)
+    join_left = pd.DataFrame({
+        "k": rng.integers(0, n_dim, N),
+        "v": rng.normal(size=N).astype(np.float32),
+    })
+    join_right = pd.DataFrame({
+        "k": np.arange(n_dim),
+        "w": rng.normal(size=n_dim).astype(np.float32),
+    })
+
+    t_sort = ct.Table.from_pandas(sort_df)
+    t_gb = ct.Table.from_pandas(gb_df)
+    t_gb = ct.Table({"A": nans_to_nulls(t_gb["A"]), "B": t_gb["B"], "C": t_gb["C"]})
+    t_jl = ct.Table.from_pandas(join_left)
+    t_jr = ct.Table.from_pandas(join_right)
+
+    # ---------------- tpu ops (warm) ----------------
+    def run_sort():
+        out = sorting.sort_by_key(t_sort, ["k1", "k2"])
+        jax.block_until_ready(out["v"].data)
+
+    def run_groupby():
+        t2 = sc.drop_nulls(t_gb)
+        g = groupby_aggregate(t2, ["A", "B"], [AggSpec("C", "mean", "C")])
+        jax.block_until_ready(g["C"].data)
+
+    def run_join():
+        out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
+        jax.block_until_ready(out["w"].data)
+
+    results = {}
+    for name, fn in (("sort", run_sort), ("groupby", run_groupby), ("join", run_join)):
+        log(f"bench: warming {name} (compile)...")
+        t0 = time.perf_counter()
+        fn()
+        log(f"bench: {name} cold {time.perf_counter()-t0:.1f}s")
+        results[name] = timeit(fn)
+        log(f"bench: {name} warm best {results[name]*1e3:.1f} ms "
+            f"({N/results[name]/1e6:.1f}M rows/s)")
+
+    # ---------------- pandas baseline ----------------
+    pd_results = {}
+    pd_results["sort"] = timeit(
+        lambda: sort_df.sort_values(["k1", "k2"], kind="stable"), 3)
+    pd_results["groupby"] = timeit(
+        lambda: gb_df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean")), 3)
+    pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), 3)
+    for k in pd_results:
+        log(f"bench: pandas {k} {pd_results[k]*1e3:.1f} ms")
+
+    geo_rows = float(np.exp(np.mean([np.log(N / results[k]) for k in results])))
+    geo_speedup = float(np.exp(np.mean(
+        [np.log(pd_results[k] / results[k]) for k in results])))
+
+    print(json.dumps({
+        "metric": "core3_sort_groupby_join_rows_per_s_geomean",
+        "value": round(geo_rows, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(geo_speedup, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,15 +19,13 @@ from ..core.table import Table
 from ..utils.padding import bucket_capacity
 
 
-_ONE_TRUE = None
-
-
 def _one_true():
-    """Tiny placeholder validity for the no-validity gather path."""
-    global _ONE_TRUE
-    if _ONE_TRUE is None:
-        _ONE_TRUE = jnp.asarray(np.ones((1,), bool))
-    return _ONE_TRUE
+    """Tiny placeholder validity for the no-validity gather path.
+
+    Not cached: a cached device constant created inside a trace (gather is
+    called under shard_map) would leak tracers.
+    """
+    return jnp.ones((1,), jnp.bool_)
 
 
 @partial(jax.jit, static_argnums=(4,))

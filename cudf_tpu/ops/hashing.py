@@ -1,0 +1,79 @@
+"""Row hashing: murmur3-style u32 hashes over row-code operands.
+
+Analog of cpp/src/hash/ (murmurhash3_x86_32.cu) and the row_operator
+hashing path (cpp/src/row_operator/hashing.cuh). Hashes are computed over
+the canonical equality codes (rowcodes.equality_operands), so hash equality
+is consistent with row equality (null==null, NaN==NaN, -0==+0) — the
+property the hash-partition + shuffle layer depends on.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import dtypes
+from ..core.column import Column
+from . import rowcodes
+
+_C1 = jnp.uint32(0xCC9E2D51)
+_C2 = jnp.uint32(0x1B873593)
+
+
+def _rotl32(x, r):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def _mix_k(k):
+    k = k * _C1
+    k = _rotl32(k, 15)
+    return k * _C2
+
+
+def _fmix32(h):
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def hash_operands(ops: Sequence[jnp.ndarray], seed: int = 0) -> jnp.ndarray:
+    """Murmur3-x86-32-style combine of u32 operand arrays → u32 hash."""
+    h = jnp.full(ops[0].shape, jnp.uint32(seed))
+    n = 0
+    for op in ops:
+        k = _mix_k(op.astype(jnp.uint32))
+        h = h ^ k
+        h = _rotl32(h, 13)
+        h = h * jnp.uint32(5) + jnp.uint32(0xE6546B64)
+        n += 4
+    h = h ^ jnp.uint32(n)
+    return _fmix32(h)
+
+
+def hash_columns(cols: Sequence[Column], seed: int = 0) -> jnp.ndarray:
+    """u32 row hash consistent with row equality."""
+    ops: List[jnp.ndarray] = []
+    for c in cols:
+        ops.extend(rowcodes.equality_operands(c))
+    return hash_operands(ops, seed)
+
+
+@jax.jit
+def _hash_impl(cols):
+    return hash_columns(cols)
+
+
+def hash_values(cols: Sequence[Column], seed: int = 0) -> Column:
+    """cudf.DataFrame.hash_values analog (murmur3 per row)."""
+    out = _hash_impl(tuple(cols))
+    return Column(dtypes.uint32, out, None, cols[0].length)
+
+
+def partition_ids(cols: Sequence[Column], n_parts: int) -> jnp.ndarray:
+    """Hash-partition assignment (cpp/src/partitioning/partitioning.cu)."""
+    h = hash_columns(cols)
+    return (h % jnp.uint32(n_parts)).astype(jnp.int32)

@@ -120,12 +120,16 @@ def _probe_impl(lcols, rcols, r_perm, nulls_equal):
     # ---- vectorized lexicographic binary search ---------------------------
     steps = max(1, capR.bit_length())
 
-    def search(le: bool):
-        lo = jnp.zeros((capL,), jnp.int32)
-        hi = jnp.broadcast_to(n_search, (capL,)).astype(jnp.int32)
+    # zero derived from the (possibly device-varying) probe side so that the
+    # binary-search carry has consistent varying-axes metadata under shard_map
+    _zero_var = (l_probe[0] * 0).astype(jnp.int32)
 
-        def body(_, lohi):
-            lo, hi = lohi
+    def search(le: bool):
+        # unrolled binary search: `steps` is static (log2 capR), and
+        # unrolling avoids scan carry-type constraints under shard_map
+        hi = jnp.broadcast_to(n_search, (capL,)).astype(jnp.int32) + _zero_var
+        lo = _zero_var
+        for _ in range(steps):
             mid = (lo + hi) // 2
             midc = jnp.clip(mid, 0, capR - 1)
             b_at = [op[midc] for op in r_sorted]
@@ -133,9 +137,9 @@ def _probe_impl(lcols, rcols, r_perm, nulls_equal):
             go_right = lt | (eq if le else jnp.zeros_like(lt))
             lo2 = jnp.where(go_right, mid + 1, lo)
             hi2 = jnp.where(go_right, hi, mid)
-            return (jnp.where(lo < hi, lo2, lo), jnp.where(lo < hi, hi2, hi))
-
-        lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+            active = lo < hi
+            lo = jnp.where(active, lo2, lo)
+            hi = jnp.where(active, hi2, hi)
         return lo
 
     lb = search(le=False)   # first right >= left

@@ -32,13 +32,10 @@ def _pass(op: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-_IOTA_CACHE = {}
-
-
 def _iota(cap: int) -> jnp.ndarray:
-    if cap not in _IOTA_CACHE:
-        _IOTA_CACHE[cap] = jnp.asarray(np.arange(cap, dtype=np.int32))
-    return _IOTA_CACHE[cap]
+    # NOTE: deliberately not cached — a cached device constant created inside
+    # a trace (e.g. multisort under shard_map) would leak tracers.
+    return jnp.arange(cap, dtype=jnp.int32)
 
 
 def multisort_perm(operands: Sequence[jnp.ndarray]) -> jnp.ndarray:

@@ -1,0 +1,634 @@
+"""SPMD distributed execution: sharded tables, hash shuffle, distributed ops.
+
+TPU-native replacement for the reference's multi-GPU stack (rapidsmpf
+shuffler + UCXX comms + cudf-polars streaming engines — reference:
+streaming/actor_graph/collectives/shuffle.py:56-430, engine/spmd.py:192,
+cpp/libcudf_streaming/src/partition_utils.cpp). Design mapping per
+SURVEY.md §2.7:
+
+  hash_partition + chunked pack   ->  per-shard bucketize into (P, B) blocks
+  UCXX rank-to-rank shuffle       ->  jax.lax.all_to_all over the mesh axis
+                                      (XLA lowers to ICI collectives)
+  allgather broadcast join        ->  jax.lax.all_gather of the small side
+  partial agg + merge finalize    ->  shuffle-by-key then exact local groupby
+
+Everything is ONE jitted shard_map program per operation: communication and
+compute fuse into a single XLA executable per shard — there is no
+host-mediated actor graph because XLA's async collectives already overlap
+exchange with compute.
+
+Local per-shard kernels here are fully traced (no host syncs): output
+capacities are worst-case (the local shard capacity), unlike the host-driven
+single-chip path which right-sizes buffers. Buckets B default to 2x the
+balanced size; overflowed rows are counted and surfaced so callers can retry
+with a bigger B (the skew-handling analog of partition splitting).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import dtypes as dt
+from ..core.column import Column, _pad_to
+from ..core.table import Table
+from ..ops import rowcodes
+from ..ops.hashing import hash_operands
+from ..utils.padding import bucket_capacity
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "shards") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@dataclasses.dataclass
+class ShardedTable:
+    """A logically-single table, row-partitioned over a mesh axis.
+
+    ``data[name]`` is a global jax.Array of shape (n_shards * cap,) sharded
+    on the mesh axis; ``lengths`` is (n_shards,) logical row counts.
+    String dictionaries are host metadata shared by all shards.
+    """
+
+    mesh: Mesh
+    axis: str
+    names: List[str]
+    data: Dict[str, jax.Array]
+    validity: Dict[str, Optional[jax.Array]]
+    lengths: jax.Array
+    dtypes: Dict[str, dt.DType]
+    dictionaries: Dict[str, Optional[np.ndarray]]
+    cap: int  # per-shard capacity
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    # ------------------------------------------------------------ construct
+    @classmethod
+    def from_tables(cls, tables: Sequence[Table], mesh: Mesh, axis: str = "shards"):
+        """Partition-per-shard ingest; unifies string dictionaries."""
+        from ..ops.strings import unify_dictionaries
+
+        n = mesh.shape[axis]
+        assert len(tables) == n, (len(tables), n)
+        names = tables[0].names
+        cap = max(bucket_capacity(max(t.num_rows, 1)) for t in tables)
+        sh = NamedSharding(mesh, P(axis))
+        data, validity, dts, dicts = {}, {}, {}, {}
+        for name in names:
+            cols = [t[name] for t in tables]
+            if cols[0].dtype.is_string:
+                cols = unify_dictionaries(list(cols))
+            host = np.concatenate([
+                np.pad(np.asarray(c.data)[: c.length],
+                       (0, cap - c.length)).astype(np.asarray(c.data).dtype)
+                for c in cols
+            ])
+            data[name] = jax.device_put(host, sh)
+            if any(c.validity is not None for c in cols):
+                vhost = np.concatenate([
+                    np.pad(
+                        np.asarray(c.validity)[: c.length]
+                        if c.validity is not None
+                        else np.ones(c.length, bool),
+                        (0, cap - c.length),
+                    )
+                    for c in cols
+                ])
+                validity[name] = jax.device_put(vhost, sh)
+            else:
+                validity[name] = None
+            dts[name] = cols[0].dtype
+            dicts[name] = cols[0].dictionary
+        lengths = jax.device_put(
+            np.array([t.num_rows for t in tables], np.int32), sh
+        )
+        return cls(mesh, axis, list(names), data, validity, lengths, dts, dicts, cap)
+
+    def to_tables(self) -> List[Table]:
+        """Materialize per-shard Tables on host."""
+        lens = np.asarray(self.lengths)
+        out = []
+        for s in range(self.n_shards):
+            cols = {}
+            for name in self.names:
+                d = np.asarray(self.data[name])[s * self.cap : (s + 1) * self.cap]
+                v = self.validity[name]
+                vv = None if v is None else np.asarray(v)[s * self.cap : (s + 1) * self.cap]
+                n = int(lens[s])
+                cap = bucket_capacity(max(n, 1))
+                cols[name] = Column(
+                    self.dtypes[name],
+                    _pad_to(d[:n], cap),
+                    None if vv is None else _pad_to(vv[:n], cap, False),
+                    n,
+                    self.dictionaries[name],
+                )
+            out.append(Table(cols))
+        return out
+
+    def concat_to_table(self) -> Table:
+        from ..ops.copying import concatenate_tables
+
+        return concatenate_tables(self.to_tables())
+
+    def _local_columns(self, arrays: Dict[str, jnp.ndarray],
+                       validity: Dict[str, jnp.ndarray], length) -> Dict[str, Column]:
+        """Build Column views inside a shard_map body."""
+        cols = {}
+        for name in self.names:
+            cols[name] = Column(
+                self.dtypes[name], arrays[name], validity.get(name), length,
+                self.dictionaries[name],
+            )
+        return cols
+
+
+# --------------------------------------------------------------------------
+def _local_key_columns(st: ShardedTable, keys, arrays, validity, length):
+    return [
+        Column(st.dtypes[k], arrays[k], validity.get(k), length, st.dictionaries[k])
+        for k in keys
+    ]
+
+
+def _bucketize(arrays: Dict[str, jnp.ndarray], valids: Dict[str, jnp.ndarray],
+               pid: jnp.ndarray, length, n_parts: int, bucket: int):
+    """Scatter local rows into (n_parts, bucket) send blocks + counts."""
+    cap = pid.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    inb = pos < length
+    pid_c = jnp.where(inb, pid, n_parts)  # padding -> overflow pseudo-part
+    # stable order by pid: single radix pass
+    _, perm = jax.lax.sort((pid_c.astype(jnp.uint32), pos), num_keys=1, is_stable=True)
+    pid_s = pid_c[perm]
+    counts = jax.ops.segment_sum(
+        jnp.ones((cap,), jnp.int32), pid_s, num_segments=n_parts + 1
+    )[:n_parts]
+    starts = jnp.cumsum(counts) - counts
+    idx_in_bucket = pos - starts[jnp.clip(pid_s, 0, n_parts - 1)]
+    slot = jnp.clip(pid_s, 0, n_parts - 1) * bucket + idx_in_bucket
+    ok = (pid_s < n_parts) & (idx_in_bucket < bucket)
+    slot = jnp.where(ok, slot, n_parts * bucket)  # overflow slot (dropped)
+    overflow = jnp.sum((~ok & (pid_s < n_parts)).astype(jnp.int32))
+
+    send = {}
+    sendv = {}
+    for name, arr in arrays.items():
+        buf = jnp.zeros((n_parts * bucket + 1,), arr.dtype)
+        send[name] = buf.at[slot].set(arr[perm])[:-1].reshape(n_parts, bucket)
+        v = valids.get(name)
+        if v is not None:
+            vbuf = jnp.zeros((n_parts * bucket + 1,), jnp.bool_)
+            sendv[name] = vbuf.at[slot].set(v[perm])[:-1].reshape(n_parts, bucket)
+    sent = jnp.minimum(counts, bucket)
+    return send, sendv, sent, overflow
+
+
+def _exchange(send, sendv, sent, axis: str):
+    """all-to-all the (P, B) blocks and the counts sideband."""
+    recv = {n: jax.lax.all_to_all(b, axis, 0, 0) for n, b in send.items()}
+    recvv = {n: jax.lax.all_to_all(b, axis, 0, 0) for n, b in sendv.items()}
+    rcounts = jax.lax.all_to_all(sent.reshape(-1, 1), axis, 0, 0).reshape(-1)
+    return recv, recvv, rcounts
+
+
+def _compact_received(recv, recvv, rcounts, bucket: int):
+    """(P, B) blocks -> front-compacted flat arrays + new length."""
+    n_parts = rcounts.shape[0]
+    total = jnp.sum(rcounts)
+    flat_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_parts, bucket), 1)
+        < rcounts[:, None]
+    ).reshape(-1)
+    cap = n_parts * bucket
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    _, perm = jax.lax.sort(
+        ((~flat_valid).astype(jnp.uint32), pos), num_keys=1, is_stable=True
+    )
+    out = {n: b.reshape(-1)[perm] for n, b in recv.items()}
+    outv = {n: b.reshape(-1)[perm] for n, b in recvv.items()}
+    return out, outv, total.astype(jnp.int32)
+
+
+def shuffle_by_key(st: ShardedTable, keys: Sequence[str],
+                   bucket: Optional[int] = None) -> Tuple["ShardedTable", int]:
+    """Hash-shuffle rows so equal keys land on the same shard.
+
+    Returns (shuffled ShardedTable, overflow_row_count). Overflow > 0 means
+    ``bucket`` was too small for a skewed partition — re-run with a larger
+    bucket (reference skew handling: partition splitting, SURVEY §2.7).
+    """
+    n = st.n_shards
+    B = bucket or max(64, (2 * st.cap) // n)
+    axis = st.axis
+
+    @partial(jax.jit, static_argnames=())
+    @partial(
+        jax.shard_map,
+        mesh=st.mesh,
+        in_specs=(
+            {k: P(axis) for k in st.names},
+            {k: P(axis) for k, v in st.validity.items() if v is not None},
+            P(axis),
+        ),
+        out_specs=(
+            {k: P(axis) for k in st.names},
+            {k: P(axis) for k, v in st.validity.items() if v is not None},
+            P(axis),
+            P(axis),
+        ),
+    )
+    def step(arrays, valids, length):
+        length = length[0]
+        kcols = _local_key_columns(st, keys, arrays, valids, length)
+        ops = []
+        for c in kcols:
+            ops.extend(rowcodes.equality_operands(c))
+        pid = (hash_operands(ops) % jnp.uint32(n)).astype(jnp.int32)
+        send, sendv, sent, overflow = _bucketize(arrays, valids, pid, length, n, B)
+        recv, recvv, rcounts = _exchange(send, sendv, sent, axis)
+        out, outv, new_len = _compact_received(recv, recvv, rcounts, B)
+        return out, outv, new_len[None], overflow[None]
+
+    arrays = dict(st.data)
+    valids = {k: v for k, v in st.validity.items() if v is not None}
+    out, outv, new_lens, overflow = step(arrays, valids, st.lengths)
+    new_cap = n * B
+    shuffled = ShardedTable(
+        st.mesh, st.axis, st.names, out,
+        {k: outv.get(k) for k in st.names},
+        new_lens, st.dtypes, st.dictionaries, new_cap,
+    )
+    return shuffled, int(jnp.sum(overflow))
+
+
+# ---------------------------------------------------------------------------
+# Distributed operators: shuffle-then-local-exact (reference: cudf-polars
+# streaming decompose, streaming/groupby.py:233; broadcast join join.py:94).
+# ---------------------------------------------------------------------------
+def _local_cols_from(st, names, arrays, valids, length):
+    return {
+        name: Column(st.dtypes[name], arrays[name], valids.get(name), length,
+                     st.dictionaries[name])
+        for name in names
+    }
+
+
+def dist_groupby(st: ShardedTable, keys: Sequence[str], aggs,
+                 bucket: Optional[int] = None) -> ShardedTable:
+    """Exact distributed groupby: hash-shuffle keys, then local groupby.
+
+    ``aggs``: sequence of ops.groupby.AggSpec. Kinds needing value sorts
+    (nunique/median/quantile) are supported because the shuffle makes each
+    key's rows collocated; vperms are computed locally.
+    """
+    from ..ops.groupby import AggSpec, _aggregate_impl, _grouping
+
+    shuffled, overflow = shuffle_by_key(st, keys, bucket)
+    assert overflow == 0, f"shuffle bucket overflow: {overflow} rows; raise bucket"
+    axis = st.axis
+    out_cap = shuffled.cap
+    agg_names = [a.out_name for a in aggs]
+    key_names = list(keys)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=st.mesh,
+        in_specs=(
+            {k: P(axis) for k in shuffled.names},
+            {k: P(axis) for k, v in shuffled.validity.items() if v is not None},
+            P(axis),
+        ),
+        out_specs=(
+            {k: P(axis) for k in key_names + agg_names},
+            {k: P(axis) for k in key_names + agg_names},
+            P(axis),
+        ),
+    )
+    def step(arrays, valids, length):
+        length = length[0]
+        cols = _local_cols_from(shuffled, shuffled.names, arrays, valids, length)
+        kcols = tuple(cols[k] for k in key_names)
+        perm, seg, newgrp, inb, n_groups = _grouping(kcols)
+        vcols = tuple(cols[a.column] if a.column else kcols[0] for a in aggs)
+        vperms = []
+        for a in aggs:
+            if a.kind in ("nunique", "median", "quantile"):
+                from ..ops.groupby import _value_sort_codes
+                from ..ops.sortprim import multisort_perm
+
+                ops = _value_sort_codes(kcols, cols[a.column], a.kind != "nunique")
+                vperms.append(multisort_perm(ops))
+            else:
+                vperms.append(None)
+        out_cols = _aggregate_impl(
+            kcols, vcols, tuple(key_names), tuple(aggs), out_cap,
+            perm, seg, inb, n_groups, tuple(vperms),
+        )
+        data = {n: out_cols[n].data for n in key_names + agg_names}
+        valid = {
+            n: (out_cols[n].validity if out_cols[n].validity is not None
+                else jnp.ones((out_cap,), jnp.bool_))
+            for n in key_names + agg_names
+        }
+        return data, valid, n_groups.astype(jnp.int32)[None]
+
+    arrays = dict(shuffled.data)
+    valids = {k: v for k, v in shuffled.validity.items() if v is not None}
+    data, valid, n_groups = step(arrays, valids, shuffled.lengths)
+    out_names = key_names + agg_names
+    out_dtypes = {}
+    out_dicts = {}
+    from ..ops.groupby import _FLOAT_OUT, _COUNT_OUT
+
+    for k in key_names:
+        out_dtypes[k] = shuffled.dtypes[k]
+        out_dicts[k] = shuffled.dictionaries[k]
+    for a in aggs:
+        if a.kind in ("mean", "var", "std", "median", "quantile"):
+            out_dtypes[a.out_name] = dt.float64
+        elif a.kind in ("count", "size", "nunique", "argmin", "argmax"):
+            out_dtypes[a.out_name] = dt.int64
+        elif a.kind in ("min", "max", "first", "last"):
+            out_dtypes[a.out_name] = shuffled.dtypes[a.column]
+            out_dicts[a.out_name] = shuffled.dictionaries[a.column]
+        elif a.kind in ("any", "all"):
+            out_dtypes[a.out_name] = dt.bool_
+        else:  # sum/product/...
+            src = shuffled.dtypes[a.column]
+            out_dtypes[a.out_name] = src if src.is_floating else dt.int64
+        out_dicts.setdefault(a.out_name, None)
+    return ShardedTable(
+        st.mesh, st.axis, out_names, data, valid, n_groups,
+        out_dtypes, out_dicts, out_cap,
+    )
+
+
+def dist_join(left: ShardedTable, right: ShardedTable,
+              left_on: Sequence[str], right_on: Sequence[str],
+              how: str = "inner", bucket: Optional[int] = None) -> ShardedTable:
+    """Shuffle-shuffle equi-join; output capacity assumes right keys are
+    unique per key (dimension-table pattern): out_cap == left shard cap."""
+    from ..ops.join import _probe, _expand
+
+    # co-partition both sides by key hash (identical hash -> same shard)
+    sl, ovl = shuffle_by_key(left, left_on, bucket)
+    sr, ovr = shuffle_by_key(right, right_on, bucket)
+    assert ovl == 0 and ovr == 0, "shuffle overflow; raise bucket"
+    axis = left.axis
+    capL, capR = sl.cap, sr.cap
+    out_cap = capL
+
+    lnames = list(sl.names)
+    rnames = [n for n in sr.names if n not in set(left_on) or n not in set(right_on)]
+    rpayload = [n for n in sr.names if n not in list(right_on)]
+    out_names = lnames + [n if n not in set(lnames) else n + "_y" for n in rpayload]
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=left.mesh,
+        in_specs=(
+            {k: P(axis) for k in sl.names},
+            {k: P(axis) for k, v in sl.validity.items() if v is not None},
+            P(axis),
+            {k: P(axis) for k in sr.names},
+            {k: P(axis) for k, v in sr.validity.items() if v is not None},
+            P(axis),
+        ),
+        out_specs=(
+            {k: P(axis) for k in out_names},
+            {k: P(axis) for k in out_names},
+            P(axis),
+        ),
+    )
+    def step(larr, lval, llen, rarr, rval, rlen):
+        llen = llen[0]
+        rlen = rlen[0]
+        lcols = _local_cols_from(sl, sl.names, larr, lval, llen)
+        rcols = _local_cols_from(sr, sr.names, rarr, rval, rlen)
+        lk = tuple(lcols[k] for k in left_on)
+        rk = tuple(rcols[k] for k in right_on)
+        counts, lb, r_perm, linb = _probe(lk, rk, False)
+        left_idx, right_idx, total = _expand(counts, lb, r_perm, linb, out_cap, how)
+        from ..ops.copying import gather
+
+        data, valid = {}, {}
+        for n in lnames:
+            g = gather(lcols[n], left_idx, total)
+            data[n] = g.data
+            valid[n] = g.validity if g.validity is not None else jnp.ones((out_cap,), jnp.bool_)
+        for n in rpayload:
+            out_n = n if n not in set(lnames) else n + "_y"
+            g = gather(rcols[n], right_idx, total, check_bounds=(how != "inner"))
+            data[out_n] = g.data
+            valid[out_n] = g.validity if g.validity is not None else jnp.ones((out_cap,), jnp.bool_)
+        return data, valid, total.astype(jnp.int32)[None]
+
+    data, valid, lens = step(
+        dict(sl.data), {k: v for k, v in sl.validity.items() if v is not None},
+        sl.lengths,
+        dict(sr.data), {k: v for k, v in sr.validity.items() if v is not None},
+        sr.lengths,
+    )
+    out_dtypes, out_dicts = {}, {}
+    for n in lnames:
+        out_dtypes[n] = sl.dtypes[n]
+        out_dicts[n] = sl.dictionaries[n]
+    for n in rpayload:
+        out_n = n if n not in set(lnames) else n + "_y"
+        out_dtypes[out_n] = sr.dtypes[n]
+        out_dicts[out_n] = sr.dictionaries[n]
+    return ShardedTable(left.mesh, axis, out_names, data, valid, lens,
+                        out_dtypes, out_dicts, out_cap)
+
+
+def broadcast_join(left: ShardedTable, right_small: Table,
+                   left_on: Sequence[str], right_on: Sequence[str],
+                   how: str = "inner") -> ShardedTable:
+    """All-gather-free broadcast join: the small side is replicated host-side
+    (reference heuristic: streaming/join.py:94 _should_bcast_join)."""
+    from ..ops.join import _probe, _expand
+    from ..ops.copying import gather
+    from ..ops.strings import unify_dictionaries
+
+    axis = left.axis
+    capL = left.cap
+    out_cap = capL
+    # replicate the small side to every device
+    rsh = NamedSharding(left.mesh, P())  # fully replicated
+    rnames = right_small.names
+    rdata, rval, rdt, rdict = {}, {}, {}, {}
+    for n in rnames:
+        c = right_small[n]
+        if c.dtype.is_string and n in dict(zip(right_on, left_on)):
+            li = left_on[right_on.index(n)]
+            pass
+        rdata[n] = jax.device_put(c.data, rsh)
+        rval[n] = None if c.validity is None else jax.device_put(c.validity, rsh)
+        rdt[n] = c.dtype
+        rdict[n] = c.dictionary
+    rlen = right_small.num_rows
+    rpayload = [n for n in rnames if n not in list(right_on)]
+    lnames = list(left.names)
+    out_names = lnames + [n if n not in set(lnames) else n + "_y" for n in rpayload]
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=left.mesh,
+        in_specs=(
+            {k: P(axis) for k in left.names},
+            {k: P(axis) for k, v in left.validity.items() if v is not None},
+            P(axis),
+            {k: P() for k in rnames},
+            {k: P() for k, v in rval.items() if v is not None},
+        ),
+        out_specs=(
+            {k: P(axis) for k in out_names},
+            {k: P(axis) for k in out_names},
+            P(axis),
+        ),
+    )
+    def step(larr, lval, llen, rarr, rvalid):
+        llen = llen[0]
+        lcols = _local_cols_from(left, left.names, larr, lval, llen)
+        rcols = {
+            n: Column(rdt[n], rarr[n], rvalid.get(n), rlen, rdict[n]) for n in rnames
+        }
+        lk = tuple(lcols[k] for k in left_on)
+        rk = tuple(rcols[k] for k in right_on)
+        counts, lb, r_perm, linb = _probe(lk, rk, False)
+        left_idx, right_idx, total = _expand(counts, lb, r_perm, linb, out_cap, how)
+        data, valid = {}, {}
+        for n in lnames:
+            g = gather(lcols[n], left_idx, total)
+            data[n] = g.data
+            valid[n] = g.validity if g.validity is not None else jnp.ones((out_cap,), jnp.bool_)
+        for n in rpayload:
+            out_n = n if n not in set(lnames) else n + "_y"
+            g = gather(rcols[n], right_idx, total, check_bounds=(how != "inner"))
+            data[out_n] = g.data
+            valid[out_n] = g.validity if g.validity is not None else jnp.ones((out_cap,), jnp.bool_)
+        return data, valid, total.astype(jnp.int32)[None]
+
+    data, valid, lens = step(
+        dict(left.data), {k: v for k, v in left.validity.items() if v is not None},
+        left.lengths, rdata, {k: v for k, v in rval.items() if v is not None},
+    )
+    out_dtypes, out_dicts = {}, {}
+    for n in lnames:
+        out_dtypes[n] = left.dtypes[n]
+        out_dicts[n] = left.dictionaries[n]
+    for n in rpayload:
+        out_n = n if n not in set(lnames) else n + "_y"
+        out_dtypes[out_n] = rdt[n]
+        out_dicts[out_n] = rdict[n]
+    return ShardedTable(left.mesh, axis, out_names, data, valid, lens,
+                        out_dtypes, out_dicts, out_cap)
+
+
+def dist_sort_values(st: ShardedTable, keys: Sequence[str],
+                     descending=False) -> ShardedTable:
+    """Distributed sort: sample -> range partition -> all_to_all -> local sort
+    (reference: collectives/sort.py:150 _compute_sort_boundaries + :548)."""
+    n = st.n_shards
+    axis = st.axis
+    desc = [descending] * len(keys) if isinstance(descending, bool) else list(descending)
+
+    # 1. sample key codes to pick n-1 splitters (host round-trip, tiny)
+    from ..ops.sorting import sorted_order
+    from ..ops import sortprim
+
+    tables = st.to_tables()  # small sample path; full impl later samples on device
+    import numpy as np_
+
+    sample_codes = []
+    for t in tables:
+        k = [t[x] for x in keys]
+        # only first key drives ranges in v1 (multi-key ranges: round 2)
+        first = k[0]
+        vals = first.to_numpy()
+        take = min(len(vals), 64)
+        if take:
+            idx = np_.linspace(0, len(vals) - 1, take).astype(int)
+            sample_codes.append(np_.asarray(vals, dtype=object)[idx])
+    allsamp = np_.concatenate(sample_codes) if sample_codes else np_.array([])
+    allsamp = np_.sort(allsamp[~np_.array([x is None for x in allsamp])].astype(
+        type(allsamp[0]) if len(allsamp) else float))
+    if descending:
+        allsamp = allsamp[::-1]
+    splitters = [allsamp[int(len(allsamp) * (i + 1) / n)] for i in range(n - 1)] if len(allsamp) else []
+
+    # 2. range-partition via per-shard comparison against splitters
+    first_key = keys[0]
+    kd = st.dtypes[first_key]
+    if kd.is_string:
+        d = st.dictionaries[first_key]
+        split_codes = np_.searchsorted(d, np_.asarray(splitters, dtype=str)) if len(splitters) else np_.array([], np_.int64)
+        split_dev = jnp.asarray(split_codes.astype(np_.int64))
+    else:
+        split_dev = jnp.asarray(np_.asarray(splitters, dtype=dt.to_numpy(kd)).view(
+            "int64") if kd.is_temporal else np_.asarray(splitters, dtype=dt.to_numpy(kd)))
+
+    B = max(64, (4 * st.cap) // n)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=st.mesh,
+        in_specs=(
+            {k: P(axis) for k in st.names},
+            {k: P(axis) for k, v in st.validity.items() if v is not None},
+            P(axis),
+        ),
+        out_specs=(
+            {k: P(axis) for k in st.names},
+            {k: P(axis) for k, v in st.validity.items() if v is not None},
+            P(axis),
+            P(axis),
+        ),
+    )
+    def step(arrays, valids, length):
+        length = length[0]
+        kcol = arrays[first_key]
+        if len(splitters):
+            pid = jnp.searchsorted(
+                split_dev.astype(kcol.dtype), kcol, side="right"
+            ).astype(jnp.int32)
+            if descending:
+                pid = jnp.int32(n - 1) - jnp.searchsorted(
+                    -split_dev.astype(kcol.dtype), -kcol, side="right"
+                ).astype(jnp.int32)
+                pid = jnp.clip(pid, 0, n - 1)
+        else:
+            pid = jnp.zeros(kcol.shape, jnp.int32)
+        send, sendv, sent, overflow = _bucketize(arrays, valids, pid, length, n, B)
+        recv, recvv, rcounts = _exchange(send, sendv, sent, axis)
+        out, outv, new_len = _compact_received(recv, recvv, rcounts, B)
+        return out, outv, new_len[None], overflow[None]
+
+    arrays = dict(st.data)
+    valids = {k: v for k, v in st.validity.items() if v is not None}
+    out, outv, new_lens, overflow = step(arrays, valids, st.lengths)
+    assert int(jnp.sum(overflow)) == 0, "range-partition bucket overflow"
+    ranged = ShardedTable(
+        st.mesh, st.axis, st.names, out, {k: outv.get(k) for k in st.names},
+        new_lens, st.dtypes, st.dictionaries, n * B,
+    )
+    # 3. local sorts per shard (host-driven loop over shards)
+    from ..ops.sorting import sort_by_key
+
+    locals_ = [sort_by_key(t, list(keys), desc) for t in ranged.to_tables()]
+    return ShardedTable.from_tables(locals_, st.mesh, st.axis)

@@ -1,0 +1,120 @@
+import numpy as np
+import pandas as pd
+import pytest
+import jax
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops.groupby import AggSpec
+from cudf_tpu.parallel import spmd
+
+
+def split_df(df, n):
+    parts = np.array_split(np.arange(len(df)), n)
+    return [Table.from_pandas(df.iloc[p].reset_index(drop=True)) for p in parts]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return spmd.make_mesh(8)
+
+
+class TestShuffle:
+    def test_shuffle_preserves_rows(self, mesh):
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({"k": rng.integers(0, 50, 1000), "v": rng.normal(size=1000)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        shuffled, overflow = spmd.shuffle_by_key(st, ["k"])
+        assert overflow == 0
+        out = shuffled.concat_to_table().to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values(["k", "v"]).reset_index(drop=True),
+            df.sort_values(["k", "v"]).reset_index(drop=True),
+        )
+
+    def test_shuffle_collocates_keys(self, mesh):
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({"k": rng.integers(0, 20, 500)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        shuffled, _ = spmd.shuffle_by_key(st, ["k"])
+        seen = {}
+        for i, t in enumerate(shuffled.to_tables()):
+            for k in np.unique(t["k"].to_numpy()):
+                assert k not in seen or seen[k] == i, "key split across shards"
+                seen[k] = i
+
+
+class TestDistGroupby:
+    def test_sum_mean_vs_pandas(self, mesh):
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({
+            "k1": rng.integers(0, 30, 2000),
+            "k2": rng.integers(0, 4, 2000),
+            "v": rng.normal(size=2000),
+        })
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_groupby(st, ["k1", "k2"],
+                                [AggSpec("v", "sum", "s"), AggSpec("v", "mean", "m"),
+                                 AggSpec("", "size", "n")])
+        res = out.concat_to_table().to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        exp = df.groupby(["k1", "k2"], as_index=False).agg(
+            s=("v", "sum"), m=("v", "mean"), n=("v", "size"))
+        exp["n"] = exp["n"].astype("int64")
+        pd.testing.assert_frame_equal(res, exp, rtol=1e-9, check_dtype=False)
+
+    def test_string_keys(self, mesh):
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "k": rng.choice(["apple", "pear", "plum", "fig"], 400),
+            "v": rng.integers(0, 100, 400),
+        })
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_groupby(st, ["k"], [AggSpec("v", "sum", "s")])
+        res = out.concat_to_table().to_pandas().sort_values("k").reset_index(drop=True)
+        exp = df.groupby("k", as_index=False).agg(s=("v", "sum"))
+        pd.testing.assert_frame_equal(res, exp, check_dtype=False)
+
+    def test_skewed_keys(self, mesh):
+        # 90% of rows share one key: bucket must absorb the skew
+        rng = np.random.default_rng(4)
+        k = np.where(rng.random(1000) < 0.9, 7, rng.integers(0, 50, 1000))
+        df = pd.DataFrame({"k": k, "v": np.ones(1000)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_groupby(st, ["k"], [AggSpec("v", "sum", "s")],
+                                bucket=2048)
+        res = out.concat_to_table().to_pandas().sort_values("k").reset_index(drop=True)
+        exp = df.groupby("k", as_index=False).agg(s=("v", "sum"))
+        pd.testing.assert_frame_equal(res, exp, check_dtype=False)
+
+
+class TestDistJoin:
+    def test_fact_dim_join(self, mesh):
+        rng = np.random.default_rng(5)
+        fact = pd.DataFrame({"k": rng.integers(0, 100, 3000), "v": rng.normal(size=3000)})
+        dim = pd.DataFrame({"k": np.arange(100), "w": rng.normal(size=100)})
+        stf = spmd.ShardedTable.from_tables(split_df(fact, 8), mesh)
+        std = spmd.ShardedTable.from_tables(split_df(dim, 8), mesh)
+        out = spmd.dist_join(stf, std, ["k"], ["k"], "inner")
+        res = out.concat_to_table().to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        exp = fact.merge(dim, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp, rtol=1e-12)
+
+    def test_broadcast_join(self, mesh):
+        rng = np.random.default_rng(6)
+        fact = pd.DataFrame({"k": rng.integers(0, 50, 2000), "v": rng.normal(size=2000)})
+        dim = pd.DataFrame({"k": np.arange(50), "w": np.arange(50) * 1.5})
+        stf = spmd.ShardedTable.from_tables(split_df(fact, 8), mesh)
+        out = spmd.broadcast_join(stf, Table.from_pandas(dim), ["k"], ["k"])
+        res = out.concat_to_table().to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        exp = fact.merge(dim, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp, rtol=1e-12)
+
+
+class TestDistSort:
+    def test_global_sort(self, mesh):
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({"k": rng.normal(size=1500), "v": np.arange(1500)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_sort_values(st, ["k"])
+        res = out.concat_to_table().to_pandas()
+        exp = df.sort_values("k", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp)
