@@ -1,0 +1,124 @@
+"""Per-operator micro-benchmarks with data profiles.
+
+Analog of cpp/benchmarks/ (nvbench targets + generate_input.hpp data
+profiles: cardinality / null probability / distribution / skew). Run:
+
+    python benchmarks/microbench.py [--rows N] [--ops sort,groupby,...]
+
+Prints one row per (op, profile): warm best wall, rows/s, and the pandas
+wall for the same input.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def gen_profile(rng, n, cardinality=1000, null_frac=0.0, skew=None, dtype="int64"):
+    """Key column generator (reference: common/generate_input.hpp:219)."""
+    if skew == "zipf":
+        # zipf-ish: 80% of rows in 1% of keys
+        hot = max(cardinality // 100, 1)
+        is_hot = rng.random(n) < 0.8
+        k = np.where(is_hot, rng.integers(0, hot, n), rng.integers(0, cardinality, n))
+    else:
+        k = rng.integers(0, cardinality, n)
+    k = k.astype(dtype) if dtype != "float64" else k.astype(np.float64)
+    out = pd.Series(k)
+    if null_frac:
+        out[rng.random(n) < null_frac] = None
+    return out
+
+
+def best(fn, reps=5):
+    b = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        b = min(b, time.perf_counter() - t0)
+    return b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--ops", default="sort,groupby,join,filter,distinct,rolling")
+    ap.add_argument("--profiles", default="base,nulls,skew")
+    args = ap.parse_args()
+
+    import jax
+    import cudf_tpu as ct
+    from cudf_tpu.ops import sorting, stream_compaction as sc, rolling as roll
+    from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+    from cudf_tpu.ops.join import join as tpu_join
+    from cudf_tpu.ops.binaryop import binary_op
+
+    n = args.rows
+    rng = np.random.default_rng(0)
+    ops = args.ops.split(",")
+    profiles = {
+        "base": dict(cardinality=100_000, null_frac=0.0),
+        "lowcard": dict(cardinality=16, null_frac=0.0),
+        "nulls": dict(cardinality=100_000, null_frac=0.2),
+        "skew": dict(cardinality=100_000, skew="zipf"),
+    }
+    profiles = {k: v for k, v in profiles.items() if k in args.profiles.split(",")}
+
+    print(f"backend={jax.default_backend()} rows={n}", file=sys.stderr)
+    rows = []
+    for pname, prof in profiles.items():
+        key = gen_profile(rng, n, **prof)
+        val = pd.Series(rng.normal(size=n).astype(np.float32))
+        pdf = pd.DataFrame({"k": key, "v": val})
+        t = ct.Table.from_pandas(pdf)
+
+        def mk(op):
+            if op == "sort":
+                return (lambda: jax.block_until_ready(
+                    sorting.sort_by_key(t, ["k"])["v"].data),
+                    lambda: pdf.sort_values("k", kind="stable"))
+            if op == "groupby":
+                return (lambda: jax.block_until_ready(groupby_aggregate(
+                    t, ["k"], [AggSpec("v", "mean", "m")])["m"].data),
+                    lambda: pdf.groupby("k", as_index=False).agg(m=("v", "mean")))
+            if op == "join":
+                nd = max(prof.get("cardinality", 1000), 1)
+                dim = pd.DataFrame({"k": np.arange(nd, dtype=key.dtype if key.dtype != object else np.int64),
+                                    "w": np.arange(nd) * 0.5})
+                td = ct.Table.from_pandas(dim)
+                return (lambda: jax.block_until_ready(
+                    tpu_join(t, td, ["k"], ["k"], "inner")["w"].data),
+                    lambda: pdf.merge(dim, on="k"))
+            if op == "filter":
+                return (lambda: jax.block_until_ready(
+                    sc.apply_boolean_mask(t, binary_op(t["v"], 0.0, "gt"))["v"].data),
+                    lambda: pdf[pdf.v > 0.0])
+            if op == "distinct":
+                return (lambda: jax.block_until_ready(sc.distinct(t, ["k"])["k"].data),
+                        lambda: pdf.drop_duplicates(["k"]))
+            if op == "rolling":
+                return (lambda: jax.block_until_ready(roll.rolling(t["v"], 32, "mean").data),
+                        lambda: pdf["v"].rolling(32).mean())
+            raise ValueError(op)
+
+        for op in ops:
+            try:
+                tpu_fn, pd_fn = mk(op)
+                tpu_fn()  # warm/compile
+                tw = best(tpu_fn)
+                pw = best(pd_fn, 3)
+                rows.append((op, pname, tw, n / tw, pw, pw / tw))
+                print(f"{op:10s} {pname:8s} tpu={tw*1e3:8.2f}ms "
+                      f"({n/tw/1e6:7.1f}M rows/s)  pandas={pw*1e3:8.2f}ms  "
+                      f"speedup={pw/tw:6.2f}x", flush=True)
+            except Exception as e:  # pragma: no cover
+                print(f"{op:10s} {pname:8s} FAILED: {e}", flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

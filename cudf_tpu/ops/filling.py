@@ -1,0 +1,107 @@
+"""Filling / sequences / labeling (binning) / reshape.
+
+Analogs: cpp/src/filling/ (fill, sequence), cpp/src/labeling/label_bins.cu
+(pandas.cut), cpp/src/reshape + cpp/src/transpose.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+
+
+def sequence(size: int, init=0, step=1, dtype=dtypes.int64) -> Column:
+    """cudf::sequence."""
+    cap = bucket_capacity(max(size, 1))
+    host = (np.arange(cap) * step + init).astype(np.dtype(dtype.physical))
+    return Column(dtype, jnp.asarray(host), None, size)
+
+
+def fill(col: Column, begin: int, end: int, value) -> Column:
+    """cudf::fill — set [begin, end) to a scalar."""
+    return _fill_impl(col, jnp.int32(begin), jnp.int32(end), value)
+
+
+@jax.jit
+def _fill_impl(col: Column, begin, end, value):
+    pos = jnp.arange(col.capacity, dtype=jnp.int32)
+    m = (pos >= begin) & (pos < end)
+    if value is None:
+        v = col.validity if col.validity is not None else jnp.ones((col.capacity,), jnp.bool_)
+        return Column(col.dtype, col.data, v & ~m, col.length, col.dictionary)
+    data = jnp.where(m, jnp.asarray(value, col.data.dtype), col.data)
+    return Column(col.dtype, data, col.validity, col.length, col.dictionary)
+
+
+@partial(jax.jit, static_argnames=("right", "include_lowest"))
+def _label_bins_impl(col: Column, edges, right, include_lowest):
+    x = col.data.astype(jnp.float64)
+    side = "left" if right else "right"
+    lab = jnp.searchsorted(edges, x, side=side).astype(jnp.int32) - 1
+    valid = (lab >= 0) & (lab < edges.shape[0] - 1)
+    if include_lowest:
+        at_low = x == edges[0]
+        lab = jnp.where(at_low, 0, lab)
+        valid = valid | at_low
+    v = col.valid_mask() & valid
+    return Column(dtypes.int32, lab, v, col.length)
+
+
+def label_bins(col: Column, edges: Sequence[float], right: bool = True,
+               include_lowest: bool = True) -> Column:
+    """cudf::label_bins (pandas.cut labels; -1/null outside range)."""
+    e = jnp.asarray(np.asarray(edges, np.float64))
+    return _label_bins_impl(col, e, right, include_lowest)
+
+
+def transpose(tbl: Table) -> Table:
+    """cudf::transpose — same-dtype columns only (host round-trip)."""
+    import numpy as np_
+
+    mat = np_.stack([c.to_numpy() for c in tbl.columns])
+    out = {}
+    for i in range(mat.shape[1]):
+        out[str(i)] = Column.from_numpy(mat[:, i])
+    return Table(out)
+
+
+def tile(tbl: Table, count: int) -> Table:
+    """cudf::tile — repeat table rows `count` times."""
+    from .copying import concatenate_tables
+
+    return concatenate_tables([tbl] * count)
+
+
+def repeat(tbl: Table, repeats: int) -> Table:
+    """cudf::repeat with scalar count: each row repeated `repeats` times."""
+    from .copying import gather_table
+
+    n = tbl.num_rows
+    total = n * repeats
+    cap = bucket_capacity(max(total, 1))
+    idx = jnp.arange(cap, dtype=jnp.int32) // max(repeats, 1)
+    return gather_table(tbl, idx, total)
+
+
+def one_hot_encode(col: Column) -> Table:
+    """cudf::one_hot_encode over the column's distinct values."""
+    from .stream_compaction import distinct
+    from ..core.table import Table as T
+
+    uniq = distinct(T({"v": col}))["v"]
+    cats = uniq.to_numpy()
+    out = {}
+    from .binaryop import binary_op
+
+    for c in cats:
+        name = str(c)
+        out[name] = binary_op(col, c, "eq")
+    return T(out)

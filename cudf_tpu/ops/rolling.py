@@ -1,0 +1,115 @@
+"""Rolling windows: fixed-size and grouped rolling aggregations.
+
+Analog of cpp/src/rolling/ (5.2k LoC of window kernels). TPU-native
+design: a rolling reduce over window w is a prefix-scan difference for
+sum/count (O(n)), and a log-stepped doubling scan for min/max (O(n log w))
+— both XLA-friendly with static shapes; no per-row dynamic loops.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import dtypes
+from ..core.column import Column
+from ..utils.jitutil import elementwise_jit
+
+
+def _shifted(x, k, fill):
+    """x shifted right by k (prefix filled)."""
+    if k == 0:
+        return x
+    return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
+
+
+@elementwise_jit(static_argnames=("window", "min_periods", "kind", "center"))
+def rolling(col: Column, window: int, kind: str = "sum",
+            min_periods: int = None, center: bool = False) -> Column:
+    """Fixed-window rolling aggregate (sum/mean/min/max/count/var/std)."""
+    mp = window if min_periods is None else min_periods
+    cap = col.capacity
+    valid = col.valid_mask()
+    if col.dtype.is_floating:
+        valid = valid & ~jnp.isnan(col.data)
+    x64 = col.data.astype(jnp.float64)
+    xz = jnp.where(valid, x64, 0.0)
+
+    csum = jnp.cumsum(xz)
+    ccnt = jnp.cumsum(valid.astype(jnp.int64))
+    w = window
+    wsum = csum - _shifted(csum, w, 0.0)
+    wcnt = ccnt - _shifted(ccnt, w, 0)
+
+    if kind in ("min", "max"):
+        ident = jnp.inf if kind == "min" else -jnp.inf
+        fn = jnp.minimum if kind == "min" else jnp.maximum
+        acc = jnp.where(valid, x64, ident)
+        # doubling windows: combine shifted copies to cover width w
+        k = 1
+        while k < w:
+            step = min(k, w - k)
+            acc = fn(acc, _shifted(acc, step, ident))
+            k += step
+        out = acc
+        out_valid = wcnt >= mp
+        out = jnp.where(out_valid, out, jnp.nan)
+    elif kind == "count":
+        out = wcnt.astype(jnp.float64)
+        out_valid = wcnt >= mp
+    elif kind == "sum":
+        out = wsum
+        out_valid = wcnt >= mp
+    elif kind == "mean":
+        out = wsum / jnp.maximum(wcnt, 1)
+        out_valid = wcnt >= mp
+    elif kind in ("var", "std"):
+        csq = jnp.cumsum(jnp.where(valid, x64 * x64, 0.0))
+        wsq = csq - _shifted(csq, w, 0.0)
+        mean = wsum / jnp.maximum(wcnt, 1)
+        m2 = jnp.maximum(wsq - wcnt * mean * mean, 0.0)
+        denom = wcnt - 1
+        out = jnp.where(denom > 0, m2 / jnp.maximum(denom, 1), jnp.nan)
+        if kind == "std":
+            out = jnp.sqrt(out)
+        out_valid = (wcnt >= mp) & (denom > 0)
+    else:
+        raise ValueError(f"rolling kind {kind!r}")
+
+    # windows ending before `window` rows have partial width by construction;
+    # min_periods already handles validity. NaN-out invalid rows (pandas).
+    out = jnp.where(out_valid, out, jnp.nan)
+    if center:
+        lead = window // 2
+        out = jnp.concatenate([out[lead:], jnp.full((lead,), jnp.nan)])
+        out_valid = jnp.concatenate(
+            [out_valid[lead:], jnp.zeros((lead,), jnp.bool_)]
+        )
+    return Column(dtypes.float64, out, out_valid, col.length)
+
+
+@elementwise_jit(static_argnames=("periods",))
+def shift(col: Column, periods: int = 1) -> Column:
+    """cudf::shift (cpp/src/copying/shift.cu): lag/lead with null fill."""
+    cap = col.capacity
+    v = col.validity if col.validity is not None else jnp.ones((cap,), jnp.bool_)
+    inb = col.bounds_mask()
+    v = v & inb
+    if periods >= 0:
+        data = _shifted(col.data, periods, jnp.zeros((), col.data.dtype))
+        valid = _shifted(v, periods, False)
+    else:
+        k = -periods
+        data = jnp.concatenate([col.data[k:], jnp.zeros((k,), col.data.dtype)])
+        valid = jnp.concatenate([v[k:], jnp.zeros((k,), jnp.bool_)])
+        # rows >= length-k must be null
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        valid = valid & (pos < jnp.asarray(col.length, jnp.int32) - k)
+    return Column(col.dtype, data, valid, col.length, col.dictionary)
+
+
+def diff(col: Column, periods: int = 1) -> Column:
+    from .binaryop import binary_op
+
+    return binary_op(col, shift(col, periods), "sub")

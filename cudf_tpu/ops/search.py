@@ -1,0 +1,69 @@
+"""Search: searchsorted (lower/upper bound) and contains.
+
+Analog of cpp/src/search/ (search.cu — row_operator binary search).
+Single-column path uses jnp.searchsorted on order codes; multi-column uses
+the join layer's vectorized lexicographic binary search.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import dtypes
+from ..core.column import Column
+from . import rowcodes
+
+
+@partial(jax.jit, static_argnames=("side",))
+def _searchsorted_impl(haystack: Column, needles: Column, side: str):
+    h_ops = rowcodes.equality_operands(haystack)
+    n_ops = rowcodes.equality_operands(needles)
+    # normalize operand structure across sides (null flag presence)
+    if haystack.validity is None and needles.validity is not None:
+        h_ops = [jnp.zeros((haystack.capacity,), jnp.uint32)] + h_ops
+    if needles.validity is None and haystack.validity is not None:
+        n_ops = [jnp.zeros((needles.capacity,), jnp.uint32)] + n_ops
+
+    capH = haystack.capacity
+    capN = needles.capacity
+    n = jnp.asarray(haystack.length, jnp.int32)
+    steps = max(1, capH.bit_length())
+    from .join import _lex_lt
+
+    hi = jnp.broadcast_to(n, (capN,)).astype(jnp.int32)
+    lo = jnp.zeros((capN,), jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        midc = jnp.clip(mid, 0, capH - 1)
+        h_at = [op[midc] for op in h_ops]
+        lt, eq = _lex_lt(h_at, n_ops)
+        go_right = lt | (eq if side == "right" else jnp.zeros_like(lt))
+        active = lo < hi
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
+
+
+def searchsorted(haystack: Column, needles: Column, side: str = "left") -> Column:
+    """Indices where needles insert into (sorted) haystack."""
+    out = _searchsorted_impl(haystack, needles, side)
+    return Column(dtypes.int32, out, None, needles.length)
+
+
+def contains(haystack: Column, needles: Column) -> Column:
+    """cudf::contains: for each needle, does it appear in haystack?
+
+    haystack need not be sorted (sorted internally).
+    """
+    from .sorting import sort_column
+    from .strings import unify_dictionaries
+
+    if haystack.dtype.is_string:
+        haystack, needles = unify_dictionaries([haystack, needles])
+    sh = sort_column(haystack)
+    lb = _searchsorted_impl(sh, needles, "left")
+    ub = _searchsorted_impl(sh, needles, "right")
+    return Column(dtypes.bool_, ub > lb, needles.validity, needles.length)

@@ -1,0 +1,135 @@
+"""Streaming groupby: aggregate / merge / finalize over partitions.
+
+Analog of libcudf's incremental streaming_groupby API (reference:
+cpp/src/groupby/streaming_groupby.cpp:21-38 — insert/merge/aggregate) and
+cudf-polars' distributed agg decomposition (streaming/groupby.py:233:
+mean -> sum+count, var/std via moment merges, count -> sum; the MERGE_*
+aggregation kinds of include/cudf/aggregation.hpp:79-124).
+
+Each user aggregation decomposes into *mergeable* partial states (sums,
+counts, sums of squares, mins, maxes); partials combine with a plain
+groupby over the union of partial tables (associative merges), and a
+finalize pass computes the user-facing values. Moment-based var/std is
+mergeable by construction (documented tradeoff vs the two-pass M2 used in
+the single-pass engine).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+from ..core.column import Column
+from ..core.table import Table
+from .groupby import AggSpec, groupby_aggregate
+
+
+_SUPPORTED = {"sum", "count", "size", "mean", "min", "max", "var", "std", "any", "all"}
+
+
+def decompose(aggs: Sequence[AggSpec]) -> Tuple[List[AggSpec], Dict[str, List[str]]]:
+    """User aggs -> partial-state aggs + mapping out_name -> state names."""
+    partials: Dict[str, AggSpec] = {}
+    mapping: Dict[str, List[str]] = {}
+
+    def need(col, kind):
+        name = f"__{kind}_{col}"
+        partials[name] = AggSpec(col, kind, name)
+        return name
+
+    for a in aggs:
+        assert a.kind in _SUPPORTED, f"streaming agg {a.kind} unsupported"
+        if a.kind == "sum":
+            mapping[a.out_name] = [need(a.column, "sum"), need(a.column, "count")]
+        elif a.kind == "count":
+            mapping[a.out_name] = [need(a.column, "count")]
+        elif a.kind == "size":
+            mapping[a.out_name] = [need("", "size")]
+        elif a.kind == "mean":
+            mapping[a.out_name] = [need(a.column, "sum"), need(a.column, "count")]
+        elif a.kind in ("min", "max", "any", "all"):
+            mapping[a.out_name] = [need(a.column, a.kind)]
+        elif a.kind in ("var", "std"):
+            mapping[a.out_name] = [
+                need(a.column, "sum"), need(a.column, "sum_of_squares"),
+                need(a.column, "count"),
+            ]
+    return list(partials.values()), mapping
+
+
+_MERGE_KIND = {"sum": "sum", "count": "sum", "size": "sum", "min": "min",
+               "max": "max", "sum_of_squares": "sum", "any": "any", "all": "all"}
+
+
+def partial_aggregate(tbl: Table, keys: Sequence[str], partials: List[AggSpec],
+                      dropna_keys: bool = True) -> Table:
+    """Per-partition partial aggregation (the 'insert' phase)."""
+    return groupby_aggregate(tbl, keys, partials, dropna_keys)
+
+
+def merge_partials(parts: Sequence[Table], keys: Sequence[str],
+                   partials: List[AggSpec]) -> Table:
+    """Combine partial tables (the 'merge' phase): concat + merge-groupby."""
+    from .copying import concatenate_tables
+
+    merged_aggs = [AggSpec(p.out_name, _MERGE_KIND[p.kind], p.out_name) for p in partials]
+    allp = concatenate_tables(list(parts))
+    return groupby_aggregate(allp, keys, merged_aggs, dropna_keys=False)
+
+
+def finalize(merged: Table, keys: Sequence[str], aggs: Sequence[AggSpec],
+             mapping: Dict[str, List[str]]) -> Table:
+    """Produce user-facing columns from merged partial states."""
+    from .binaryop import binary_op
+    from .unaryop import unary_op
+    import jax.numpy as jnp
+    from ..core import dtypes
+
+    out = {k: merged[k] for k in keys}
+    for a in aggs:
+        states = mapping[a.out_name]
+        if a.kind in ("sum",):
+            s, c = merged[states[0]], merged[states[1]]
+            col = Column(s.dtype, s.data, c.data > 0 if c.validity is None else (c.data > 0) & c.validity, s.length)
+            out[a.out_name] = col
+        elif a.kind in ("min", "max", "any", "all"):
+            out[a.out_name] = merged[states[0]]
+        elif a.kind in ("count", "size"):
+            out[a.out_name] = merged[states[0]].declare_non_null()
+        elif a.kind == "mean":
+            s, c = merged[states[0]], merged[states[1]]
+            out[a.out_name] = binary_op(s, c, "div")
+        elif a.kind in ("var", "std"):
+            s, sq, c = (merged[n] for n in states)
+            mean = binary_op(s, c, "div")
+            ex2 = binary_op(sq, c, "div")
+            var = binary_op(ex2, binary_op(mean, mean, "mul"), "sub")
+            # unbiased: var * n / (n - ddof)
+            ddof = int(a.param) if a.param else 1
+            n_over = binary_op(c, binary_op(c, ddof, "sub"), "div")
+            var = binary_op(var, n_over, "mul")
+            denom_ok = binary_op(c, ddof, "gt")
+            v = var if a.kind == "var" else Column(
+                dtypes.float64, jnp.sqrt(jnp.maximum(var.data, 0.0)), var.validity, var.length
+            )
+            vv = v.validity
+            m = denom_ok.data if vv is None else (vv & denom_ok.data)
+            out[a.out_name] = Column(v.dtype, v.data, m, v.length)
+    return Table(out)
+
+
+def streaming_groupby(parts: Sequence[Table], keys: Sequence[str],
+                      aggs: Sequence[AggSpec], dropna_keys: bool = True,
+                      n_ary: int = 32) -> Table:
+    """End-to-end chunked groupby with n-ary tree reduction of partials
+    (reference: streaming/groupby.py:385-465 uses n_ary=32)."""
+    partials, mapping = decompose(aggs)
+    states = [partial_aggregate(p, keys, partials, dropna_keys) for p in parts]
+    while len(states) > 1:
+        nxt = []
+        for i in range(0, len(states), n_ary):
+            group = states[i : i + n_ary]
+            nxt.append(
+                merge_partials(group, keys, partials) if len(group) > 1 else group[0]
+            )
+        states = nxt
+    return finalize(states[0], keys, aggs, mapping)

@@ -1,0 +1,189 @@
+"""Out-of-core partitioned execution with host spill.
+
+Analog of the cudf-polars streaming executor's partition-wise task model
+(reference: streaming/parallel.py:68-117 lower_ir_graph + PartitionInfo;
+spill: python/cudf/cudf/core/buffer/spill_manager.py). One HBM-resident
+partition at a time; inactive partitions live as host Arrow/numpy buffers
+("spilled"), so tables far larger than device memory stream through the
+chip. The partition-count heuristic mirrors utils/config.py:277
+(target_partition_size = fraction of device memory).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.column import Column
+from ..core.table import Table
+
+
+@dataclasses.dataclass
+class _Partition:
+    """Either a device Table or a spilled host representation."""
+
+    table: Optional[Table] = None
+    host: Optional[dict] = None  # name -> (np data, np validity|None, dtype, dict)
+
+    def get(self) -> Table:
+        if self.table is not None:
+            return self.table
+        cols = {}
+        for name, (data, validity, dt, dic) in self.host.items():
+            cols[name] = Column.from_numpy(data, validity)
+            if dic is not None:
+                c = cols[name]
+                cols[name] = Column(dt, c.data, c.validity, c.length, dic)
+        return Table(cols)
+
+    @staticmethod
+    def spilled(tbl: Table) -> "_Partition":
+        host = {}
+        for name, c in tbl:
+            data = np.asarray(c.data)[: c.length]
+            validity = None if c.validity is None else np.asarray(c.validity)[: c.length]
+            host[name] = (data, validity, c.dtype, c.dictionary)
+        return _Partition(host=host)
+
+
+class PartitionedFrame:
+    """A sequence of row partitions executed one at a time on device."""
+
+    def __init__(self, partitions: List[_Partition], spill: bool = True):
+        self._parts = partitions
+        self._spill = spill
+
+    # ----------------------------------------------------------- construct
+    @classmethod
+    def from_tables(cls, tables: Sequence[Table], spill: bool = True):
+        parts = [_Partition.spilled(t) if spill else _Partition(table=t) for t in tables]
+        return cls(parts, spill)
+
+    @classmethod
+    def from_pandas(cls, df, npartitions: int, spill: bool = True):
+        idx = np.array_split(np.arange(len(df)), npartitions)
+        return cls.from_tables(
+            [Table.from_pandas(df.iloc[i].reset_index(drop=True)) for i in idx], spill
+        )
+
+    @classmethod
+    def read_parquet_chunked(cls, path, rows_per_chunk: int = 4_000_000,
+                             columns=None, spill: bool = True):
+        """Chunked parquet scan (reference: reader_impl_chunking passes)."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        parts = []
+        for batch in pf.iter_batches(batch_size=rows_per_chunk, columns=columns):
+            import pyarrow as pa
+
+            t = Table.from_arrow(pa.Table.from_batches([batch]))
+            parts.append(_Partition.spilled(t) if spill else _Partition(table=t))
+        return cls(parts, spill)
+
+    # ------------------------------------------------------------ basic api
+    @property
+    def npartitions(self) -> int:
+        return len(self._parts)
+
+    def num_rows(self) -> int:
+        return sum(p.get().num_rows for p in self._parts)
+
+    def map_partitions(self, fn: Callable[[Table], Table]) -> "PartitionedFrame":
+        out = []
+        for p in self._parts:
+            t = fn(p.get())
+            out.append(_Partition.spilled(t) if self._spill else _Partition(table=t))
+        return PartitionedFrame(out, self._spill)
+
+    def filter(self, predicate_fn) -> "PartitionedFrame":
+        from ..ops.stream_compaction import apply_boolean_mask
+
+        return self.map_partitions(
+            lambda t: apply_boolean_mask(t, predicate_fn(t))
+        )
+
+    def select(self, names: Sequence[str]) -> "PartitionedFrame":
+        return self.map_partitions(lambda t: t.select(list(names)))
+
+    # ------------------------------------------------------------ operators
+    def groupby_agg(self, keys: Sequence[str], aggs, dropna_keys=True) -> Table:
+        """Chunked groupby via partial/merge/finalize tree reduction."""
+        from ..ops.streaming_groupby import streaming_groupby
+
+        tables = (p.get() for p in self._parts)
+        return streaming_groupby(list(tables), list(keys), list(aggs), dropna_keys)
+
+    def join_small(self, right: Table, left_on, right_on, how="inner") -> "PartitionedFrame":
+        """Broadcast join: the small right side joins every partition."""
+        from ..ops.join import join as join_op
+
+        return self.map_partitions(
+            lambda t: join_op(t, right, list(left_on), list(right_on), how)
+        )
+
+    def sort_values(self, keys: Sequence[str], descending=False) -> "PartitionedFrame":
+        """Out-of-core sample sort: splitters -> bucket rows -> per-bucket sort."""
+        from ..ops.sorting import sort_by_key
+        from ..ops.stream_compaction import apply_boolean_mask
+        from ..ops import binaryop
+        from ..core import dtypes
+
+        keys = list(keys)
+        n_out = self.npartitions
+        first = keys[0]
+        # sample first-key values host-side
+        samples = []
+        for p in self._parts:
+            v = p.get()[first].to_numpy()
+            take = min(len(v), 128)
+            if take:
+                samples.append(np.asarray(v[np.linspace(0, len(v) - 1, take).astype(int)]))
+        s = np.sort(np.concatenate(samples))
+        splitters = [s[int(len(s) * (i + 1) / n_out)] for i in range(n_out - 1)]
+
+        buckets: List[List[Table]] = [[] for _ in range(n_out)]
+        for p in self._parts:
+            t = p.get()
+            col = t[first]
+            import jax.numpy as jnp
+
+            lohi = [None] * n_out
+            for b in range(n_out):
+                lo = splitters[b - 1] if b > 0 else None
+                hi = splitters[b] if b < n_out - 1 else None
+                mask = None
+                if lo is not None:
+                    mask = binaryop.binary_op(col, lo, "ge")
+                if hi is not None:
+                    m2 = binaryop.binary_op(col, hi, "lt")
+                    mask = m2 if mask is None else binaryop.binary_op(mask, m2, "and")
+                if mask is None:
+                    sub = t
+                else:
+                    sub = apply_boolean_mask(t, mask)
+                if sub.num_rows:
+                    buckets[b].append(sub)
+        from ..ops.copying import concatenate_tables
+
+        out = []
+        for b in range(n_out):
+            if not buckets[b]:
+                continue
+            merged = concatenate_tables(buckets[b]) if len(buckets[b]) > 1 else buckets[b][0]
+            out.append(_Partition.spilled(sort_by_key(merged, keys,
+                                                      [descending] * len(keys))))
+        return PartitionedFrame(out, self._spill)
+
+    def collect(self) -> Table:
+        from ..ops.copying import concatenate_tables
+
+        tables = [p.get() for p in self._parts]
+        return concatenate_tables(tables) if len(tables) > 1 else tables[0]
+
+    def to_pandas(self):
+        import pandas as pd
+
+        return pd.concat([p.get().to_pandas() for p in self._parts],
+                         ignore_index=True)

@@ -1,0 +1,89 @@
+"""Validated options registry with environment-variable defaults.
+
+Analog of python/cudf/cudf/options.py:15-46 (registry + env defaults) and
+the C++ getenv_or helpers (cpp/src/utilities/getenv_or.cpp).
+"""
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+from typing import Any, Callable, Dict, Optional
+
+
+class _Option:
+    __slots__ = ("name", "value", "default", "validator", "description")
+
+    def __init__(self, name, default, validator, description):
+        self.name = name
+        self.default = default
+        self.value = default
+        self.validator = validator
+        self.description = description
+
+
+_OPTIONS: Dict[str, _Option] = {}
+
+
+def _register(name: str, default, validator: Callable[[Any], bool],
+              description: str, env: Optional[str] = None):
+    if env and env in os.environ:
+        raw = os.environ[env]
+        if isinstance(default, bool):
+            default = raw.lower() in ("1", "true", "on", "yes")
+        elif isinstance(default, int):
+            default = int(raw)
+        elif isinstance(default, float):
+            default = float(raw)
+        else:
+            default = raw
+    _OPTIONS[name] = _Option(name, default, validator, description)
+
+
+def get_option(name: str):
+    return _OPTIONS[name].value
+
+
+def set_option(name: str, value):
+    opt = _OPTIONS[name]
+    if not opt.validator(value):
+        raise ValueError(f"invalid value {value!r} for option {name}")
+    opt.value = value
+
+
+def describe_options() -> Dict[str, str]:
+    return {n: o.description for n, o in _OPTIONS.items()}
+
+
+@contextmanager
+def option_context(name: str, value):
+    old = get_option(name)
+    set_option(name, value)
+    try:
+        yield
+    finally:
+        set_option(name, old)
+
+
+_bool = lambda v: isinstance(v, bool)  # noqa: E731
+_pos_int = lambda v: isinstance(v, int) and v > 0  # noqa: E731
+
+_register("spill", True, _bool,
+          "Keep inactive partitions on host (PartitionedFrame).",
+          env="CUDF_TPU_SPILL")
+_register("performance_tracking", False, _bool,
+          "Emit per-op timing logs (utils/tracing.py).",
+          env="CUDF_TPU_PERFORMANCE_TRACKING")
+_register("target_partition_rows", 4_000_000, _pos_int,
+          "Rows per partition for chunked readers (analog of "
+          "target_partition_size, utils/config.py:277).",
+          env="CUDF_TPU_TARGET_PARTITION_ROWS")
+_register("broadcast_limit_rows", 2_000_000, _pos_int,
+          "Max build-side rows for broadcast joins (streaming/join.py:94).",
+          env="CUDF_TPU_BROADCAST_LIMIT_ROWS")
+_register("default_float_bitwidth", 64, lambda v: v in (32, 64),
+          "Float width for ambiguous constructions.",
+          env="CUDF_TPU_DEFAULT_FLOAT_BITWIDTH")
+_register("shuffle_bucket_factor", 2, _pos_int,
+          "Shuffle bucket headroom multiplier over the balanced size "
+          "(skew tolerance before overflow-retry).",
+          env="CUDF_TPU_SHUFFLE_BUCKET_FACTOR")

@@ -1,0 +1,52 @@
+"""Tracing / profiling hooks.
+
+Analog of the reference's NVTX plumbing (CUDF_FUNC_RANGE, cpp/include/cudf/
+detail/nvtx/ranges.hpp; python _performance_tracking decorator,
+python/cudf/cudf/utils/performance_tracking.py:31; cudf-polars structured
+per-node traces, dsl/tracing.py). On TPU the device-side ranges come from
+``jax.named_scope`` (visible in the jax profiler / xprof); host-side wall
+times go to a structured log when the ``performance_tracking`` option is on.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+from contextlib import contextmanager
+
+import jax
+
+from .options import get_option
+
+
+def _log(record: dict):
+    print(json.dumps(record), file=sys.stderr, flush=True)
+
+
+@contextmanager
+def annotate(name: str, **meta):
+    """Named scope (device trace) + optional wall-clock structured log."""
+    tracking = get_option("performance_tracking")
+    t0 = time.perf_counter() if tracking else 0.0
+    with jax.named_scope(name):
+        yield
+    if tracking:
+        _log({"op": name, "wall_s": round(time.perf_counter() - t0, 6), **meta})
+
+
+def trace_op(fn):
+    """Decorator version of annotate for operator entry points."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with annotate(fn.__qualname__):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def profiler_trace(log_dir: str):
+    """Start a jax profiler trace (view with xprof/tensorboard)."""
+    jax.profiler.start_trace(log_dir)
+    return jax.profiler.stop_trace

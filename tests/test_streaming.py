@@ -1,0 +1,163 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops.groupby import AggSpec
+from cudf_tpu.ops import rolling as roll, search, filling
+from cudf_tpu.ops.streaming_groupby import streaming_groupby
+from cudf_tpu.parallel.partitioned import PartitionedFrame
+from cudf_tpu.core.column import Column
+
+
+def col(v, validity=None):
+    return Column.from_numpy(np.asarray(v), validity)
+
+
+class TestStreamingGroupby:
+    def test_matches_single_pass(self):
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({"k": rng.integers(0, 20, 5000), "v": rng.normal(size=5000)})
+        parts = [Table.from_pandas(df.iloc[i::7].reset_index(drop=True)) for i in range(7)]
+        out = streaming_groupby(
+            parts, ["k"],
+            [AggSpec("v", "sum", "s"), AggSpec("v", "mean", "m"),
+             AggSpec("v", "count", "c"), AggSpec("v", "min", "lo"),
+             AggSpec("v", "max", "hi"), AggSpec("v", "var", "var"),
+             AggSpec("", "size", "n")],
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = df.groupby("k", as_index=False).agg(
+            s=("v", "sum"), m=("v", "mean"), c=("v", "count"),
+            lo=("v", "min"), hi=("v", "max"), var=("v", "var"), n=("v", "size"))
+        exp["c"] = exp["c"].astype("int64")
+        exp["n"] = exp["n"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp, rtol=1e-8, check_dtype=False)
+
+    def test_tree_reduction_many_parts(self):
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({"k": rng.integers(0, 5, 4000), "v": np.ones(4000)})
+        parts = [Table.from_pandas(df.iloc[i::67].reset_index(drop=True)) for i in range(67)]
+        out = streaming_groupby(parts, ["k"], [AggSpec("v", "sum", "s")], n_ary=4)
+        total = out.to_pandas()["s"].sum()
+        assert total == 4000
+
+
+class TestPartitionedFrame:
+    def test_groupby_spilled(self):
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({"k": rng.integers(0, 10, 3000), "v": rng.normal(size=3000)})
+        pf = PartitionedFrame.from_pandas(df, npartitions=5)
+        out = pf.groupby_agg(["k"], [AggSpec("v", "mean", "m")]).to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        exp = df.groupby("k", as_index=False).agg(m=("v", "mean"))
+        pd.testing.assert_frame_equal(out, exp, rtol=1e-9)
+
+    def test_broadcast_join_partitions(self):
+        rng = np.random.default_rng(3)
+        fact = pd.DataFrame({"k": rng.integers(0, 30, 2000), "v": rng.normal(size=2000)})
+        dim = pd.DataFrame({"k": np.arange(30), "w": np.arange(30) * 2.0})
+        pf = PartitionedFrame.from_pandas(fact, npartitions=4)
+        out = pf.join_small(Table.from_pandas(dim), ["k"], ["k"]).to_pandas()
+        exp = fact.merge(dim, on="k")
+        pd.testing.assert_frame_equal(
+            out.sort_values(["k", "v"]).reset_index(drop=True),
+            exp.sort_values(["k", "v"]).reset_index(drop=True), rtol=1e-12)
+
+    def test_out_of_core_sort(self):
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({"k": rng.normal(size=3000), "v": np.arange(3000)})
+        pf = PartitionedFrame.from_pandas(df, npartitions=6)
+        out = pf.sort_values(["k"]).to_pandas()
+        exp = df.sort_values("k", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_parquet_chunked(self, tmp_path):
+        df = pd.DataFrame({"a": np.arange(10000), "b": np.arange(10000) * 0.5})
+        p = str(tmp_path / "big.parquet")
+        df.to_parquet(p, row_group_size=1000)
+        pf = PartitionedFrame.read_parquet_chunked(p, rows_per_chunk=1000)
+        assert pf.npartitions == 10
+        out = pf.groupby_agg([], None) if False else pf.collect().to_pandas()
+        pd.testing.assert_frame_equal(out, df)
+
+
+class TestRolling:
+    def test_rolling_sum_mean(self):
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+        c = col(vals)
+        p = pd.Series(vals)
+        np.testing.assert_allclose(
+            roll.rolling(c, 3, "sum").to_numpy(), p.rolling(3).sum().to_numpy())
+        np.testing.assert_allclose(
+            roll.rolling(c, 3, "mean").to_numpy(), p.rolling(3).mean().to_numpy())
+
+    def test_rolling_min_max(self):
+        rng = np.random.default_rng(5)
+        vals = rng.normal(size=200)
+        c = col(vals)
+        p = pd.Series(vals)
+        for w in (2, 5, 16, 17):
+            np.testing.assert_allclose(
+                roll.rolling(c, w, "min").to_numpy(), p.rolling(w).min().to_numpy())
+            np.testing.assert_allclose(
+                roll.rolling(c, w, "max").to_numpy(), p.rolling(w).max().to_numpy())
+
+    def test_rolling_var_nan(self):
+        vals = [1.0, np.nan, 3.0, 4.0, 7.0]
+        c = col(vals)
+        p = pd.Series(vals)
+        np.testing.assert_allclose(
+            roll.rolling(c, 3, "var", min_periods=2).to_numpy(),
+            p.rolling(3, min_periods=2).var().to_numpy(), rtol=1e-9)
+
+    def test_shift_diff(self):
+        c = col([1, 2, 4, 8])
+        out = roll.shift(c, 1).to_numpy()
+        assert out[0] is None and list(out[1:]) == [1, 2, 4]
+        out = roll.shift(c, -1).to_numpy()
+        assert list(out[:3]) == [2, 4, 8] and out[3] is None
+        d = roll.diff(c).to_numpy()
+        assert d[0] is None and list(d[1:]) == [1, 2, 4]
+
+
+class TestSearchFilling:
+    def test_searchsorted(self):
+        h = col([1, 3, 3, 7])
+        n = col([0, 3, 8])
+        np.testing.assert_array_equal(
+            search.searchsorted(h, n, "left").to_numpy(), [0, 1, 4])
+        np.testing.assert_array_equal(
+            search.searchsorted(h, n, "right").to_numpy(), [0, 3, 4])
+
+    def test_contains(self):
+        h = col([5, 1, 9])
+        n = col([1, 2, 9, 0])
+        np.testing.assert_array_equal(
+            search.contains(h, n).to_numpy(), [True, False, True, False])
+
+    def test_sequence_fill(self):
+        s = filling.sequence(5, init=10, step=2)
+        np.testing.assert_array_equal(s.to_numpy(), [10, 12, 14, 16, 18])
+        f = filling.fill(s, 1, 3, 99)
+        np.testing.assert_array_equal(f.to_numpy(), [10, 99, 99, 16, 18])
+
+    def test_label_bins_matches_cut(self):
+        vals = [0.5, 1.5, 2.5, 3.5, -1.0]
+        c = col(vals)
+        out = filling.label_bins(c, [0, 1, 2, 3], right=True).to_numpy()
+        exp = pd.cut(pd.Series(vals), [0, 1, 2, 3], labels=False, include_lowest=True)
+        for g, e in zip(out, exp):
+            assert (g is None and np.isnan(e)) or g == e
+
+    def test_repeat_tile(self):
+        t = Table.from_pydict({"a": [1, 2]})
+        np.testing.assert_array_equal(
+            filling.repeat(t, 3)["a"].to_numpy(), [1, 1, 1, 2, 2, 2])
+        np.testing.assert_array_equal(
+            filling.tile(t, 2)["a"].to_numpy(), [1, 2, 1, 2])
+
+    def test_one_hot(self):
+        c = col([1, 2, 1])
+        out = filling.one_hot_encode(c)
+        np.testing.assert_array_equal(out["1"].to_numpy(), [True, False, True])
+        np.testing.assert_array_equal(out["2"].to_numpy(), [False, True, False])
