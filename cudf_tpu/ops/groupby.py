@@ -76,7 +76,9 @@ def _grouping_finish(keys, perm):
     pos = jnp.arange(cap, dtype=jnp.int32)
     inb_sorted = pos < jnp.asarray(length, jnp.int32)  # padding sorts last
     n_groups = jnp.sum((newgrp & inb_sorted).astype(jnp.int32))
-    seg = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    from .sortprim import tiled_cumsum
+
+    seg = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
     return seg, newgrp, inb_sorted, n_groups
 
 
@@ -289,9 +291,11 @@ def _nunique(kcols, vcol: Column, out_cap: int, nseg: int, n_groups, perm) -> Co
     vops = rowcodes.equality_operands(vcol)
     sorted_all = [op[perm] for op in (list(ops) + list(vops))]
     key_sorted = sorted_all[: len(ops)]
+    from .sortprim import tiled_cumsum
+
     newgrp = rowcodes.adjacent_neq(key_sorted)
     pos = jnp.arange(cap, dtype=jnp.int32)
-    seg = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    seg = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
     inb = pos < jnp.asarray(length, jnp.int32)
     seg_c = jnp.where(inb, jnp.minimum(seg, nseg - 1), nseg - 1)
     newval = rowcodes.adjacent_neq(sorted_all)  # keys+value change
@@ -302,7 +306,7 @@ def _nunique(kcols, vcol: Column, out_cap: int, nseg: int, n_groups, perm) -> Co
     # a run of equal values may start at an invalid row; count runs with >=1 valid
     # simpler: count distinct among valid rows — first valid occurrence of each value run
     # mark first valid row of each (group,value) run:
-    runid = jnp.cumsum(newval.astype(jnp.int32)) - 1
+    runid = tiled_cumsum(newval.astype(jnp.int32)) - 1
     vp = jnp.where(svalid, pos, cap - 1)
     first_valid_of_run = jnp.full((cap,), cap - 1, jnp.int32).at[runid].min(vp)
     isfirst = svalid & (first_valid_of_run[runid] == pos)
@@ -315,10 +319,12 @@ def _quantile(kcols, vcol: Column, out_cap: int, nseg: int, n_groups, q: float, 
     length = kcols[0].length
     cap = vcol.capacity
     ops = rowcodes.grouping_operands(list(kcols), length)
+    from .sortprim import tiled_cumsum
+
     key_sorted = [op[perm] for op in ops]
     pos = jnp.arange(cap, dtype=jnp.int32)
     newgrp = rowcodes.adjacent_neq(key_sorted)
-    seg = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    seg = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
     inb = pos < jnp.asarray(length, jnp.int32)
     seg_c = jnp.where(inb, jnp.minimum(seg, nseg - 1), nseg - 1)
     svalid = inb

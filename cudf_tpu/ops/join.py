@@ -168,7 +168,9 @@ def _expand(counts, lb, r_perm, linb, out_cap, how):
         eff = counts
     total = jnp.sum(eff)
     # exclusive prefix; padding rows get offset=total so searchsorted skips them
-    offs = jnp.cumsum(eff) - eff
+    from .sortprim import tiled_cumsum
+
+    offs = tiled_cumsum(eff) - eff
     offs = jnp.where(linb, offs, total)
     j = jnp.arange(out_cap, dtype=eff.dtype)
     src = jnp.clip(

@@ -133,13 +133,17 @@ def _scan_impl(col: Column, kind: str) -> Column:
     valid = col.valid_mask()
     x = col.data
     if kind == "cumsum":
+        from .sortprim import tiled_cumsum
+
         xz = jnp.where(valid, x, jnp.zeros((), x.dtype))
-        out = jnp.cumsum(xz)
+        out = tiled_cumsum(xz)
         out_dt = col.dtype if col.dtype.is_floating else dtypes.int64
         out = out.astype(out_dt.physical)
     elif kind == "cumprod":
+        from .sortprim import tiled_cumprod
+
         xz = jnp.where(valid, x, jnp.ones((), x.dtype))
-        out = jnp.cumprod(xz)
+        out = tiled_cumprod(xz)
         out_dt = col.dtype if col.dtype.is_floating else dtypes.int64
         out = out.astype(out_dt.physical)
     elif kind in ("cummax", "cummin"):
@@ -148,12 +152,15 @@ def _scan_impl(col: Column, kind: str) -> Column:
         else:
             info = jnp.iinfo(x.dtype)
             ident = jnp.asarray(info.max if kind == "cummin" else info.min, x.dtype)
+        from .sortprim import tiled_cummax, tiled_cummin
+
         xz = jnp.where(valid, x, ident)
-        fn = jnp.minimum if kind == "cummin" else jnp.maximum
-        out = jax.lax.associative_scan(fn, xz)
+        out = tiled_cummin(xz) if kind == "cummin" else tiled_cummax(xz)
         out_dt = col.dtype
     elif kind == "cumcount":
-        out = jnp.cumsum(valid.astype(jnp.int64))
+        from .sortprim import tiled_cumsum as _tc
+
+        out = _tc(valid.astype(jnp.int64))
         out_dt = dtypes.int64
     else:
         raise ValueError(kind)

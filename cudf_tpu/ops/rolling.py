@@ -36,8 +36,10 @@ def rolling(col: Column, window: int, kind: str = "sum",
     x64 = col.data.astype(jnp.float64)
     xz = jnp.where(valid, x64, 0.0)
 
-    csum = jnp.cumsum(xz)
-    ccnt = jnp.cumsum(valid.astype(jnp.int64))
+    from .sortprim import tiled_cumsum
+
+    csum = tiled_cumsum(xz)
+    ccnt = tiled_cumsum(valid.astype(jnp.int64))
     w = window
     wsum = csum - _shifted(csum, w, 0.0)
     wcnt = ccnt - _shifted(ccnt, w, 0)
@@ -65,7 +67,7 @@ def rolling(col: Column, window: int, kind: str = "sum",
         out = wsum / jnp.maximum(wcnt, 1)
         out_valid = wcnt >= mp
     elif kind in ("var", "std"):
-        csq = jnp.cumsum(jnp.where(valid, x64 * x64, 0.0))
+        csq = tiled_cumsum(jnp.where(valid, x64 * x64, 0.0))
         wsq = csq - _shifted(csq, w, 0.0)
         mean = wsum / jnp.maximum(wcnt, 1)
         m2 = jnp.maximum(wsq - wcnt * mean * mean, 0.0)

@@ -89,20 +89,22 @@ def _rank_impl(col, method, descending, pct):
     eq_ops = [op[perm] for op in rowcodes.equality_operands(col)]
     pos = jnp.arange(cap, dtype=jnp.int64)
     new_grp = rowcodes.adjacent_neq(eq_ops)
+    from .sortprim import tiled_cummax, tiled_cummin, tiled_cumsum
+
     if method == "first":
         r_sorted = pos + 1
     elif method == "dense":
-        r_sorted = jnp.cumsum(new_grp.astype(jnp.int64))
+        r_sorted = tiled_cumsum(new_grp.astype(jnp.int64))
     else:
         grp_start = jnp.where(new_grp, pos, 0)
-        grp_start = jax.lax.associative_scan(jnp.maximum, grp_start)
+        grp_start = tiled_cummax(grp_start)
         if method == "min":
             r_sorted = grp_start + 1
         elif method in ("max", "average"):
             # group end: next group's start - 1 (computed via reverse max scan)
             nxt = jnp.concatenate([new_grp[1:], jnp.ones((1,), jnp.bool_)])
             grp_end = jnp.where(nxt, pos, cap)
-            grp_end = jax.lax.associative_scan(jnp.minimum, grp_end, reverse=True)
+            grp_end = tiled_cummin(grp_end[::-1])[::-1]
             if method == "max":
                 r_sorted = grp_end + 1
             else:

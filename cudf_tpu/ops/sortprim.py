@@ -1,18 +1,20 @@
 """Sort primitive: multi-key ordering via sequential stable 1-key passes.
 
 The TPU-native answer to libcudf's CUB radix sort (cpp/src/sort/
-sort_radix.cu). XLA's sort comparator compile time scales superlinearly
-with the number of key operands (measured ~15-25s *per operand* at 256k
-rows on the axon stack), so instead of one N-operand lexicographic sort we
-run N stable single-key passes from least- to most-significant operand —
-exactly an LSD radix sort with 32-bit digits. Every pass reuses ONE
-compiled executable per (capacity) signature:
+sort_radix.cu), shaped by two measured properties of the axon XLA stack:
 
-    perm = sort_u32_pass(operand_gathered, perm)
+1. sort-comparator compile time scales superlinearly with the number of
+   key operands (~15-25s/operand at 256k rows) — so multi-key orders run
+   as LSD radix passes over ONE cached single-key executable;
+2. flat sort compile time scales ~linearly with row count and becomes
+   intractable past ~1M rows (>45min at 2M), while a *batched* (tiles,
+   width) sort compiles in tile-width time — so each pass is a tiled
+   sort-per-tile followed by log2(tiles) rounds of stable two-way merging
+   built from vectorized searchsorted + scatter (compile-cheap, O(n log n)
+   gathers at runtime).
 
-so the whole engine (sort_by_key, groupby, distinct, join build) shares a
-single sort compilation per capacity bucket instead of compiling a new
-comparator per operator per key combination.
+Every pass therefore reuses one compiled executable per capacity bucket,
+shared by sort_by_key, groupby, distinct, and join builds.
 """
 from __future__ import annotations
 
@@ -23,13 +25,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+TILE = 262144  # max flat/tile sort width (compile-time sweet spot)
+
+
+def _tiling(cap: int):
+    """(T, W): W <= TILE, T a power of two, T*W == cap."""
+    t = 1
+    w = cap
+    while w > TILE:
+        t *= 2
+        assert cap % t == 0, (cap, t)
+        w = cap // t
+    return t, w
+
+
+def _merge_pairs(keys, perm):
+    """One stable merge round: (R, L) sorted runs -> (R/2, 2L)."""
+    R, L = keys.shape
+    A, B = keys[0::2], keys[1::2]
+    pA, pB = perm[0::2], perm[1::2]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    ssl = jax.vmap(lambda hay, need: jnp.searchsorted(hay, need, side="left").astype(jnp.int32))
+    ssr = jax.vmap(lambda hay, need: jnp.searchsorted(hay, need, side="right").astype(jnp.int32))
+    posA = idx[None, :] + ssl(B, A)
+    posB = idx[None, :] + ssr(A, B)
+
+    def one(a, b, pa, pb, ia, ib):
+        ok = jnp.zeros((2 * L,), keys.dtype).at[ia].set(a).at[ib].set(b)
+        op = jnp.zeros((2 * L,), perm.dtype).at[ia].set(pa).at[ib].set(pb)
+        return ok, op
+
+    return jax.vmap(one)(A, B, pA, pB, posA, posB)
+
 
 @jax.jit
 def _pass(op: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     """One stable pass: reorder perm by op[perm] (ascending)."""
+    cap = op.shape[0]
     k = op[perm]
-    _, out = jax.lax.sort((k, perm), num_keys=1, is_stable=True)
-    return out
+    T, W = _tiling(cap)
+    if T == 1:
+        _, out = jax.lax.sort((k, perm), num_keys=1, is_stable=True)
+        return out
+    k2 = k.reshape(T, W)
+    p2 = perm.reshape(T, W)
+    k2, p2 = jax.lax.sort((k2, p2), dimension=1, num_keys=1, is_stable=True)
+    while k2.shape[0] > 1:
+        k2, p2 = _merge_pairs(k2, p2)
+    return p2.reshape(-1)
 
 
 def _iota(cap: int) -> jnp.ndarray:
@@ -46,3 +89,61 @@ def multisort_perm(operands: Sequence[jnp.ndarray]) -> jnp.ndarray:
         assert op.dtype == jnp.uint32, op.dtype
         perm = _pass(op, perm)
     return perm
+
+
+def tiled_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """cumsum with tile-width compile cost (flat cumsum compiles in ~30s at
+    2M rows on the axon stack; the batched per-tile form is sub-second)."""
+    cap = x.shape[0]
+    T, W = _tiling(cap)
+    if T == 1:
+        return jnp.cumsum(x)
+    x2 = x.reshape(T, W)
+    pc = jnp.cumsum(x2, axis=1)
+    sums = pc[:, -1]
+    off = jnp.cumsum(sums) - sums
+    return (pc + off[:, None].astype(pc.dtype)).reshape(-1)
+
+
+def tiled_cumprod(x: jnp.ndarray) -> jnp.ndarray:
+    cap = x.shape[0]
+    T, W = _tiling(cap)
+    if T == 1:
+        return jnp.cumprod(x)
+    x2 = x.reshape(T, W)
+    pc = jnp.cumprod(x2, axis=1)
+    prods = pc[:, -1]
+    run = jnp.cumprod(prods)
+    off = jnp.concatenate([jnp.ones((1,), run.dtype), run[:-1]])  # exclusive
+    return (pc * off[:, None].astype(pc.dtype)).reshape(-1)
+
+
+def tiled_cummax(x: jnp.ndarray) -> jnp.ndarray:
+    cap = x.shape[0]
+    T, W = _tiling(cap)
+    if T == 1:
+        return jax.lax.associative_scan(jnp.maximum, x)
+    x2 = x.reshape(T, W)
+    pc = jax.lax.associative_scan(jnp.maximum, x2, axis=1)
+    tops = pc[:, -1]
+    run = jax.lax.associative_scan(jnp.maximum, tops)
+    prev = jnp.concatenate([run[:1].at[0].set(x2[0, 0]), run[:-1]])
+    # first tile has no prefix: use its own first element (identity-free max)
+    out = jnp.maximum(pc, prev[:, None])
+    out = out.at[0].set(pc[0])
+    return out.reshape(-1)
+
+
+def tiled_cummin(x: jnp.ndarray) -> jnp.ndarray:
+    cap = x.shape[0]
+    T, W = _tiling(cap)
+    if T == 1:
+        return jax.lax.associative_scan(jnp.minimum, x)
+    x2 = x.reshape(T, W)
+    pc = jax.lax.associative_scan(jnp.minimum, x2, axis=1)
+    tops = pc[:, -1]
+    run = jax.lax.associative_scan(jnp.minimum, tops)
+    prev = jnp.concatenate([run[:1], run[:-1]])
+    out = jnp.minimum(pc, prev[:, None])
+    out = out.at[0].set(pc[0])
+    return out.reshape(-1)

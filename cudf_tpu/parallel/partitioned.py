@@ -19,18 +19,33 @@ from ..core.column import Column
 from ..core.table import Table
 
 
+_STORE = None
+
+
+def set_partition_store(store) -> None:
+    """Install a budgeted native spill store (utils.native.PartitionStore)
+    as the backing for spilled partitions; None reverts to plain host numpy."""
+    global _STORE
+    _STORE = store
+
+
 @dataclasses.dataclass
 class _Partition:
     """Either a device Table or a spilled host representation."""
 
     table: Optional[Table] = None
-    host: Optional[dict] = None  # name -> (np data, np validity|None, dtype, dict)
+    host: Optional[dict] = None  # name -> (np data | store pid, np validity|None, dtype, dict)
+    in_store: bool = False
 
     def get(self) -> Table:
         if self.table is not None:
             return self.table
         cols = {}
         for name, (data, validity, dt, dic) in self.host.items():
+            if self.in_store:
+                data = _STORE.get(data)
+                if validity is not None:
+                    validity = _STORE.get(validity)
             cols[name] = Column.from_numpy(data, validity)
             if dic is not None:
                 c = cols[name]
@@ -43,8 +58,12 @@ class _Partition:
         for name, c in tbl:
             data = np.asarray(c.data)[: c.length]
             validity = None if c.validity is None else np.asarray(c.validity)[: c.length]
+            if _STORE is not None:
+                data = _STORE.put(data)
+                if validity is not None:
+                    validity = _STORE.put(validity)
             host[name] = (data, validity, c.dtype, c.dictionary)
-        return _Partition(host=host)
+        return _Partition(host=host, in_store=_STORE is not None)
 
 
 class PartitionedFrame:

@@ -1,0 +1,127 @@
+"""ctypes bindings for the native runtime (native/partition_store.cpp).
+
+Builds the shared library on first use (g++ available in the image; no
+pybind11, so the C ABI + ctypes is the binding layer). Falls back to pure
+Python if compilation is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _repo_root():
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.join(_repo_root(), "native", "partition_store.cpp")
+    out = os.path.join(_repo_root(), "native", "libpartition_store.so")
+    try:
+        if (not os.path.exists(out)) or os.path.getmtime(out) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(out)
+        lib.ps_create.restype = ctypes.c_void_p
+        lib.ps_create.argtypes = [ctypes.c_uint64, ctypes.c_char_p]
+        lib.ps_destroy.argtypes = [ctypes.c_void_p]
+        lib.ps_put.restype = ctypes.c_int
+        lib.ps_put.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                               ctypes.c_char_p, ctypes.c_uint64]
+        lib.ps_get.restype = ctypes.c_int64
+        lib.ps_get.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                               ctypes.c_char_p, ctypes.c_uint64]
+        lib.ps_size.restype = ctypes.c_int64
+        lib.ps_size.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ps_drop.restype = ctypes.c_int
+        lib.ps_drop.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ps_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+        lib.pack_bits.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]
+        lib.unpack_bits.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+class PartitionStore:
+    """Budgeted host buffer store with LRU disk spill (native-backed)."""
+
+    def __init__(self, budget_bytes: int = 4 << 30, spill_dir: str = "/tmp/cudf_tpu_spill"):
+        os.makedirs(spill_dir, exist_ok=True)
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native partition store unavailable")
+        self._lib = lib
+        self._h = lib.ps_create(budget_bytes, spill_dir.encode())
+        self._next = 0
+
+    def put(self, arr: np.ndarray) -> int:
+        arr = np.ascontiguousarray(arr)
+        pid = self._next
+        self._next += 1
+        buf = arr.tobytes()  # snapshot copy
+        rc = self._lib.ps_put(self._h, pid, buf, len(buf))
+        assert rc == 0
+        self._meta = getattr(self, "_meta", {})
+        self._meta[pid] = (arr.dtype, arr.shape)
+        return pid
+
+    def get(self, pid: int) -> np.ndarray:
+        dtype, shape = self._meta[pid]
+        nbytes = self._lib.ps_size(self._h, pid)
+        assert nbytes >= 0, f"unknown partition {pid}"
+        out = ctypes.create_string_buffer(nbytes)
+        got = self._lib.ps_get(self._h, pid, out, nbytes)
+        assert got == nbytes
+        return np.frombuffer(out.raw, dtype=dtype).reshape(shape).copy()
+
+    def drop(self, pid: int) -> None:
+        self._lib.ps_drop(self._h, pid)
+        self._meta.pop(pid, None)
+
+    def stats(self) -> dict:
+        out = (ctypes.c_uint64 * 4)()
+        self._lib.ps_stats(self._h, out)
+        return {"resident_bytes": out[0], "n_buffers": out[1],
+                "spill_count": out[2], "unspill_count": out[3]}
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self._lib.ps_destroy(self._h)
+        except Exception:
+            pass
+
+
+def pack_bits(bools: np.ndarray) -> np.ndarray:
+    """bool[n] -> Arrow LSB bitmap bytes (native; numpy fallback)."""
+    lib = load()
+    b = np.ascontiguousarray(bools, dtype=np.uint8)
+    if lib is None:
+        return np.packbits(b, bitorder="little")
+    out = np.zeros(( (len(b) + 7) // 8,), np.uint8)
+    lib.pack_bits(b.tobytes(), len(b), out.ctypes.data_as(ctypes.c_char_p))
+    return out
+
+
+def unpack_bits(bitmap: np.ndarray, n: int) -> np.ndarray:
+    lib = load()
+    bm = np.ascontiguousarray(bitmap, dtype=np.uint8)
+    if lib is None:
+        return np.unpackbits(bm, count=n, bitorder="little").astype(bool)
+    out = np.zeros((n,), np.uint8)
+    lib.unpack_bits(bm.tobytes(), n, out.ctypes.data_as(ctypes.c_char_p))
+    return out.astype(bool)

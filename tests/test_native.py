@@ -1,0 +1,49 @@
+import numpy as np
+import pytest
+
+from cudf_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    l = native.load()
+    if l is None:
+        pytest.skip("native lib unavailable")
+    return l
+
+
+class TestPartitionStore:
+    def test_put_get_roundtrip(self, lib, tmp_path):
+        ps = native.PartitionStore(budget_bytes=1 << 20, spill_dir=str(tmp_path))
+        a = np.random.default_rng(0).normal(size=1000)
+        pid = ps.put(a)
+        np.testing.assert_array_equal(ps.get(pid), a)
+
+    def test_lru_spill_and_unspill(self, lib, tmp_path):
+        # budget fits ~2 buffers of 0.5MB; inserting 5 forces spills
+        ps = native.PartitionStore(budget_bytes=1 << 20, spill_dir=str(tmp_path))
+        arrays = [np.full(65536, i, np.float64) for i in range(5)]
+        pids = [ps.put(a) for a in arrays]
+        st = ps.stats()
+        assert st["spill_count"] >= 3
+        assert st["resident_bytes"] <= 1 << 20
+        # all retrievable (unspill from disk)
+        for pid, a in zip(pids, arrays):
+            np.testing.assert_array_equal(ps.get(pid), a)
+        assert ps.stats()["unspill_count"] >= 3
+
+    def test_drop(self, lib, tmp_path):
+        ps = native.PartitionStore(budget_bytes=1 << 20, spill_dir=str(tmp_path))
+        pid = ps.put(np.arange(10))
+        ps.drop(pid)
+        assert ps._lib.ps_size(ps._h, pid) == -1
+
+
+class TestBitmaps:
+    def test_pack_unpack(self, lib):
+        rng = np.random.default_rng(1)
+        for n in (1, 7, 8, 9, 1000):
+            b = rng.random(n) < 0.5
+            packed = native.pack_bits(b)
+            np.testing.assert_array_equal(packed, np.packbits(b, bitorder="little"))
+            np.testing.assert_array_equal(native.unpack_bits(packed, n), b)

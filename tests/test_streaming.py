@@ -161,3 +161,26 @@ class TestSearchFilling:
         out = filling.one_hot_encode(c)
         np.testing.assert_array_equal(out["1"].to_numpy(), [True, False, True])
         np.testing.assert_array_equal(out["2"].to_numpy(), [False, True, False])
+
+
+class TestNativeSpillIntegration:
+    def test_partitioned_frame_with_native_store(self, tmp_path):
+        from cudf_tpu.utils.native import PartitionStore, load
+        from cudf_tpu.parallel import partitioned as pmod
+
+        if load() is None:
+            pytest.skip("native lib unavailable")
+        store = PartitionStore(budget_bytes=200_000, spill_dir=str(tmp_path))
+        pmod.set_partition_store(store)
+        try:
+            rng = np.random.default_rng(9)
+            df = pd.DataFrame({"k": rng.integers(0, 8, 20000),
+                               "v": rng.normal(size=20000)})
+            pf = PartitionedFrame.from_pandas(df, npartitions=6)
+            assert store.stats()["spill_count"] > 0  # budget forces disk spill
+            out = pf.groupby_agg(["k"], [AggSpec("v", "sum", "s")]).to_pandas()
+            out = out.sort_values("k").reset_index(drop=True)
+            exp = df.groupby("k", as_index=False).agg(s=("v", "sum"))
+            pd.testing.assert_frame_equal(out, exp, rtol=1e-9)
+        finally:
+            pmod.set_partition_store(None)
