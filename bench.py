@@ -75,18 +75,25 @@ def main():
     t_jr = ct.Table.from_pandas(join_right)
 
     # ---------------- tpu ops (warm) ----------------
+    # NOTE: block_until_ready does not reliably await completion over the
+    # axon tunnel; a scalar D2H read does.
+    import jax.numpy as jnp
+
+    def _force(arr):
+        return float(jnp.sum(arr.astype(jnp.float32)))
+
     def run_sort():
         out = sorting.sort_by_key(t_sort, ["k1", "k2"])
-        jax.block_until_ready(out["v"].data)
+        _force(out["v"].data)
 
     def run_groupby():
         t2 = sc.drop_nulls(t_gb)
         g = groupby_aggregate(t2, ["A", "B"], [AggSpec("C", "mean", "C")])
-        jax.block_until_ready(g["C"].data)
+        _force(g["C"].data)
 
     def run_join():
         out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
-        jax.block_until_ready(out["w"].data)
+        _force(out["w"].data)
 
     results = {}
     for name, fn in (("sort", run_sort), ("groupby", run_groupby), ("join", run_join)):

@@ -1,20 +1,26 @@
 """Sort primitive: multi-key ordering via sequential stable 1-key passes.
 
 The TPU-native answer to libcudf's CUB radix sort (cpp/src/sort/
-sort_radix.cu), shaped by two measured properties of the axon XLA stack:
+sort_radix.cu), shaped by measured properties of the axon XLA stack:
 
 1. sort-comparator compile time scales superlinearly with the number of
    key operands (~15-25s/operand at 256k rows) — so multi-key orders run
    as LSD radix passes over ONE cached single-key executable;
-2. flat sort compile time scales ~linearly with row count and becomes
-   intractable past ~1M rows (>45min at 2M), while a *batched* (tiles,
-   width) sort compiles in tile-width time — so each pass is a tiled
-   sort-per-tile followed by log2(tiles) rounds of stable two-way merging
-   built from vectorized searchsorted + scatter (compile-cheap, O(n log n)
-   gathers at runtime).
+2. flat sort compile time becomes intractable past ~1M rows (>45min at
+   2M), while a *batched* (tiles, width) sort compiles in tile-width time;
+3. binary-search (searchsorted) merging of sorted tiles is runtime-slow
+   (~20 sequential random-gather rounds ≈ 360ms per 2M-row search), while
+   **bitonic merge networks** are contiguous compare-exchange stages that
+   run at HBM bandwidth and compile cheaply.
 
-Every pass therefore reuses one compiled executable per capacity bucket,
-shared by sort_by_key, groupby, distinct, and join builds.
+So each pass = tiled stable sort + log2(T) bitonic merge rounds. Stability
+across the non-stable bitonic network comes from carrying the pre-pass
+position as a tiebreak operand: comparing (key, pos) is a strict total
+order that reproduces stable-sort semantics. Capacities are powers of two
+(utils/padding.py) so every run length in the network is a power of two.
+
+Every pass reuses one compiled executable per capacity bucket, shared by
+sort_by_key, groupby, distinct, and join builds.
 """
 from __future__ import annotations
 
@@ -29,50 +35,87 @@ TILE = 262144  # max flat/tile sort width (compile-time sweet spot)
 
 
 def _tiling(cap: int):
-    """(T, W): W <= TILE, T a power of two, T*W == cap."""
+    """(T, W): W <= TILE, T and W powers of two, T*W == cap."""
     t = 1
     w = cap
     while w > TILE:
         t *= 2
-        assert cap % t == 0, (cap, t)
-        w = cap // t
+        w //= 2
+    assert t * w == cap, (cap, t, w)
     return t, w
 
 
-def _merge_pairs(keys, perm):
-    """One stable merge round: (R, L) sorted runs -> (R/2, 2L)."""
-    R, L = keys.shape
-    A, B = keys[0::2], keys[1::2]
-    pA, pB = perm[0::2], perm[1::2]
-    idx = jnp.arange(L, dtype=jnp.int32)
-    ssl = jax.vmap(lambda hay, need: jnp.searchsorted(hay, need, side="left").astype(jnp.int32))
-    ssr = jax.vmap(lambda hay, need: jnp.searchsorted(hay, need, side="right").astype(jnp.int32))
-    posA = idx[None, :] + ssl(B, A)
-    posB = idx[None, :] + ssr(A, B)
+def _bitonic_merge_pairs(k, pos, perm):
+    """One merge round: (R, L) sorted runs -> (R/2, 2L) sorted runs.
 
-    def one(a, b, pa, pb, ia, ib):
-        ok = jnp.zeros((2 * L,), keys.dtype).at[ia].set(a).at[ib].set(b)
-        op = jnp.zeros((2 * L,), perm.dtype).at[ia].set(pa).at[ib].set(pb)
-        return ok, op
+    Inputs are ascending in the strict order (k, pos); pairs (2i, 2i+1)
+    merge via a bitonic network ([A, reverse(B)] is bitonic).
+    """
+    R, L = k.shape
+    ka = jnp.concatenate([k[0::2], k[1::2][:, ::-1]], axis=1)
+    pa = jnp.concatenate([pos[0::2], pos[1::2][:, ::-1]], axis=1)
+    ma = jnp.concatenate([perm[0::2], perm[1::2][:, ::-1]], axis=1)
+    n = 2 * L
+    s = L
+    while s >= 1:
+        blocks = n // (2 * s)
+        k4 = ka.reshape(R // 2, blocks, 2, s)
+        p4 = pa.reshape(R // 2, blocks, 2, s)
+        m4 = ma.reshape(R // 2, blocks, 2, s)
+        k0, k1 = k4[:, :, 0], k4[:, :, 1]
+        p0, p1 = p4[:, :, 0], p4[:, :, 1]
+        m0, m1 = m4[:, :, 0], m4[:, :, 1]
+        swap = (k0 > k1) | ((k0 == k1) & (p0 > p1))
+        klo = jnp.where(swap, k1, k0)
+        khi = jnp.where(swap, k0, k1)
+        plo = jnp.where(swap, p1, p0)
+        phi = jnp.where(swap, p0, p1)
+        mlo = jnp.where(swap, m1, m0)
+        mhi = jnp.where(swap, m0, m1)
+        ka = jnp.stack([klo, khi], axis=2).reshape(R // 2, n)
+        pa = jnp.stack([plo, phi], axis=2).reshape(R // 2, n)
+        ma = jnp.stack([mlo, mhi], axis=2).reshape(R // 2, n)
+        s //= 2
+    return ka, pa, ma
 
-    return jax.vmap(one)(A, B, pA, pB, posA, posB)
 
-
-@jax.jit
-def _pass(op: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
-    """One stable pass: reorder perm by op[perm] (ascending)."""
+def _pass_body(op: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """One stable pass (traceable): reorder perm by op[perm] ascending."""
     cap = op.shape[0]
     k = op[perm]
     T, W = _tiling(cap)
     if T == 1:
         _, out = jax.lax.sort((k, perm), num_keys=1, is_stable=True)
         return out
+    pos = jnp.arange(cap, dtype=jnp.uint32)  # pre-pass position (stability)
     k2 = k.reshape(T, W)
-    p2 = perm.reshape(T, W)
-    k2, p2 = jax.lax.sort((k2, p2), dimension=1, num_keys=1, is_stable=True)
+    p2 = pos.reshape(T, W)
+    m2 = perm.reshape(T, W)
+    k2, p2, m2 = jax.lax.sort((k2, p2, m2), dimension=1, num_keys=1, is_stable=True)
     while k2.shape[0] > 1:
-        k2, p2 = _merge_pairs(k2, p2)
-    return p2.reshape(-1)
+        k2, p2, m2 = _bitonic_merge_pairs(k2, p2, m2)
+    return m2.reshape(-1)
+
+
+_pass = jax.jit(_pass_body)
+
+_FUSED_CACHE = {}
+
+
+def _fused_passes(n_ops: int):
+    """One jitted executable running n_ops LSD passes (single dispatch)."""
+    if n_ops not in _FUSED_CACHE:
+
+        @jax.jit
+        def fused(ops):
+            cap = ops[0].shape[0]
+            perm = jnp.arange(cap, dtype=jnp.int32)
+            for op in reversed(ops):
+                perm = _pass_body(op, perm)
+            return perm
+
+        _FUSED_CACHE[n_ops] = fused
+    return _FUSED_CACHE[n_ops]
 
 
 def _iota(cap: int) -> jnp.ndarray:
@@ -82,13 +125,21 @@ def _iota(cap: int) -> jnp.ndarray:
 
 
 def multisort_perm(operands: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Stable lexicographic permutation over u32 operand list (LSD passes)."""
-    cap = operands[0].shape[0]
-    perm = _iota(cap)
-    for op in reversed(list(operands)):
+    """Stable lexicographic permutation over u32 operand list (LSD passes).
+
+    Outside a trace this dispatches ONE fused executable for all passes
+    (each dispatch over the axon tunnel costs ~30ms); inside a trace the
+    passes inline into the surrounding program.
+    """
+    ops = list(operands)
+    for op in ops:
         assert op.dtype == jnp.uint32, op.dtype
-        perm = _pass(op, perm)
-    return perm
+    if isinstance(ops[0], jax.core.Tracer):
+        perm = _iota(ops[0].shape[0])
+        for op in reversed(ops):
+            perm = _pass_body(op, perm)
+        return perm
+    return _fused_passes(len(ops))(tuple(ops))
 
 
 def tiled_cumsum(x: jnp.ndarray) -> jnp.ndarray:
@@ -127,8 +178,7 @@ def tiled_cummax(x: jnp.ndarray) -> jnp.ndarray:
     pc = jax.lax.associative_scan(jnp.maximum, x2, axis=1)
     tops = pc[:, -1]
     run = jax.lax.associative_scan(jnp.maximum, tops)
-    prev = jnp.concatenate([run[:1].at[0].set(x2[0, 0]), run[:-1]])
-    # first tile has no prefix: use its own first element (identity-free max)
+    prev = jnp.concatenate([run[:1], run[:-1]])
     out = jnp.maximum(pc, prev[:, None])
     out = out.at[0].set(pc[0])
     return out.reshape(-1)

@@ -3,9 +3,10 @@
 TPU/XLA compiles one program per distinct shape. cuDF can allocate exact-size
 buffers because CUDA kernels take runtime sizes; on TPU we instead pad every
 column buffer to a *capacity bucket* and pass the logical row count as a
-traced scalar. Buckets are {1, 1.5} x powers of two (both multiples of 128,
-the TPU lane width), so waste is bounded by 33% and the number of distinct
-compiled shapes per workload is O(log(max_rows)).
+traced scalar. Buckets are powers of two (multiples of 128, the TPU lane
+width): the sort primitive's bitonic merge networks require power-of-two run
+lengths, and fewer buckets mean fewer XLA compilations. Worst-case memory
+waste is 2x — the standard time/space trade of padded static shapes.
 """
 from __future__ import annotations
 
@@ -13,16 +14,13 @@ LANE = 128
 
 
 def bucket_capacity(n: int) -> int:
-    """Smallest capacity in {128*2^k, 192*2^k} that is >= n."""
+    """Smallest power-of-two capacity >= max(n, 128)."""
     if n <= LANE:
         return LANE
     p = LANE
-    while True:
-        if n <= p:
-            return p
-        if n <= p + p // 2:
-            return p + p // 2
+    while p < n:
         p *= 2
+    return p
 
 
 def round_up(n: int, m: int) -> int:

@@ -12,11 +12,10 @@ from cudf_tpu.utils.padding import bucket_capacity
 def test_bucket_capacity():
     assert bucket_capacity(1) == 128
     assert bucket_capacity(128) == 128
-    assert bucket_capacity(129) == 192
-    assert bucket_capacity(193) == 256
+    assert bucket_capacity(129) == 256
     assert bucket_capacity(1000) == 1024
-    assert bucket_capacity(1500) == 1536
-    assert bucket_capacity(1537) == 2048
+    assert bucket_capacity(1500) == 2048
+    assert bucket_capacity(2049) == 4096
 
 
 def test_roundtrip_numeric():
