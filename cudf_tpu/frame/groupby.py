@@ -68,6 +68,40 @@ class DataFrameGroupBy:
     def size(self):
         return self._run([AggSpec("", "size", "size")])
 
+    # ---- window/transform methods (original row order) --------------------
+    def _window_col(self, fn, *args):
+        from .series import Series
+
+        cols = self._value_columns()
+        assert len(cols) == 1, "select a single column for window ops"
+        return Series(column=fn(self._df._tbl, self._keys, cols[0], *args),
+                      name=cols[0])
+
+    def shift(self, periods: int = 1):
+        from ..ops.grouped_window import grouped_shift
+
+        return self._window_col(grouped_shift, periods)
+
+    def cumsum(self):
+        from ..ops.grouped_window import grouped_scan
+
+        return self._window_col(grouped_scan, "cumsum")
+
+    def cumcount(self):
+        from ..ops.grouped_window import grouped_scan
+        from .series import Series
+
+        cols = self._value_columns() or [self._keys[0]]
+        out = grouped_scan(self._df._tbl, self._keys, cols[0], "row_number")
+        from ..ops.binaryop import binary_op
+
+        return Series(column=binary_op(out, 1, "sub"), name=None)
+
+    def rolling_agg(self, window: int, kind: str = "sum", min_periods=None):
+        from ..ops.grouped_window import grouped_rolling
+
+        return self._window_col(grouped_rolling, window, kind, min_periods)
+
 
 def _norm_kind(how: str) -> str:
     return {"prod": "product", "count": "count", "size": "size"}.get(how, how)

@@ -1,0 +1,69 @@
+"""Dictionary column ops: encode/decode/set_keys.
+
+Analog of cpp/src/dictionary/ (1.6k LoC). In this engine strings are
+already dictionary-encoded; these APIs expose the encoding explicitly for
+arbitrary columns (categorical support) and manage key domains.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.table import Table
+
+
+def encode(col: Column) -> Tuple[Column, np.ndarray]:
+    """Column -> (int32 codes column, sorted unique host keys).
+
+    cudf::dictionary::encode. Uses distinct + searchsorted on device, keys
+    materialized host-side (they are small by construction).
+    """
+    if col.dtype.is_string:
+        return Column(dtypes.int32, col.data, col.validity, col.length), col.dictionary
+    from .stream_compaction import distinct
+    from .sorting import sort_column
+
+    uniq = sort_column(distinct(Table({"v": col}))["v"])
+    keys = uniq.to_numpy()
+    from .search import _searchsorted_impl
+
+    codes = _searchsorted_impl(uniq, col, "left")
+    return Column(dtypes.int32, codes, col.validity, col.length), keys
+
+
+def decode(codes: Column, keys: np.ndarray) -> Column:
+    """codes + keys -> materialized column (cudf::dictionary::decode)."""
+    if keys.dtype == object or keys.dtype.kind in ("U", "S"):
+        return Column(dtypes.string, codes.data, codes.validity, codes.length,
+                      np.asarray(keys).astype(str))
+    table = jnp.asarray(np.asarray(keys))
+    from .strings import _table_gather
+
+    data = _table_gather(table, codes.data)
+    return Column(dtypes.from_numpy(np.asarray(keys).dtype), data,
+                  codes.validity, codes.length)
+
+
+def set_keys(col: Column, new_keys: np.ndarray) -> Column:
+    """Remap a string column onto a caller-provided (sorted) key domain;
+    values outside the domain become null (cudf::dictionary::set_keys)."""
+    assert col.dtype.is_string
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    nk = np.asarray(new_keys).astype(str)
+    order = np.argsort(nk, kind="stable")
+    nk = nk[order]
+    pos = np.searchsorted(nk, d.astype(str))
+    pos_c = np.clip(pos, 0, max(len(nk) - 1, 0))
+    found = (pos < len(nk)) & (nk[pos_c] == d.astype(str)) if len(nk) else np.zeros(len(d), bool)
+    remap = np.where(found, pos, -1).astype(np.int32)
+    from .strings import _table_gather
+
+    codes = _table_gather(jnp.asarray(remap), col.data) if len(d) else col.data
+    valid_new = codes >= 0
+    v = valid_new if col.validity is None else (col.validity & valid_new)
+    return Column(dtypes.string, jnp.maximum(codes, 0), v, col.length, nk)

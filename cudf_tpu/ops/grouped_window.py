@@ -1,0 +1,181 @@
+"""Grouped window functions: per-group scans, shift/lead/lag, row_number,
+rank, and grouped rolling aggregates.
+
+Analog of cpp/src/rolling/grouped_rolling.cu and the LEAD/LAG/ROW_NUMBER/
+RANK/EWMA aggregation kinds (include/cudf/aggregation.hpp:79). Strategy:
+one key sort groups rows contiguously (reusing the groupby machinery), the
+windowed computation runs over the sorted layout with segment-boundary
+masking, and results scatter back to the original row order.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.table import Table
+from ..utils.jitutil import fix_lengths
+from . import rowcodes
+from .sortprim import multisort_perm, tiled_cumsum, tiled_cummax
+
+
+def _grouped_layout(kcols, perm):
+    """(seg_start_pos, newgrp, inb) for rows sorted by perm."""
+    length = kcols[0].length
+    cap = kcols[0].capacity
+    ops = rowcodes.grouping_operands(kcols, length)
+    sorted_ops = [op[perm] for op in ops]
+    newgrp = rowcodes.adjacent_neq(sorted_ops)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    inb = pos < jnp.asarray(length, jnp.int32)
+    grp_start = tiled_cummax(jnp.where(newgrp, pos, 0))
+    return grp_start, newgrp, inb
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def _grouped_scan_impl(kcols, vcol, perm, kind):
+    cap = vcol.capacity
+    grp_start, newgrp, inb = _grouped_layout(kcols, perm)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    sv = vcol.data[perm]
+    svalid = inb
+    if vcol.validity is not None:
+        svalid = svalid & vcol.validity[perm]
+
+    if kind in ("cumsum", "cumcount", "row_number"):
+        if kind == "cumsum":
+            x = jnp.where(svalid, sv, jnp.zeros((), sv.dtype)).astype(
+                jnp.float64 if vcol.dtype.is_floating else jnp.int64)
+        else:
+            x = svalid.astype(jnp.int64)
+        cs = tiled_cumsum(x)
+        base = jnp.where(grp_start > 0, cs[jnp.maximum(grp_start - 1, 0)], 0)
+        out = cs - base
+        if kind == "row_number":
+            out = (pos - grp_start + 1).astype(jnp.int64)
+        out_dt = (vcol.dtype if (kind == "cumsum" and vcol.dtype.is_floating)
+                  else dtypes.int64)
+        sv_valid = svalid if kind == "cumsum" else inb
+    elif kind == "cummax":
+        ident = -jnp.inf if vcol.dtype.is_floating else jnp.iinfo(sv.dtype).min
+        x = jnp.where(svalid, sv, ident)
+        # restart the running max at group boundaries via segment trick:
+        # subtract a per-group offset is not possible for max; instead use
+        # (group_id, value) lexicographic scan: scan max of value where
+        # position >= group start — implement with blocked scan within
+        # groups via cummax of (grp_start, x) pairs is complex; use simple
+        # approach: cummax of x where rows before group start are masked by
+        # resetting: max(x[i], carry) with carry reset — emulate by cummax
+        # over x offset by +LARGE * group_index then remove offset.
+        gid = tiled_cumsum(newgrp.astype(jnp.int64)) - 1
+        big = 1e18 if vcol.dtype.is_floating else (1 << 40)
+        shifted = x.astype(jnp.float64) + gid.astype(jnp.float64) * big
+        out = tiled_cummax(shifted) - gid.astype(jnp.float64) * big
+        out_dt = dtypes.float64
+        sv_valid = svalid
+    else:
+        raise ValueError(kind)
+
+    # scatter back to original row order
+    res = jnp.zeros((cap,), out.dtype).at[perm].set(out)
+    resv = jnp.zeros((cap,), jnp.bool_).at[perm].set(sv_valid)
+    return Column(out_dt, res.astype(out_dt.physical), resv, vcol.length)
+
+
+def grouped_scan(tbl: Table, keys: Sequence[str], value: str, kind: str) -> Column:
+    """Per-group scan (cumsum/cumcount/row_number/cummax) in row order."""
+    kcols = tuple(tbl[k] for k in keys)
+    ops = rowcodes.grouping_operands(list(kcols), kcols[0].length)
+    # stable key sort so original order is preserved within groups
+    perm = multisort_perm([o for o in ops])
+    out = _grouped_scan_impl(kcols, tbl[value], perm, kind)
+    return fix_lengths(out, tbl.num_rows)
+
+
+@partial(jax.jit, static_argnames=("periods",))
+def _grouped_shift_impl(kcols, vcol, perm, periods):
+    cap = vcol.capacity
+    grp_start, newgrp, inb = _grouped_layout(kcols, perm)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    sv = vcol.data[perm]
+    svalid = inb
+    if vcol.validity is not None:
+        svalid = svalid & vcol.validity[perm]
+    src = pos - periods
+    # group end for lead: next group's start - 1
+    if periods >= 0:
+        ok = src >= grp_start
+    else:
+        gid = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
+        gid_src = gid[jnp.clip(src, 0, cap - 1)]
+        ok = (src < cap) & (gid_src == gid)
+    srcc = jnp.clip(src, 0, cap - 1)
+    out = jnp.where(ok, sv[srcc], jnp.zeros((), sv.dtype))
+    outv = ok & svalid[srcc] & inb
+    res = jnp.zeros((cap,), out.dtype).at[perm].set(out)
+    resv = jnp.zeros((cap,), jnp.bool_).at[perm].set(outv)
+    return Column(vcol.dtype, res, resv, vcol.length, vcol.dictionary)
+
+
+def grouped_shift(tbl: Table, keys: Sequence[str], value: str, periods: int = 1) -> Column:
+    """groupby().shift(periods) — LEAD/LAG aggregation analog."""
+    kcols = tuple(tbl[k] for k in keys)
+    ops = rowcodes.grouping_operands(list(kcols), kcols[0].length)
+    perm = multisort_perm(list(ops))
+    out = _grouped_shift_impl(kcols, tbl[value], perm, periods)
+    return fix_lengths(out, tbl.num_rows)
+
+
+@partial(jax.jit, static_argnames=("window", "kind", "min_periods"))
+def _grouped_rolling_impl(kcols, vcol, perm, window, kind, min_periods):
+    from .rolling import _shifted
+
+    cap = vcol.capacity
+    grp_start, newgrp, inb = _grouped_layout(kcols, perm)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    sv = vcol.data[perm].astype(jnp.float64)
+    svalid = inb
+    if vcol.validity is not None:
+        svalid = svalid & vcol.validity[perm]
+    if vcol.dtype.is_floating:
+        svalid = svalid & ~jnp.isnan(vcol.data[perm])
+    xz = jnp.where(svalid, sv, 0.0)
+    csum = tiled_cumsum(xz)
+    ccnt = tiled_cumsum(svalid.astype(jnp.int64))
+    w = window
+    wsum = csum - _shifted(csum, w, 0.0)
+    wcnt = ccnt - _shifted(ccnt, w, 0)
+    # clip the window to the group start
+    win_begin = jnp.maximum(pos - w + 1, grp_start)
+    base_sum = jnp.where(win_begin > 0, csum[jnp.maximum(win_begin - 1, 0)], 0.0)
+    base_cnt = jnp.where(win_begin > 0, ccnt[jnp.maximum(win_begin - 1, 0)], 0)
+    wsum = csum - base_sum
+    wcnt = ccnt - base_cnt
+    mp = window if min_periods is None else min_periods
+    if kind == "sum":
+        out = wsum
+    elif kind == "mean":
+        out = wsum / jnp.maximum(wcnt, 1)
+    elif kind == "count":
+        out = wcnt.astype(jnp.float64)
+    else:
+        raise ValueError(kind)
+    outv = (wcnt >= mp) & inb
+    out = jnp.where(outv, out, jnp.nan)
+    res = jnp.zeros((cap,), out.dtype).at[perm].set(out)
+    resv = jnp.zeros((cap,), jnp.bool_).at[perm].set(outv)
+    return Column(dtypes.float64, res, resv, vcol.length)
+
+
+def grouped_rolling(tbl: Table, keys: Sequence[str], value: str, window: int,
+                    kind: str = "sum", min_periods: Optional[int] = None) -> Column:
+    """groupby().rolling(window).agg — grouped_rolling_window analog."""
+    kcols = tuple(tbl[k] for k in keys)
+    ops = rowcodes.grouping_operands(list(kcols), kcols[0].length)
+    perm = multisort_perm(list(ops))
+    out = _grouped_rolling_impl(kcols, tbl[value], perm, window, kind, min_periods)
+    return fix_lengths(out, tbl.num_rows)

@@ -1,0 +1,24 @@
+"""K-way merge of pre-sorted tables.
+
+Analog of cpp/src/merge/ (k-way sorted merge with row comparators).
+TPU-native approach: concatenate then radix-sort by the merge keys — the
+sort reuses the shared per-capacity executables, and for pre-sorted runs
+the bitonic passes are near-best-case. A dedicated pairwise merge (bitonic
+merge of two runs without the tile sort) is a later micro-optimization.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from ..core.table import Table
+from .copying import concatenate_tables
+from .sorting import sort_by_key
+
+
+def merge_sorted(tables: Sequence[Table], keys: Sequence[str],
+                 descending=False, nulls_last=True) -> Table:
+    """Merge tables that are each sorted by `keys` into one sorted table."""
+    merged = concatenate_tables(list(tables))
+    desc = [descending] * len(keys) if isinstance(descending, bool) else list(descending)
+    nl = [nulls_last] * len(keys) if isinstance(nulls_last, bool) else list(nulls_last)
+    return sort_by_key(merged, list(keys), desc, nl)

@@ -99,23 +99,11 @@ def _pass_body(op: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
 
 _pass = jax.jit(_pass_body)
 
-_FUSED_CACHE = {}
 
-
-def _fused_passes(n_ops: int):
-    """One jitted executable running n_ops LSD passes (single dispatch)."""
-    if n_ops not in _FUSED_CACHE:
-
-        @jax.jit
-        def fused(ops):
-            cap = ops[0].shape[0]
-            perm = jnp.arange(cap, dtype=jnp.int32)
-            for op in reversed(ops):
-                perm = _pass_body(op, perm)
-            return perm
-
-        _FUSED_CACHE[n_ops] = fused
-    return _FUSED_CACHE[n_ops]
+@jax.jit
+def _op_ranges(ops):
+    """Per-operand (min, max) — used to prune constant radix passes."""
+    return tuple((jnp.min(o), jnp.max(o)) for o in ops)
 
 
 def _iota(cap: int) -> jnp.ndarray:
@@ -127,19 +115,28 @@ def _iota(cap: int) -> jnp.ndarray:
 def multisort_perm(operands: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Stable lexicographic permutation over u32 operand list (LSD passes).
 
-    Outside a trace this dispatches ONE fused executable for all passes
-    (each dispatch over the axon tunnel costs ~30ms); inside a trace the
-    passes inline into the surrounding program.
+    All passes share ONE compiled executable per capacity bucket (a fused
+    multi-pass program would duplicate the pass body per operand — measured
+    565MB serialized at 2M rows — while the shared single-pass executable
+    loads once). Outside a trace, constant operands (min == max, e.g. the
+    high word of small int64 keys, or the oob flag of a full buffer) are
+    pruned first: one tiny scalar sync saves a whole O(n) pass each.
     """
     ops = list(operands)
     for op in ops:
         assert op.dtype == jnp.uint32, op.dtype
-    if isinstance(ops[0], jax.core.Tracer):
-        perm = _iota(ops[0].shape[0])
-        for op in reversed(ops):
-            perm = _pass_body(op, perm)
-        return perm
-    return _fused_passes(len(ops))(tuple(ops))
+    if not isinstance(ops[0], jax.core.Tracer):
+        ranges = _op_ranges(tuple(ops))
+        import numpy as _np
+
+        flat = _np.asarray(jax.device_get(ranges)).reshape(len(ops), 2)
+        ops = [op for op, (lo, hi) in zip(ops, flat) if lo != hi]
+        if not ops:
+            return _iota(operands[0].shape[0])
+    perm = _iota(ops[0].shape[0])
+    for op in reversed(ops):
+        perm = _pass_body(op, perm) if isinstance(op, jax.core.Tracer) or isinstance(perm, jax.core.Tracer) else _pass(op, perm)
+    return perm
 
 
 def tiled_cumsum(x: jnp.ndarray) -> jnp.ndarray:

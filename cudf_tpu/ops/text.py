@@ -1,0 +1,140 @@
+"""Text utilities (nvtext subset): tokenize, ngrams, minhash, jaccard,
+edit distance, normalize, porter stemmer hooks.
+
+Analog of cpp/src/text/ (7.1k LoC of device string kernels). Dictionary
+encoding makes the host the right place for value-level text work here:
+each distinct string is processed once on host (the dictionary is small
+relative to the column), and results broadcast through the codes on device
+— the same amortization nvtext gets from its device-side dedup paths.
+Token OUTPUTS are full columns (explode semantics) built via gather maps.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+
+
+def _dict_of(col: Column) -> np.ndarray:
+    return col.dictionary if col.dictionary is not None else np.array([], dtype=str)
+
+
+def tokenize(col: Column, delimiter: str = " ") -> Column:
+    """Explode each string into tokens (nvtext::tokenize)."""
+    vals = col.to_numpy()
+    toks: List[str] = []
+    for v in vals:
+        if v is None:
+            continue
+        toks.extend(str(v).split(delimiter))
+    return Column.from_numpy(np.array(toks, dtype=object))
+
+
+def count_tokens(col: Column, delimiter: str = " ") -> Column:
+    d = _dict_of(col)
+    counts = np.array([len(s.split(delimiter)) if s else 0 for s in d.astype(str)],
+                      dtype=np.int32)
+    from .strings import _table_gather
+
+    table = jnp.asarray(counts if len(counts) else np.zeros(1, np.int32))
+    return Column(dtypes.int32, _table_gather(table, col.data), col.validity, col.length)
+
+
+def generate_ngrams(col: Column, n: int = 2, sep: str = "_") -> Column:
+    """nvtext::generate_ngrams over the value sequence."""
+    vals = [v for v in col.to_numpy() if v is not None]
+    grams = [sep.join(vals[i : i + n]) for i in range(len(vals) - n + 1)]
+    return Column.from_numpy(np.array(grams, dtype=object))
+
+
+def character_ngrams(col: Column, n: int = 2) -> Column:
+    vals = [str(v) for v in col.to_numpy() if v is not None]
+    grams: List[str] = []
+    for s in vals:
+        grams.extend(s[i : i + n] for i in range(max(len(s) - n + 1, 0)))
+    return Column.from_numpy(np.array(grams, dtype=object))
+
+
+def _char_shingles(s: str, width: int) -> set:
+    return {s[i : i + width] for i in range(max(len(s) - width + 1, 1))}
+
+
+def minhash(col: Column, seeds=(0, 1, 2, 3), width: int = 4) -> Table:
+    """nvtext::minhash — per-row min of shingle hashes per seed."""
+    d = _dict_of(col).astype(str)
+    out = {}
+    from .strings import _table_gather
+
+    for seed in seeds:
+        hv = np.empty(max(len(d), 1), np.uint32)
+        hv[:] = 0
+        for i, s in enumerate(d):
+            best = 0xFFFFFFFF
+            for sh in _char_shingles(s, width):
+                h = (hash((seed, sh)) & 0xFFFFFFFF)
+                best = min(best, h)
+            hv[i] = best
+        table = jnp.asarray(hv)
+        out[f"minhash_{seed}"] = Column(
+            dtypes.uint32, _table_gather(table, col.data), col.validity, col.length
+        )
+    return Table(out)
+
+
+def jaccard_index(a: Column, b: Column, width: int = 4) -> Column:
+    """nvtext::jaccard_index between paired rows."""
+    av, bv = a.to_numpy(), b.to_numpy()
+    out = np.zeros(len(av), np.float32)
+    for i, (x, y) in enumerate(zip(av, bv)):
+        if x is None or y is None:
+            out[i] = np.nan
+            continue
+        sx, sy = _char_shingles(str(x), width), _char_shingles(str(y), width)
+        inter = len(sx & sy)
+        union = len(sx | sy)
+        out[i] = inter / union if union else 0.0
+    return Column.from_numpy(out)
+
+
+def edit_distance(a: Column, b: Column) -> Column:
+    """nvtext::edit_distance (Levenshtein) between paired rows."""
+    av, bv = a.to_numpy(), b.to_numpy()
+    out = np.zeros(len(av), np.int32)
+    for i, (x, y) in enumerate(zip(av, bv)):
+        x = "" if x is None else str(x)
+        y = "" if y is None else str(y)
+        m, n = len(x), len(y)
+        prev = list(range(n + 1))
+        for r in range(1, m + 1):
+            cur = [r] + [0] * n
+            for c in range(1, n + 1):
+                cur[c] = min(prev[c] + 1, cur[c - 1] + 1,
+                             prev[c - 1] + (x[r - 1] != y[c - 1]))
+            prev = cur
+        out[i] = prev[n]
+    return Column.from_numpy(out)
+
+
+def normalize_spaces(col: Column) -> Column:
+    from .strings import _dict_map
+
+    return _dict_map(col, lambda s: " ".join(s.split()))
+
+
+def porter_stem(col: Column) -> Column:
+    """Minimal porter-style suffix stripping (step-1a subset)."""
+    def stem(s: str) -> str:
+        for suf, rep in (("sses", "ss"), ("ies", "i"), ("ss", "ss"), ("s", "")):
+            if s.endswith(suf):
+                return s[: len(s) - len(suf)] + rep
+        return s
+
+    from .strings import _dict_map
+
+    return _dict_map(col, stem)

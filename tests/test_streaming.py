@@ -184,3 +184,104 @@ class TestNativeSpillIntegration:
             pd.testing.assert_frame_equal(out, exp, rtol=1e-9)
         finally:
             pmod.set_partition_store(None)
+
+
+class TestGroupedWindow:
+    def _df(self):
+        rng = np.random.default_rng(11)
+        return pd.DataFrame({
+            "k": rng.integers(0, 6, 300),
+            "v": rng.normal(size=300),
+        })
+
+    def test_grouped_cumsum(self):
+        from cudf_tpu.ops.grouped_window import grouped_scan
+
+        df = self._df()
+        t = Table.from_pandas(df)
+        out = grouped_scan(t, ["k"], "v", "cumsum").to_numpy()
+        exp = df.groupby("k")["v"].cumsum().to_numpy()
+        np.testing.assert_allclose(out, exp, rtol=1e-12)
+
+    def test_row_number(self):
+        from cudf_tpu.ops.grouped_window import grouped_scan
+
+        df = self._df()
+        t = Table.from_pandas(df)
+        out = grouped_scan(t, ["k"], "v", "row_number").to_numpy()
+        exp = df.groupby("k").cumcount().to_numpy() + 1
+        np.testing.assert_array_equal(out, exp)
+
+    def test_grouped_shift_lag_lead(self):
+        from cudf_tpu.ops.grouped_window import grouped_shift
+
+        df = self._df()
+        t = Table.from_pandas(df)
+        for p in (1, 2, -1):
+            out = grouped_shift(t, ["k"], "v", p).to_numpy()
+            exp = df.groupby("k")["v"].shift(p).to_numpy()
+            both_nan = [(o is None or (isinstance(o, float) and np.isnan(o))) and np.isnan(e)
+                        for o, e in zip(out, exp)]
+            eq = [o == e for o, e in zip(out, exp)]
+            assert all(b or q for b, q in zip(both_nan, eq))
+
+    def test_grouped_rolling_sum(self):
+        from cudf_tpu.ops.grouped_window import grouped_rolling
+
+        df = self._df()
+        t = Table.from_pandas(df)
+        out = grouped_rolling(t, ["k"], "v", 3, "sum").to_numpy()
+        exp = df.groupby("k")["v"].rolling(3).sum().reset_index(level=0, drop=True).sort_index().to_numpy()
+        np.testing.assert_allclose(out, exp, rtol=1e-9)
+
+
+class TestDictMergeText:
+    def test_dictionary_encode_decode(self):
+        from cudf_tpu.ops import dictionary as dct
+
+        c = col([5.0, 2.0, 5.0, 9.0])
+        codes, keys = dct.encode(c)
+        np.testing.assert_array_equal(keys, [2.0, 5.0, 9.0])
+        np.testing.assert_array_equal(codes.to_numpy(), [1, 0, 1, 2])
+        back = dct.decode(codes, keys)
+        np.testing.assert_array_equal(back.to_numpy(), [5.0, 2.0, 5.0, 9.0])
+
+    def test_set_keys(self):
+        from cudf_tpu.ops import dictionary as dct
+
+        c = col(np.array(["a", "b", "c"], object))
+        out = dct.set_keys(c, np.array(["a", "c"]))
+        res = out.to_numpy()
+        assert res[0] == "a" and res[1] is None and res[2] == "c"
+
+    def test_merge_sorted(self):
+        from cudf_tpu.ops.merge import merge_sorted
+
+        a = Table.from_pydict({"k": [1, 3, 5], "v": [1, 2, 3]})
+        b = Table.from_pydict({"k": [2, 3, 6], "v": [10, 20, 30]})
+        out = merge_sorted([a, b], ["k"])
+        np.testing.assert_array_equal(out["k"].to_numpy(), [1, 2, 3, 3, 5, 6])
+
+    def test_tokenize_count(self):
+        from cudf_tpu.ops import text
+
+        c = col(np.array(["a b c", "d e", None], object))
+        toks = text.tokenize(c)
+        assert list(toks.to_numpy()) == ["a", "b", "c", "d", "e"]
+        np.testing.assert_array_equal(text.count_tokens(c).to_numpy()[:2], [3, 2])
+
+    def test_edit_distance_jaccard(self):
+        from cudf_tpu.ops import text
+
+        a = col(np.array(["kitten", "abc"], object))
+        b = col(np.array(["sitting", "abc"], object))
+        np.testing.assert_array_equal(text.edit_distance(a, b).to_numpy(), [3, 0])
+        j = text.jaccard_index(a, b, width=2).to_numpy()
+        assert j[1] == 1.0 and 0 <= j[0] < 1.0
+
+    def test_minhash_shapes(self):
+        from cudf_tpu.ops import text
+
+        c = col(np.array(["hello world", "hello there"], object))
+        t = text.minhash(c, seeds=(0, 1))
+        assert t.num_columns == 2 and t.num_rows == 2
