@@ -1,0 +1,268 @@
+"""TPC-H-derived query benchmark (NDS-H analog: reference cpp/benchmarks/ndsh/
+Q1,Q5,Q6,Q9,Q10 + python PDS-H runners with oracle validation,
+python/cudf_polars/cudf_polars/streaming/benchmarks/pdsh.py).
+
+Synthetic dbgen-lite tables at a row-count "scale"; each query runs on the
+cudf_tpu IR executor and validates against pandas on the same data.
+
+    python benchmarks/tpch.py --rows 1000000 --queries q1,q3,q5,q6
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+
+
+def gen_tables(n_lineitem: int, seed=0):
+    """dbgen-lite: lineitem/orders/customer/supplier/nation/region."""
+    rng = np.random.default_rng(seed)
+    n_orders = max(n_lineitem // 4, 10)
+    n_cust = max(n_orders // 10, 10)
+    n_supp = max(n_lineitem // 400, 5)
+    n_nation = 25
+
+    def dates(n, lo="1992-01-01", days=2556):
+        return pd.Timestamp(lo) + pd.to_timedelta(rng.integers(0, days, n), unit="D")
+
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_orders, n_lineitem),
+        "l_suppkey": rng.integers(0, n_supp, n_lineitem),
+        "l_quantity": rng.integers(1, 51, n_lineitem).astype(np.float64),
+        "l_extendedprice": rng.uniform(900, 105000, n_lineitem).round(2),
+        "l_discount": rng.integers(0, 11, n_lineitem) / 100.0,
+        "l_tax": rng.integers(0, 9, n_lineitem) / 100.0,
+        "l_returnflag": rng.choice(["A", "N", "R"], n_lineitem),
+        "l_linestatus": rng.choice(["O", "F"], n_lineitem),
+        "l_shipdate": dates(n_lineitem),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_orders),
+        "o_custkey": rng.integers(0, n_cust, n_orders),
+        "o_orderdate": dates(n_orders),
+        "o_shippriority": np.zeros(n_orders, np.int64),
+    })
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(n_cust),
+        "c_mktsegment": rng.choice(SEGMENTS, n_cust),
+        "c_nationkey": rng.integers(0, n_nation, n_cust),
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(n_supp),
+        "s_nationkey": rng.integers(0, n_nation, n_supp),
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(n_nation),
+        "n_name": [f"NATION_{i:02d}" for i in range(n_nation)],
+        "n_regionkey": rng.integers(0, 5, n_nation),
+    })
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(5),
+        "r_name": REGIONS,
+    })
+    return dict(lineitem=lineitem, orders=orders, customer=customer,
+                supplier=supplier, nation=nation, region=region)
+
+
+# --------------------------------------------------------------------------
+def build_q1(T, E, IR, col):
+    cutoff = np.datetime64("1998-09-02")
+    return IR.Sort(("l_returnflag", "l_linestatus"), (False, False), (True, True), children=(
+        IR.GroupBy(
+            ("l_returnflag", "l_linestatus"),
+            (E.NamedExpr("sum_qty", col("l_quantity").sum()),
+             E.NamedExpr("sum_base_price", col("l_extendedprice").sum()),
+             E.NamedExpr("sum_disc_price", (col("l_extendedprice") * (1 - col("l_discount"))).sum()),
+             E.NamedExpr("sum_charge", (col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))).sum()),
+             E.NamedExpr("avg_qty", col("l_quantity").mean()),
+             E.NamedExpr("avg_price", col("l_extendedprice").mean()),
+             E.NamedExpr("avg_disc", col("l_discount").mean()),
+             E.NamedExpr("count_order", E.Len())),
+            children=(IR.Filter(col("l_shipdate") <= E.Literal(cutoff),
+                                children=(T("lineitem"),)),),
+        ),))
+
+
+def pandas_q1(t):
+    li = t["lineitem"]
+    li = li[li.l_shipdate <= pd.Timestamp("1998-09-02")]
+    g = li.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("l_extendedprice", lambda s: (s * (1 - li.loc[s.index, "l_discount"])).sum()),
+        sum_charge=("l_extendedprice", lambda s: (s * (1 - li.loc[s.index, "l_discount"]) * (1 + li.loc[s.index, "l_tax"])).sum()),
+        avg_qty=("l_quantity", "mean"),
+        avg_price=("l_extendedprice", "mean"),
+        avg_disc=("l_discount", "mean"),
+        count_order=("l_quantity", "size"),
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    g["count_order"] = g["count_order"].astype("int64")
+    return g
+
+
+def build_q3(T, E, IR, col):
+    cutoff = np.datetime64("1995-03-15")
+    return IR.Slice(0, 10, children=(
+        IR.Sort(("revenue",), (True,), (True,), children=(
+            IR.GroupBy(
+                ("o_orderkey", "o_shippriority"),
+                (E.NamedExpr("revenue", (col("l_extendedprice") * (1 - col("l_discount"))).sum()),),
+                children=(
+                    IR.Join(("o_orderkey",), ("l_orderkey",), "inner", children=(
+                        IR.Join(("c_custkey",), ("o_custkey",), "inner", children=(
+                            IR.Filter(col("c_mktsegment") == E.lit("BUILDING"),
+                                      children=(T("customer"),)),
+                            IR.Filter(col("o_orderdate") < E.Literal(cutoff),
+                                      children=(T("orders"),)),
+                        )),
+                        IR.Filter(col("l_shipdate") > E.Literal(cutoff),
+                                  children=(T("lineitem"),)),
+                    )),
+                ),),
+        )),))
+
+
+def pandas_q3(t):
+    c = t["customer"]; o = t["orders"]; li = t["lineitem"]
+    c = c[c.c_mktsegment == "BUILDING"]
+    o = o[o.o_orderdate < pd.Timestamp("1995-03-15")]
+    li = li[li.l_shipdate > pd.Timestamp("1995-03-15")]
+    m = c.merge(o, left_on="c_custkey", right_on="o_custkey").merge(
+        li, left_on="o_orderkey", right_on="l_orderkey")
+    m["revenue"] = m.l_extendedprice * (1 - m.l_discount)
+    return (m.groupby(["o_orderkey", "o_shippriority"], as_index=False)
+            .agg(revenue=("revenue", "sum"))
+            .sort_values("revenue", ascending=False, kind="stable")
+            .head(10).reset_index(drop=True))
+
+
+def build_q5(T, E, IR, col):
+    lo = np.datetime64("1994-01-01")
+    hi = np.datetime64("1995-01-01")
+    return IR.Sort(("revenue",), (True,), (True,), children=(
+        IR.GroupBy(
+            ("n_name",),
+            (E.NamedExpr("revenue", (col("l_extendedprice") * (1 - col("l_discount"))).sum()),),
+            children=(
+                IR.Join(("s_suppkey", "s_nationkey"), ("l_suppkey", "c_nationkey"), "inner", children=(
+                    IR.Join(("n_nationkey",), ("s_nationkey",), "inner", children=(
+                        IR.Join(("r_regionkey",), ("n_regionkey",), "inner", children=(
+                            IR.Filter(col("r_name") == E.lit("ASIA"), children=(T("region"),)),
+                            T("nation"),
+                        )),
+                        T("supplier"),
+                    )),
+                    IR.HStack((E.NamedExpr("c_nationkey", col("c_nationkey")),), children=(
+                        IR.Join(("o_orderkey",), ("l_orderkey",), "inner", children=(
+                            IR.Join(("c_custkey",), ("o_custkey",), "inner", children=(
+                                T("customer"),
+                                IR.Filter((col("o_orderdate") >= E.Literal(lo)) & (col("o_orderdate") < E.Literal(hi)),
+                                          children=(T("orders"),)),
+                            )),
+                            T("lineitem"),
+                        )),
+                    )),
+                )),
+            ),),
+    ))
+
+
+def pandas_q5(t):
+    r = t["region"]; n = t["nation"]; s = t["supplier"]
+    c = t["customer"]; o = t["orders"]; li = t["lineitem"]
+    r = r[r.r_name == "ASIA"]
+    o = o[(o.o_orderdate >= pd.Timestamp("1994-01-01")) & (o.o_orderdate < pd.Timestamp("1995-01-01"))]
+    m = (c.merge(o, left_on="c_custkey", right_on="o_custkey")
+          .merge(li, left_on="o_orderkey", right_on="l_orderkey"))
+    sn = s.merge(n, left_on="s_nationkey", right_on="n_nationkey").merge(
+        r, left_on="n_regionkey", right_on="r_regionkey")
+    m = sn.merge(m, left_on=["s_suppkey", "s_nationkey"],
+                 right_on=["l_suppkey", "c_nationkey"])
+    m["revenue"] = m.l_extendedprice * (1 - m.l_discount)
+    return (m.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+            .sort_values("revenue", ascending=False, kind="stable").reset_index(drop=True))
+
+
+def build_q6(T, E, IR, col):
+    lo = np.datetime64("1994-01-01")
+    hi = np.datetime64("1995-01-01")
+    return IR.GroupBy(
+        (), (E.NamedExpr("revenue", (col("l_extendedprice") * col("l_discount")).sum()),),
+        children=(
+            IR.Filter(
+                (col("l_shipdate") >= E.Literal(lo)) & (col("l_shipdate") < E.Literal(hi))
+                & (col("l_discount") >= 0.05) & (col("l_discount") <= 0.07)
+                & (col("l_quantity") < 24.0),
+                children=(T("lineitem"),)),
+        ),)
+
+
+def pandas_q6(t):
+    li = t["lineitem"]
+    m = li[(li.l_shipdate >= pd.Timestamp("1994-01-01")) & (li.l_shipdate < pd.Timestamp("1995-01-01"))
+           & (li.l_discount >= 0.05) & (li.l_discount <= 0.07) & (li.l_quantity < 24.0)]
+    return pd.DataFrame({"revenue": [(m.l_extendedprice * m.l_discount).sum()]})
+
+
+QUERIES = {"q1": (build_q1, pandas_q1), "q3": (build_q3, pandas_q3),
+           "q5": (build_q5, pandas_q5), "q6": (build_q6, pandas_q6)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--queries", default="q1,q3,q5,q6")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.expr import expressions as E, ir as IR
+    from cudf_tpu.expr.expressions import col
+
+    host = gen_tables(args.rows)
+    dev = {k: Table.from_pandas(v) for k, v in host.items()}
+
+    def T(name):
+        return IR.DataFrameScan(dev[name])
+
+    results = {}
+    for q in args.queries.split(","):
+        build, oracle = QUERIES[q]
+        plan = build(T, E, IR, col)
+        t0 = time.perf_counter()
+        out = IR.execute(plan)
+        outp = out.to_pandas()
+        cold = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = IR.execute(plan)
+            # force completion
+            float(jnp.sum(out.columns[-1].data.astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        exp = oracle(host)
+        pdt = time.perf_counter() - t0
+        try:
+            pd.testing.assert_frame_equal(outp[exp.columns], exp, rtol=1e-6,
+                                          check_dtype=False)
+            ok = "MATCH"
+        except AssertionError as e:
+            ok = f"MISMATCH ({str(e).splitlines()[0][:60]})"
+        print(f"{q}: tpu_warm={best*1e3:8.1f}ms cold={cold:6.1f}s "
+              f"pandas={pdt*1e3:8.1f}ms speedup={pdt/best:5.2f}x  {ok}", flush=True)
+        results[q] = (best, pdt, ok)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,9 @@ def _groupby_via_specs(tbl: Table, keys: List[str], agg_exprs: List[NamedExpr]) 
     temp column first (cuDF evaluates pre-aggregation expressions the same
     way, core/groupby/groupby.py agg path).
     """
+    if not keys:
+        # global aggregation: 1-row table of full-column reductions
+        return Table({ne.name: evaluate(ne.expr, tbl) for ne in agg_exprs})
     work = tbl
     specs: List[AggSpec] = []
     tmp_i = 0
