@@ -284,6 +284,53 @@ class DataFrame:
 
         return pd.Series({n: Series(column=c, name=n).count() for n, c in self._tbl})
 
+    def describe(self):
+        import pandas as pd
+
+        rows = {}
+        num = [(n, c) for n, c in self._tbl if c.dtype.is_numeric]
+        from .series import Series
+
+        for stat in ("count", "mean", "std", "min", "max"):
+            rows[stat] = {n: getattr(Series(column=c, name=n), stat)() for n, c in num}
+        for q, name in ((0.25, "25%"), (0.5, "50%"), (0.75, "75%")):
+            rows[name] = {n: Series(column=c, name=n).quantile(q) for n, c in num}
+        order = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        return pd.DataFrame({n: [rows[s][n] for s in order] for n, _ in num}, index=order)
+
+    def corr(self):
+        """Pearson correlation matrix (pairwise complete obs not supported)."""
+        import pandas as pd
+        import jax.numpy as jnp
+        import jax as _jax
+
+        num = [(n, c) for n, c in self._tbl if c.dtype.is_numeric and not c.dtype.kind == "bool"]
+        names = [n for n, _ in num]
+
+        @_jax.jit
+        def impl(cols):
+            xs = [c.data.astype(jnp.float64) for c in cols]
+            m = jnp.asarray(cols[0].length, jnp.float64)
+            inb = cols[0].bounds_mask()
+            xs = [jnp.where(inb, x, 0.0) for x in xs]
+            mus = [jnp.sum(x) / m for x in xs]
+            cs = [jnp.where(inb, x - mu, 0.0) for x, mu in zip(xs, mus)]
+            out = []
+            for i in range(len(cs)):
+                row = []
+                for j in range(len(cs)):
+                    cov = jnp.sum(cs[i] * cs[j])
+                    row.append(cov / jnp.sqrt(jnp.sum(cs[i] ** 2) * jnp.sum(cs[j] ** 2)))
+                out.append(jnp.stack(row))
+            return jnp.stack(out)
+
+        mat = np.asarray(impl(tuple(c for _, c in num)))
+        return pd.DataFrame(mat, index=names, columns=names)
+
+    @property
+    def iloc(self):
+        return _ILoc(self)
+
     # --------------------------------------------------------------- export
     def to_pandas(self):
         return self._tbl.to_pandas()
@@ -308,6 +355,34 @@ class DataFrame:
     @classmethod
     def from_arrow(cls, at):
         return cls._from_table(Table.from_arrow(at))
+
+
+class _ILoc:
+    def __init__(self, df):
+        self._df = df
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            rows, cols = key
+            sub = self._df
+            if isinstance(cols, list):
+                sub = sub[[sub._tbl.names[c] if isinstance(c, int) else c for c in cols]]
+            return sub.iloc[rows]
+        if isinstance(key, slice):
+            start, stop, step = key.indices(len(self._df))
+            assert step == 1
+            return DataFrame._from_table(self._df._tbl.slice(start, stop - start))
+        if isinstance(key, int):
+            return self._df._tbl.slice(key, 1).to_pandas().iloc[0]
+        import numpy as _np
+        import jax.numpy as jnp
+        from ..ops.copying import gather_table
+        from ..utils.padding import bucket_capacity
+
+        idx = _np.asarray(key, dtype=_np.int32)
+        cap = bucket_capacity(max(len(idx), 1))
+        dev = jnp.asarray(_np.pad(idx, (0, cap - len(idx))))
+        return DataFrame._from_table(gather_table(self._df._tbl, dev, len(idx)))
 
 
 def concat(objs: Sequence[Union[DataFrame, Series]], ignore_index=True, axis=0):
