@@ -1,0 +1,130 @@
+"""List columns: Arrow offsets + child layout.
+
+Analog of cpp/src/lists/ (4.8k LoC). Round-1 scope: construction from/to
+host lists, explode, lengths, extract element, and groupby collect_list —
+the list ops the query benchmarks touch. Set-ops/dremel encoding are later
+rounds.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtypes
+from .column import Column, _pad_to
+from ..utils.padding import bucket_capacity
+
+
+class ListColumn:
+    """offsets[int32, length+1 valid entries] + child Column."""
+
+    __slots__ = ("offsets", "child", "length", "validity")
+
+    def __init__(self, offsets: jnp.ndarray, child: Column, length: int,
+                 validity: Optional[jnp.ndarray] = None):
+        self.offsets = offsets
+        self.child = child
+        self.length = int(length) if not isinstance(length, jax.core.Tracer) else length
+        self.validity = validity
+
+    @classmethod
+    def from_pylist(cls, rows: Sequence[Optional[Sequence]]) -> "ListColumn":
+        offs = [0]
+        flat: List = []
+        valid = []
+        for r in rows:
+            if r is None:
+                valid.append(False)
+                offs.append(offs[-1])
+            else:
+                valid.append(True)
+                flat.extend(r)
+                offs.append(offs[-1] + len(r))
+        n = len(rows)
+        cap = bucket_capacity(max(n, 1))
+        offsets = _pad_to(np.asarray(offs, np.int32), cap + 1, offs[-1])
+        child = Column.from_numpy(np.asarray(flat))
+        v = None if all(valid) else _pad_to(np.asarray(valid), bucket_capacity(max(n, 1)), False)
+        return cls(offsets, child, n, v)
+
+    def to_pylist(self) -> List:
+        offs = np.asarray(self.offsets)[: self.length + 1]
+        vals = self.child.to_numpy()
+        v = None if self.validity is None else np.asarray(self.validity)[: self.length]
+        out = []
+        for i in range(self.length):
+            if v is not None and not v[i]:
+                out.append(None)
+            else:
+                out.append(list(vals[offs[i] : offs[i + 1]]))
+        return out
+
+    def lengths(self) -> Column:
+        offs = self.offsets
+        n = self.length
+        cap = bucket_capacity(max(n, 1))
+        out = (offs[1 : cap + 1] - offs[:cap]).astype(jnp.int32)
+        return Column(dtypes.int32, out, self.validity, n)
+
+    def explode(self):
+        """(parent_row_index Column, child Column) — cudf::lists::explode."""
+        total = self.child.length
+        cap = self.child.capacity
+        j = jnp.arange(cap, dtype=jnp.int32)
+        parent = (
+            jnp.searchsorted(self.offsets[: self.length + 1], j, side="right").astype(jnp.int32) - 1
+        )
+        parent = jnp.clip(parent, 0, max(self.length - 1, 0))
+        return Column(dtypes.int32, parent, None, total), self.child
+
+    def extract(self, index: int) -> Column:
+        """list[i] per row; null when out of bounds (extract_list_element)."""
+        n = self.length
+        cap = bucket_capacity(max(n, 1))
+        starts = self.offsets[:cap]
+        ends = self.offsets[1 : cap + 1]
+        ln = ends - starts
+        idx = jnp.where(index >= 0, index, ln + index)
+        ok = (idx >= 0) & (idx < ln)
+        src = jnp.clip(starts + idx, 0, self.child.capacity - 1)
+        data = self.child.data[src]
+        v = ok
+        if self.validity is not None:
+            v = v & self.validity
+        if self.child.validity is not None:
+            v = v & self.child.validity[src]
+        return Column(self.child.dtype, data, v, n, self.child.dictionary)
+
+
+def groupby_collect(tbl, keys: Sequence[str], value: str):
+    """groupby().agg(list) — COLLECT_LIST (reference group_collect.cu).
+
+    Returns (key Table, ListColumn) with groups in sorted key order.
+    """
+    from ..ops import rowcodes
+    from ..ops.sortprim import multisort_perm, tiled_cumsum
+    from ..ops.groupby import _grouping_codes, _grouping_finish, _aggregate_impl, AggSpec
+    from ..ops.copying import gather
+    from ..core.table import Table
+
+    kcols = tuple(tbl[k] for k in keys)
+    vcol = tbl[value]
+    perm = multisort_perm(list(_grouping_codes(kcols)))
+    seg, newgrp, inb, n_groups_dev = _grouping_finish(kcols, perm)
+    n_groups = int(n_groups_dev)
+    out_cap = bucket_capacity(max(n_groups, 1))
+    # keys table via the standard agg path (first occurrences)
+    kt = _aggregate_impl(kcols, (kcols[0],), tuple(keys), (AggSpec("", "size", "__n"),),
+                         out_cap, perm, seg, inb, n_groups_dev, (None,))
+    counts = kt["__n"].data
+    from ..utils.jitutil import fix_lengths
+
+    key_table = Table({k: fix_lengths(kt[k], n_groups) for k in keys})
+    # child: values sorted by group, compacted to the front (valid rows first)
+    sv = gather(vcol, perm, tbl.num_rows)
+    offs_body = tiled_cumsum(counts.astype(jnp.int32))
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), offs_body])
+    return key_table, ListColumn(offsets, sv, n_groups)

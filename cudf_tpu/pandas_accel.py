@@ -1,0 +1,289 @@
+"""Zero-code-change pandas accelerator: fast/slow proxy layer.
+
+Analog of cudf.pandas (reference: python/cudf/cudf/pandas/ —
+fast_slow_proxy.py:563-604 proxy types, :1291 _fast_slow_function_call
+try-fast-except-replay-on-slow). ``install()`` returns a module object
+that mimics ``pandas``: DataFrame/Series constructors and top-level
+functions produce proxy objects that execute on the cudf_tpu engine when
+the operation is supported and transparently fall back to real pandas
+(device->host transfer + replay) otherwise.
+
+Usage:
+    import cudf_tpu.pandas_accel as xpd   # instead of `import pandas as pd`
+    df = xpd.DataFrame({...})
+    out = df.groupby("k").mean()          # runs on TPU
+    out2 = df.pivot_table(...)            # falls back to pandas
+
+The import-hook variant (`python -m cudf_tpu.pandas_accel script.py`)
+rebinds `pandas` in sys.modules before the script runs.
+"""
+from __future__ import annotations
+
+import sys
+import types
+from typing import Any
+
+import numpy as np
+import pandas as _pd
+
+from .frame import DataFrame as _FastDF, Series as _FastSeries, concat as _fast_concat
+
+_FALLBACKS: dict = {}
+
+
+def _record_fallback(name: str):
+    _FALLBACKS[name] = _FALLBACKS.get(name, 0) + 1
+
+
+def fallback_stats() -> dict:
+    """Profiler hook: how often each pandas method fell back to host
+    (the cudf.pandas profiler analog, python/cudf/cudf/pandas/profiler.py)."""
+    return dict(_FALLBACKS)
+
+
+def _wrap(obj: Any):
+    if isinstance(obj, _pd.DataFrame):
+        return XDataFrame._from_fast(_FastDF.from_pandas(obj.reset_index(drop=True))
+                                     if obj.index.equals(_pd.RangeIndex(len(obj)))
+                                     else None, slow=obj)
+    if isinstance(obj, _pd.Series):
+        return XSeries._from_fast(None, slow=obj)
+    return obj
+
+
+class _ProxyBase:
+    """try-fast / fall-back-to-pandas dispatcher."""
+
+    _fast = None   # cudf_tpu object (or None if host-only)
+    _slow = None   # cached pandas object
+
+    @classmethod
+    def _from_fast(cls, fast, slow=None):
+        o = object.__new__(cls)
+        o._fast = fast
+        o._slow = slow
+        return o
+
+    def _to_slow(self):
+        if self._slow is None:
+            self._slow = self._fast.to_pandas()
+        return self._slow
+
+    def _rewrap(self, result):
+        if isinstance(result, _pd.DataFrame):
+            return XDataFrame._from_fast(None, slow=result)
+        if isinstance(result, _pd.Series):
+            return XSeries._from_fast(None, slow=result)
+        return result
+
+    def __getattr__(self, name):
+        # 1) try the fast engine
+        fast = object.__getattribute__(self, "_fast")
+        if fast is not None and hasattr(fast, name):
+            attr = getattr(fast, name)
+            if not callable(attr):
+                return self._rewrap_fast(attr)
+
+            def method(*args, **kwargs):
+                try:
+                    uargs = [a._fast if isinstance(a, _ProxyBase) and a._fast is not None
+                             else (a._to_slow() if isinstance(a, _ProxyBase) else a)
+                             for a in args]
+                    out = attr(*uargs, **kwargs)
+                    return self._rewrap_fast(out)
+                except Exception:
+                    _record_fallback(name)
+                    slow_attr = getattr(self._to_slow(), name)
+                    sargs = [a._to_slow() if isinstance(a, _ProxyBase) else a for a in args]
+                    return self._rewrap(slow_attr(*sargs, **kwargs))
+
+            return method
+        # 2) pandas fallback
+        _record_fallback(name)
+        attr = getattr(self._to_slow(), name)
+        if callable(attr):
+            def slow_method(*args, **kwargs):
+                sargs = [a._to_slow() if isinstance(a, _ProxyBase) else a for a in args]
+                return self._rewrap(attr(*sargs, **kwargs))
+
+            return slow_method
+        return self._rewrap(attr)
+
+    def _rewrap_fast(self, out):
+        if isinstance(out, _FastDF):
+            return XDataFrame._from_fast(out)
+        if isinstance(out, _FastSeries):
+            return XSeries._from_fast(out)
+        from .frame.groupby import DataFrameGroupBy
+
+        if isinstance(out, DataFrameGroupBy):
+            return _GroupByProxy(out, self)
+        return out
+
+    def __repr__(self):
+        return repr(self._to_slow())
+
+    def __len__(self):
+        return len(self._fast) if self._fast is not None else len(self._to_slow())
+
+
+class XDataFrame(_ProxyBase):
+    def __init__(self, *args, **kwargs):
+        try:
+            self._fast = _FastDF(*args, **kwargs)
+            self._slow = None
+        except Exception:
+            _record_fallback("DataFrame.__init__")
+            self._fast = None
+            self._slow = _pd.DataFrame(*args, **kwargs)
+
+    def __getitem__(self, key):
+        if self._fast is not None:
+            try:
+                k = key._fast if isinstance(key, _ProxyBase) and key._fast is not None else key
+                return self._rewrap_fast(self._fast[k])
+            except Exception:
+                _record_fallback("__getitem__")
+        return self._rewrap(self._to_slow()[key._to_slow() if isinstance(key, _ProxyBase) else key])
+
+    def __setitem__(self, key, value):
+        v = value._fast if isinstance(value, _ProxyBase) and value._fast is not None else value
+        if self._fast is not None:
+            try:
+                self._fast[key] = v
+                self._slow = None
+                return
+            except Exception:
+                _record_fallback("__setitem__")
+        slow = self._to_slow()
+        slow[key] = value._to_slow() if isinstance(value, _ProxyBase) else value
+        self._fast = None
+        self._slow = slow
+
+    def to_pandas(self):
+        return self._to_slow()
+
+
+class XSeries(_ProxyBase):
+    def __init__(self, *args, **kwargs):
+        try:
+            self._fast = _FastSeries(*args, **kwargs)
+            self._slow = None
+        except Exception:
+            _record_fallback("Series.__init__")
+            self._fast = None
+            self._slow = _pd.Series(*args, **kwargs)
+
+    def _binop(self, other, op):
+        o = other._fast if isinstance(other, _ProxyBase) and other._fast is not None else other
+        if self._fast is not None:
+            try:
+                return self._rewrap_fast(getattr(self._fast, op)(o))
+            except Exception:
+                _record_fallback(op)
+        so = other._to_slow() if isinstance(other, _ProxyBase) else other
+        return self._rewrap(getattr(self._to_slow(), op)(so))
+
+    def __add__(self, o):
+        return self._binop(o, "__add__")
+
+    def __sub__(self, o):
+        return self._binop(o, "__sub__")
+
+    def __mul__(self, o):
+        return self._binop(o, "__mul__")
+
+    def __truediv__(self, o):
+        return self._binop(o, "__truediv__")
+
+    def __gt__(self, o):
+        return self._binop(o, "__gt__")
+
+    def __lt__(self, o):
+        return self._binop(o, "__lt__")
+
+    def __ge__(self, o):
+        return self._binop(o, "__ge__")
+
+    def __le__(self, o):
+        return self._binop(o, "__le__")
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._binop(o, "__eq__")
+
+    def __hash__(self):
+        raise TypeError("unhashable")
+
+
+class _GroupByProxy:
+    def __init__(self, gb, parent):
+        self._gb = gb
+        self._parent = parent
+
+    def __getattr__(self, name):
+        if hasattr(self._gb, name):
+            attr = getattr(self._gb, name)
+
+            def method(*a, **k):
+                try:
+                    out = attr(*a, **k)
+                    return self._parent._rewrap_fast(out)
+                except Exception:
+                    _record_fallback(f"groupby.{name}")
+                    return self._fallback(name, *a, **k)
+
+            return method
+        return lambda *a, **k: self._fallback(name, *a, **k)
+
+    def __getitem__(self, cols):
+        return _GroupByProxy(self._gb[cols], self._parent)
+
+    def _fallback(self, name, *a, **k):
+        slow = self._parent._to_slow().groupby(self._gb._keys, as_index=False)
+        if self._gb._value_cols is not None:
+            slow = slow[self._gb._value_cols]
+        return self._parent._rewrap(getattr(slow, name)(*a, **k))
+
+
+def _make_module() -> types.ModuleType:
+    m = types.ModuleType("pandas")
+    m.DataFrame = XDataFrame
+    m.Series = XSeries
+    m.concat = lambda objs, **kw: (
+        XDataFrame._from_fast(_fast_concat([o._fast for o in objs]))
+        if all(isinstance(o, _ProxyBase) and o._fast is not None for o in objs)
+        else _pd.concat([o._to_slow() if isinstance(o, _ProxyBase) else o for o in objs], **kw)
+    )
+    from . import read_parquet as _rp, read_csv as _rc, read_json as _rj
+
+    m.read_parquet = lambda p, **kw: XDataFrame._from_fast(_rp(p, **kw))
+    m.read_csv = lambda p, **kw: XDataFrame._from_fast(_rc(p, **kw))
+    m.read_json = lambda p, **kw: XDataFrame._from_fast(_rj(p, **kw))
+    # everything else: real pandas
+    for name in dir(_pd):
+        if not hasattr(m, name):
+            try:
+                setattr(m, name, getattr(_pd, name))
+            except Exception:
+                pass
+    return m
+
+
+def install() -> types.ModuleType:
+    """Replace sys.modules['pandas'] with the accelerated proxy module."""
+    m = _make_module()
+    sys.modules["pandas"] = m
+    return m
+
+
+# module-level convenience: `import cudf_tpu.pandas_accel as xpd`
+DataFrame = XDataFrame
+Series = XSeries
+_mod = None
+
+
+def __getattr__(name):
+    global _mod
+    if _mod is None:
+        _mod = _make_module()
+    return getattr(_mod, name)

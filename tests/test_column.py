@@ -111,3 +111,37 @@ def test_scalar_column():
     assert c2.null_count == 3
     c3 = Column.from_scalar("hi", 4)
     assert list(c3.to_numpy()) == ["hi"] * 4
+
+
+class TestListColumn:
+    def test_roundtrip_and_lengths(self):
+        from cudf_tpu.core.lists import ListColumn
+
+        rows = [[1, 2], [], None, [5]]
+        lc = ListColumn.from_pylist(rows)
+        assert lc.to_pylist() == [[1, 2], [], None, [5]]
+        lens = lc.lengths().to_numpy()
+        np.testing.assert_array_equal(lens[:2], [2, 0])
+
+    def test_explode_extract(self):
+        from cudf_tpu.core.lists import ListColumn
+
+        lc = ListColumn.from_pylist([[10, 20], [30], [40, 50, 60]])
+        parent, child = lc.explode()
+        np.testing.assert_array_equal(parent.to_numpy(), [0, 0, 1, 2, 2, 2])
+        np.testing.assert_array_equal(child.to_numpy(), [10, 20, 30, 40, 50, 60])
+        first = lc.extract(0)
+        np.testing.assert_array_equal(first.to_numpy(), [10, 30, 40])
+        last = lc.extract(-1)
+        np.testing.assert_array_equal(last.to_numpy(), [20, 30, 60])
+        oob = lc.extract(2).to_numpy()
+        assert oob[0] is None and oob[1] is None and oob[2] == 60
+
+    def test_groupby_collect(self):
+        from cudf_tpu.core.lists import groupby_collect
+
+        t = Table.from_pydict({"k": [2, 1, 2, 1, 2], "v": [1, 2, 3, 4, 5]})
+        keys, lists = groupby_collect(t, ["k"], "v")
+        np.testing.assert_array_equal(keys["k"].to_numpy(), [1, 2])
+        got = lists.to_pylist()
+        assert sorted(got[0]) == [2, 4] and sorted(got[1]) == [1, 3, 5]

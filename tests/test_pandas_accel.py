@@ -1,0 +1,55 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu.pandas_accel as xpd
+
+
+class TestProxy:
+    def test_fast_path_groupby(self):
+        df = xpd.DataFrame({"k": [1, 2, 1, 2], "v": [1.0, 2.0, 3.0, 4.0]})
+        out = df.groupby("k").sum()
+        res = out.to_pandas()
+        exp = pd.DataFrame({"k": [1, 2], "v": [4.0, 6.0]})
+        pd.testing.assert_frame_equal(res, exp)
+        assert "groupby" not in xpd.fallback_stats()
+
+    def test_fast_arith_and_mask(self):
+        df = xpd.DataFrame({"a": [1.0, 2.0, 3.0]})
+        s = df["a"] * 2 + 1
+        out = df[s > 3.0]
+        assert len(out) == 2
+
+    def test_fallback_pivot(self):
+        df = xpd.DataFrame({"a": ["x", "x", "y"], "b": [1, 2, 1], "v": [1.0, 2.0, 3.0]})
+        out = df.pivot_table(index="a", columns="b", values="v")  # unsupported -> pandas
+        assert isinstance(out, xpd.DataFrame) or hasattr(out, "_to_slow")
+        assert xpd.fallback_stats().get("pivot_table", 0) >= 1
+
+    def test_fallback_preserves_values(self):
+        df = xpd.DataFrame({"a": [3, 1, 2]})
+        # rank on frame not implemented on fast DataFrame -> falls back
+        out = df.rank()
+        res = out._to_slow()
+        pd.testing.assert_frame_equal(res, pd.DataFrame({"a": [3.0, 1.0, 2.0]}))
+
+    def test_mixed_chain(self):
+        df = xpd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+        out = df.groupby("k").mean()          # fast
+        out2 = out.merge(df, on="k")          # fast merge with proxy arg
+        assert len(out2) == 3
+
+    def test_install_module(self):
+        import sys
+
+        real = sys.modules.get("pandas")
+        try:
+            m = xpd.install()
+            assert sys.modules["pandas"] is m
+            import pandas as p2
+
+            df = p2.DataFrame({"a": [1, 2]})
+            assert isinstance(df, xpd.DataFrame)
+            assert p2.Timestamp("2020-01-01").year == 2020  # passthrough attrs
+        finally:
+            sys.modules["pandas"] = real
