@@ -61,9 +61,38 @@ def gather(col: Column, indices: jnp.ndarray, out_length: int,
     return Column(col.dtype, out, validity, out_length, col.dictionary)
 
 
+@partial(jax.jit, static_argnames=("check_bounds",))
+def _gather_table_impl(cols, idx, length, check_bounds):
+    out = []
+    safe = jnp.clip(idx, 0, cols[0].capacity - 1)
+    for c in cols:
+        data = c.data[safe]
+        in_bounds = (idx >= 0) & (idx < length)
+        if c.validity is not None:
+            v = c.validity[safe] & in_bounds
+        elif check_bounds:
+            v = in_bounds
+        else:
+            v = None
+        out.append(Column(c.dtype, data, v, c.length, c.dictionary))
+    return tuple(out)
+
+
 def gather_table(tbl: Table, indices: jnp.ndarray, out_length: int,
                  check_bounds: bool = False) -> Table:
-    return Table({n: gather(c, indices, out_length, check_bounds) for n, c in tbl})
+    """Gather all columns in ONE dispatched executable (each dispatch over
+    the axon tunnel costs ~30ms; per-column gathers would multiply that)."""
+    from ..utils.jitutil import fix_lengths
+
+    cols = tuple(tbl.columns)
+    if not cols:
+        return tbl
+    out = _gather_table_impl(
+        cols, indices.astype(jnp.int32),
+        jnp.asarray(tbl.num_rows, jnp.int32), check_bounds,
+    )
+    out = [fix_lengths(c, out_length) for c in out]
+    return Table(dict(zip(tbl.names, out)))
 
 
 @partial(jax.jit, static_argnames=("lengths", "cap"))

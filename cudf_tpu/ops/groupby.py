@@ -60,26 +60,43 @@ def _minmax_identity(dt, for_min: bool):
     return jnp.asarray(info.max if for_min else info.min, p)
 
 
-@jax.jit
-def _grouping_codes(keys):
-    return tuple(rowcodes.grouping_operands(keys, keys[0].length))
+def _anynull(keys):
+    cap = keys[0].capacity
+    out = jnp.zeros((cap,), jnp.bool_)
+    for k in keys:
+        if k.validity is not None:
+            out = out | ~k.validity
+    return out
 
 
-@jax.jit
-def _grouping_finish(keys, perm):
-    """Given the key-sorted permutation: (seg, newgrp, inb_sorted, n_groups)."""
+@partial(jax.jit, static_argnames=("dropna",))
+def _grouping_codes(keys, dropna=False):
+    ops = rowcodes.grouping_operands(keys, keys[0].length)
+    if dropna and any(k.validity is not None for k in keys):
+        # null-key rows sort after all valid rows (before padding): dropping
+        # them is then just exclusion from the group count — no pre-filter
+        # compaction pass needed
+        ops = [ops[0], _anynull(keys).astype(jnp.uint32)] + list(ops[1:])
+    return tuple(ops)
+
+
+@partial(jax.jit, static_argnames=("dropna",))
+def _grouping_finish(keys, perm, dropna=False):
+    """Given the key-sorted permutation: (seg, newgrp, live_sorted, n_groups)."""
     length = keys[0].length
     cap = keys[0].capacity
     ops = rowcodes.grouping_operands(keys, length)
     sorted_ops = [op[perm] for op in ops]
     newgrp = rowcodes.adjacent_neq(sorted_ops)
     pos = jnp.arange(cap, dtype=jnp.int32)
-    inb_sorted = pos < jnp.asarray(length, jnp.int32)  # padding sorts last
-    n_groups = jnp.sum((newgrp & inb_sorted).astype(jnp.int32))
+    live = pos < jnp.asarray(length, jnp.int32)  # padding sorts last
+    if dropna and any(k.validity is not None for k in keys):
+        live = live & ~_anynull(keys)[perm]
+    n_groups = jnp.sum((newgrp & live).astype(jnp.int32))
     from .sortprim import tiled_cumsum
 
     seg = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
-    return seg, newgrp, inb_sorted, n_groups
+    return seg, newgrp, live, n_groups
 
 
 @partial(jax.jit, static_argnames=("ordered",))
@@ -94,13 +111,13 @@ def _value_sort_codes(kcols, vcol, ordered):
     return tuple(list(ops) + list(vops))
 
 
-def _grouping(keys):
-    """Radix-sort rows by key; return (perm, seg, newgrp, inb_sorted, n_groups)."""
+def _grouping(keys, dropna=False):
+    """Radix-sort rows by key; return (perm, seg, newgrp, live_sorted, n_groups)."""
     from .sortprim import multisort_perm
 
-    perm = multisort_perm(_grouping_codes(keys))
-    seg, newgrp, inb_sorted, n_groups = _grouping_finish(keys, perm)
-    return perm, seg, newgrp, inb_sorted, n_groups
+    perm = multisort_perm(list(_grouping_codes(keys, dropna)))
+    seg, newgrp, live, n_groups = _grouping_finish(keys, perm, dropna)
+    return perm, seg, newgrp, live, n_groups
 
 
 @partial(jax.jit, static_argnames=("keynames", "aggs", "out_cap"))
@@ -138,14 +155,10 @@ def groupby_aggregate(
     dropna_keys: bool = True,
 ) -> Table:
     """Grouped aggregation; output rows are in sorted key order."""
-    from .stream_compaction import drop_nulls
     from ..utils.jitutil import fix_lengths
 
-    if dropna_keys and any(tbl[k].validity is not None for k in keys):
-        tbl = drop_nulls(tbl, keys=list(keys))
-
     kcols = tuple(tbl[k] for k in keys)
-    perm, seg, newgrp, inb_sorted, n_groups_dev = _grouping(kcols)
+    perm, seg, newgrp, inb_sorted, n_groups_dev = _grouping(kcols, dropna_keys)
     n_groups = int(n_groups_dev)  # host sync
     out_cap = bucket_capacity(max(n_groups, 1))
 

@@ -84,11 +84,122 @@ def _build_codes(rcols):
     return tuple(rowcodes.grouping_operands(rcols, rcols[0].length))
 
 
+@jax.jit
+def _combined_codes(lcols, rcols):
+    """Operands for the combined (right ++ left) key sort.
+
+    Order: [oob, key operands..., side flag] — equal keys group together
+    with all right rows before left rows (flag 0 < 1), padding last.
+    """
+    capL = lcols[0].capacity
+    capR = rcols[0].capacity
+    posL = jnp.arange(capL, dtype=jnp.int32)
+    posR = jnp.arange(capR, dtype=jnp.int32)
+    oob = jnp.concatenate([
+        (posR >= jnp.asarray(rcols[0].length, jnp.int32)).astype(jnp.uint32),
+        (posL >= jnp.asarray(lcols[0].length, jnp.int32)).astype(jnp.uint32),
+    ])
+    l_ops = _join_key_operands(lcols)
+    r_ops = _join_key_operands(rcols)
+    key_ops = [jnp.concatenate([r, l]) for r, l in zip(r_ops, l_ops)]
+    flag = jnp.concatenate([
+        jnp.zeros((capR,), jnp.uint32), jnp.ones((capL,), jnp.uint32)
+    ])
+    # pad the combined buffers to a power-of-two capacity (radix passes and
+    # bitonic merges need it); pad rows carry oob=1 so they sort last
+    total = capL + capR
+    cap = bucket_capacity(total)
+    pad = cap - total
+    if pad:
+        oob = jnp.concatenate([oob, jnp.ones((pad,), jnp.uint32)])
+        key_ops = [jnp.concatenate([k, jnp.zeros((pad,), jnp.uint32)]) for k in key_ops]
+        flag = jnp.concatenate([flag, jnp.ones((pad,), jnp.uint32)])
+    return tuple([oob] + key_ops + [flag])
+
+
+@partial(jax.jit, static_argnames=("nulls_equal",))
+def _probe_finish(lcols, rcols, perm, nulls_equal):
+    """From the combined key-sorted permutation, derive per-left-row match
+    counts and lower bounds plus the key-ordered right row map."""
+    from .sortprim import tiled_cumsum, tiled_cummax
+
+    capL = lcols[0].capacity
+    capR = rcols[0].capacity
+    cap = perm.shape[0]  # padded combined capacity (power of two)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    is_right = perm < capR
+    is_left_side = (perm >= capR) & (perm < capR + capL)
+    r_row = jnp.clip(perm, 0, capR - 1)
+    l_row = jnp.clip(perm - capR, 0, capL - 1)
+
+    r_inb = r_row < jnp.asarray(rcols[0].length, jnp.int32)
+    l_inb = l_row < jnp.asarray(lcols[0].length, jnp.int32)
+    r_valid = is_right & r_inb
+    if not nulls_equal:
+        anynull_r = jnp.zeros((capR,), jnp.bool_)
+        for c in rcols:
+            if c.validity is not None:
+                anynull_r = anynull_r | ~c.validity
+        r_valid = r_valid & ~anynull_r[r_row]
+
+    # key-group boundaries over the combined sorted key operands
+    l_ops = _join_key_operands(lcols)
+    r_ops = _join_key_operands(rcols)
+    key_sorted = [
+        jnp.where(is_right, r[r_row], l[l_row])
+        for r, l in zip(r_ops, l_ops)
+    ]
+    newgrp = rowcodes.adjacent_neq(key_sorted)
+    grp_start = tiled_cummax(jnp.where(newgrp, pos, 0))
+
+    rights_incl = tiled_cumsum(r_valid.astype(jnp.int32))
+    rights_excl = rights_incl - r_valid.astype(jnp.int32)
+    ub_here = rights_incl                      # rights with key <= mine
+    lb_here = rights_excl[grp_start]           # rights before my key group
+
+    counts_sorted = ub_here - lb_here
+    # scatter to original left rows
+    is_left = is_left_side
+    lidx = jnp.where(is_left, l_row, 0)
+    counts = jnp.zeros((capL,), jnp.int32).at[lidx].max(
+        jnp.where(is_left, counts_sorted, 0))
+    lb = jnp.zeros((capL,), jnp.int32).at[lidx].max(
+        jnp.where(is_left, lb_here, 0))
+
+    # key-ordered valid-right row map
+    r_rank = jnp.where(r_valid, rights_excl, capR)
+    r_perm_out = jnp.zeros((capR + 1,), jnp.int32).at[
+        jnp.clip(r_rank, 0, capR)
+    ].max(jnp.where(r_valid, r_row, 0))[:capR]
+
+    linb = jnp.arange(capL, dtype=jnp.int32) < jnp.asarray(lcols[0].length, jnp.int32)
+    keep = linb
+    if not nulls_equal:
+        for c in lcols:
+            if c.validity is not None:
+                keep = keep & c.validity
+    counts = jnp.where(keep, counts, 0)
+    return counts, lb, r_perm_out, linb
+
+
 def _probe(lcols, rcols, nulls_equal):
-    """Build + size pass (sort right, search left); one host-free call pair."""
+    """Build + size pass via ONE combined radix sort of both key sets —
+    replaces binary-search probing (sequential random gathers are slow on
+    TPU; the combined sort rides the shared radix executables + key
+    compression)."""
     from .sortprim import multisort_perm
 
-    r_perm = multisort_perm(_build_codes(rcols))
+    ops = _combined_codes(tuple(lcols), tuple(rcols))
+    perm = multisort_perm(list(ops))
+    return _probe_finish(tuple(lcols), tuple(rcols), perm, nulls_equal)
+
+
+def _probe_bsearch(lcols, rcols, nulls_equal):
+    """Binary-search variant (kept for in-trace/sharded use where the
+    combined capacities differ per shard)."""
+    from .sortprim import multisort_perm
+
+    r_perm = multisort_perm(list(_build_codes(rcols)))
     return _probe_impl(lcols, rcols, r_perm, nulls_equal)
 
 

@@ -112,15 +112,45 @@ def _iota(cap: int) -> jnp.ndarray:
     return jnp.arange(cap, dtype=jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("widths",))
+def _pack_words(ops, mins, widths):
+    """Range-compress and bit-pack operands into u32 words (lexicographic
+    order preserved: earlier operands land in higher bits of earlier words).
+    ``mins`` are dynamic scalars so distinct data ranges share one compile.
+    """
+    words = []
+    acc = None
+    used = 0
+    for op, lo, w in zip(ops, mins, widths):
+        v = op - lo.astype(jnp.uint32)
+        while w > 0:
+            room = 32 - used
+            take = min(w, room)
+            # take the TOP `take` bits of the remaining w bits of v
+            piece = (v >> jnp.uint32(w - take)) & jnp.uint32((1 << take) - 1)
+            acc = piece if acc is None else ((acc << jnp.uint32(take)) | piece)
+            used += take
+            w -= take
+            if used == 32:
+                words.append(acc)
+                acc = None
+                used = 0
+    if acc is not None:
+        words.append(acc << jnp.uint32(32 - used))  # left-align final word
+    return tuple(words)
+
+
 def multisort_perm(operands: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Stable lexicographic permutation over u32 operand list (LSD passes).
 
     All passes share ONE compiled executable per capacity bucket (a fused
     multi-pass program would duplicate the pass body per operand — measured
-    565MB serialized at 2M rows — while the shared single-pass executable
-    loads once). Outside a trace, constant operands (min == max, e.g. the
-    high word of small int64 keys, or the oob flag of a full buffer) are
-    pruned first: one tiny scalar sync saves a whole O(n) pass each.
+    565MB serialized at 2M rows). Outside a trace, radix-key compression
+    runs first: one tiny min/max sync per operand, constant operands are
+    dropped, and the remaining value ranges are bit-packed into as few u32
+    words as possible — most real key sets collapse to 1-2 passes (classic
+    radix key compression; libcudf gets the same effect from CUB's
+    begin_bit/end_bit trimming).
     """
     ops = list(operands)
     for op in ops:
@@ -129,10 +159,14 @@ def multisort_perm(operands: Sequence[jnp.ndarray]) -> jnp.ndarray:
         ranges = _op_ranges(tuple(ops))
         import numpy as _np
 
-        flat = _np.asarray(jax.device_get(ranges)).reshape(len(ops), 2)
-        ops = [op for op, (lo, hi) in zip(ops, flat) if lo != hi]
-        if not ops:
+        flat = _np.asarray(jax.device_get(ranges), dtype=_np.uint64).reshape(len(ops), 2)
+        kept = [(op, rng, int(lo), int(hi))
+                for op, rng, (lo, hi) in zip(ops, ranges, flat) if lo != hi]
+        if not kept:
             return _iota(operands[0].shape[0])
+        mins = tuple(rng[0] for _, rng, _, _ in kept)  # device scalars
+        widths = tuple(int(hi - lo).bit_length() for _, _, lo, hi in kept)
+        ops = list(_pack_words(tuple(op for op, _, _, _ in kept), mins, widths))
     perm = _iota(ops[0].shape[0])
     for op in reversed(ops):
         perm = _pass_body(op, perm) if isinstance(op, jax.core.Tracer) or isinstance(perm, jax.core.Tracer) else _pass(op, perm)
