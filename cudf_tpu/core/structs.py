@@ -1,0 +1,74 @@
+"""Struct columns: named child columns sharing row geometry.
+
+Analog of cpp/src/structs/ (931 LoC). A StructColumn is a thin bundle of
+child Columns plus an outer validity; field access is zero-copy, and
+struct rows participate in sort/group/join keys by flattening children
+into the row-code operand list (exactly how the reference's row_operator
+handles nested types via flattened preprocessed columns).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .column import Column
+from ..utils.padding import bucket_capacity
+
+
+class StructColumn:
+    __slots__ = ("children", "length", "validity")
+
+    def __init__(self, children: Dict[str, Column], length: int,
+                 validity: Optional[jnp.ndarray] = None):
+        self.children = dict(children)
+        self.length = int(length)
+        self.validity = validity
+
+    @classmethod
+    def from_pydict_rows(cls, rows: Sequence[Optional[dict]]) -> "StructColumn":
+        n = len(rows)
+        keys: List[str] = []
+        for r in rows:
+            if r is not None:
+                keys = list(r.keys())
+                break
+        valid = np.array([r is not None for r in rows])
+        children = {}
+        for k in keys:
+            vals = [r.get(k) if r is not None else None for r in rows]
+            has_null = any(v is None for v in vals)
+            arr = np.asarray([0 if v is None else v for v in vals])
+            children[k] = Column.from_numpy(
+                arr, None if not has_null else np.array([v is not None for v in vals])
+            )
+        v = None
+        if not valid.all():
+            from .column import _pad_to
+
+            v = _pad_to(valid, bucket_capacity(max(n, 1)), False)
+        return cls(children, n, v)
+
+    def field(self, name: str) -> Column:
+        """struct.field accessor — outer nulls propagate."""
+        c = self.children[name]
+        if self.validity is None:
+            return c
+        v = self.validity if c.validity is None else (c.validity & self.validity)
+        return Column(c.dtype, c.data, v, c.length, c.dictionary)
+
+    def to_pylist(self) -> List[Optional[dict]]:
+        vals = {k: self.field(k).to_numpy() for k in self.children}
+        ov = None if self.validity is None else np.asarray(self.validity)[: self.length]
+        out = []
+        for i in range(self.length):
+            if ov is not None and not ov[i]:
+                out.append(None)
+            else:
+                out.append({k: vals[k][i] for k in self.children})
+        return out
+
+    def key_columns(self) -> List[Column]:
+        """Flattened children for sort/group/join keys (row_operator analog)."""
+        return [self.field(k) for k in self.children]

@@ -169,3 +169,46 @@ def _scan_impl(col: Column, kind: str) -> Column:
 
 def scan(col: Column, kind: str) -> Column:
     return fix_lengths(_scan_impl(col, kind), col.length)
+
+
+@partial(jax.jit, static_argnames=("adjust",))
+def _ewma_impl(col: Column, alpha, adjust):
+    """EWMA via an associative linear-recurrence scan (EWMA agg kind,
+    include/cudf/aggregation.hpp): y_i = (1-a)*y_{i-1} + a*x_i composed as
+    (A, B) pairs under ((A2*A1, A2*B1 + B2))."""
+    x = col.data.astype(jnp.float64)
+    valid = col.valid_mask()
+    if col.dtype.is_floating:
+        valid = valid & ~jnp.isnan(col.data)
+    a = jnp.float64(alpha)
+
+    if adjust:
+        # y_i = sum_j w^(i-j) x_j / sum_j w^(i-j), w = 1-a, over valid rows
+        w = 1.0 - a
+        # numerator/denominator as linear recurrences: n_i = w*n_{i-1} + x_i
+        A = jnp.where(valid, w, 1.0)
+        Bn = jnp.where(valid, x, 0.0)
+        Bd = jnp.where(valid, 1.0, 0.0)
+
+        def comb(l, r):
+            return (l[0] * r[0], r[0] * l[1] + r[1], r[0] * l[2] + r[2])
+
+        _, num, den = jax.lax.associative_scan(comb, (A, Bn, Bd))
+        out = num / jnp.maximum(den, 1e-300)
+    else:
+        # y_first = x_first; y_i = (1-a) y_{i-1} + a x_i; invalid rows carry
+        seen = jnp.cumsum(valid.astype(jnp.int32))
+        first = valid & (seen == 1)
+        A = jnp.where(first, 0.0, jnp.where(valid, 1.0 - a, 1.0))
+        B = jnp.where(first, x, jnp.where(valid, a * x, 0.0))
+
+        def comb2(l, r):
+            return (l[0] * r[0], r[0] * l[1] + r[1])
+
+        _, out = jax.lax.associative_scan(comb2, (A, B))
+    validity = jnp.cumsum(valid.astype(jnp.int32)) > 0
+    return Column(dtypes.float64, out, validity & col.bounds_mask(), col.length)
+
+
+def ewma(col: Column, alpha: float, adjust: bool = True) -> Column:
+    return fix_lengths(_ewma_impl(col, float(alpha), bool(adjust)), col.length)

@@ -145,3 +145,24 @@ class TestListColumn:
         np.testing.assert_array_equal(keys["k"].to_numpy(), [1, 2])
         got = lists.to_pylist()
         assert sorted(got[0]) == [2, 4] and sorted(got[1]) == [1, 3, 5]
+
+
+class TestStructColumn:
+    def test_roundtrip_field_access(self):
+        from cudf_tpu.core.structs import StructColumn
+
+        rows = [{"x": 1, "y": 2.5}, None, {"x": 3, "y": 4.5}]
+        sc = StructColumn.from_pydict_rows(rows)
+        assert sc.to_pylist() == rows
+        x = sc.field("x").to_numpy()
+        assert x[0] == 1 and x[1] is None and x[2] == 3
+
+    def test_struct_as_sort_key(self):
+        from cudf_tpu.core.structs import StructColumn
+        from cudf_tpu.ops.sorting import sorted_order
+        import numpy as np
+
+        rows = [{"x": 2, "y": 1}, {"x": 1, "y": 9}, {"x": 2, "y": 0}]
+        sc = StructColumn.from_pydict_rows(rows)
+        perm = np.asarray(sorted_order(sc.key_columns()))[:3]
+        assert list(perm) == [1, 2, 0]

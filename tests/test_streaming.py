@@ -285,3 +285,17 @@ class TestDictMergeText:
         c = col(np.array(["hello world", "hello there"], object))
         t = text.minhash(c, seeds=(0, 1))
         assert t.num_columns == 2 and t.num_rows == 2
+
+
+class TestEWMA:
+    def test_adjust_true_false(self):
+        from cudf_tpu.ops.reductions import ewma
+
+        vals = [1.0, 3.0, np.nan, 2.0, 8.0]
+        # NaN rows carry state without decaying (pandas ignore_na=True,
+        # which is also cuDF EWMA's null handling)
+        for adjust in (True, False):
+            out = ewma(col(vals), 0.3, adjust=adjust).to_numpy()
+            exp = pd.Series(vals).ewm(alpha=0.3, adjust=adjust,
+                                      ignore_na=True).mean().to_numpy()
+            np.testing.assert_allclose(np.asarray(out, float), exp, rtol=1e-9)
