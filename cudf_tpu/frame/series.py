@@ -342,6 +342,28 @@ class Series:
     def argmax(self):
         return self._reduce("argmax")
 
+    def shift(self, periods=1):
+        from ..ops.rolling import shift as _shift
+
+        return Series(column=_shift(self._col, periods), name=self.name)
+
+    def diff(self, periods=1):
+        from ..ops.rolling import diff as _diff
+
+        return Series(column=_diff(self._col, periods), name=self.name)
+
+    def rolling(self, window, min_periods=None, center=False):
+        return _Rolling(self, window, min_periods, center)
+
+    def ewm(self, alpha=None, adjust=True, **kw):
+        return _EWM(self, alpha, adjust)
+
+    def searchsorted(self, other, side="left"):
+        from ..ops.search import searchsorted as _ss
+
+        oc = other._col if isinstance(other, Series) else Series(other)._col
+        return Series(column=_ss(self._col, oc, side), name=self.name)
+
     # ------------------------------------------------------------- accessors
     @property
     def str(self):
@@ -455,3 +477,45 @@ class DataFrameProxy:
         from .dataframe import DataFrame
 
         return DataFrame._from_table(tbl)
+
+
+class _Rolling:
+    def __init__(self, s, window, min_periods, center):
+        self._s, self._w, self._mp, self._c = s, window, min_periods, center
+
+    def _agg(self, kind):
+        from ..ops.rolling import rolling as _roll
+
+        return Series(column=_roll(self._s._col, self._w, kind, self._mp, self._c),
+                      name=self._s.name)
+
+    def sum(self):
+        return self._agg("sum")
+
+    def mean(self):
+        return self._agg("mean")
+
+    def min(self):
+        return self._agg("min")
+
+    def max(self):
+        return self._agg("max")
+
+    def count(self):
+        return self._agg("count")
+
+    def var(self):
+        return self._agg("var")
+
+    def std(self):
+        return self._agg("std")
+
+
+class _EWM:
+    def __init__(self, s, alpha, adjust):
+        self._s, self._a, self._adj = s, alpha, adjust
+
+    def mean(self):
+        from ..ops.reductions import ewma
+
+        return Series(column=ewma(self._s._col, self._a, self._adj), name=self._s.name)
