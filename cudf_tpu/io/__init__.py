@@ -122,3 +122,29 @@ def parquet_metadata(path):
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata
+
+
+def read_text(path, delimiter: str = "\n", byte_range=None) -> Column:
+    """cudf::io::text multibyte_split analog: split a file (or byte range)
+    into a string column on a delimiter."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        if byte_range is not None:
+            offset, size = byte_range
+            f.seek(offset)
+            data = f.read(size)
+            # extend to the next delimiter (reference byte-range semantics)
+            nxt = f.read(1 << 20)
+            cut = nxt.find(delimiter.encode())
+            if cut >= 0:
+                data += nxt[: cut + len(delimiter)]
+            if offset:
+                head = data.find(delimiter.encode())
+                data = data[head + len(delimiter):] if head >= 0 else b""
+        else:
+            data = f.read()
+    parts = data.decode(errors="replace").split(delimiter)
+    if parts and parts[-1] == "":
+        parts = parts[:-1]
+    return Column.from_numpy(np.array(parts, dtype=object))

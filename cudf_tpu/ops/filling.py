@@ -105,3 +105,11 @@ def one_hot_encode(col: Column) -> Table:
         name = str(c)
         out[name] = binary_op(col, c, "eq")
     return T(out)
+
+
+def qcut_labels(col: Column, q: int) -> Column:
+    """Quantile-based bin labels (pandas.qcut with labels=False)."""
+    from .reductions import reduce as _reduce, to_scalar
+
+    edges = [to_scalar(_reduce(col, "quantile", i / q)) for i in range(q + 1)]
+    return label_bins(col, edges, right=True, include_lowest=True)

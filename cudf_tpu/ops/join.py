@@ -2,20 +2,22 @@
 
 Analog of cpp/src/join/ (11.6k LoC: cuco hash-table build/probe kernels,
 size-estimation pass + retrieve pass, sort-merge fallback). TPU-native
-design — a *sort + vectorized binary search* join:
+design — a *combined-sort* join:
 
   1. promote key dtypes / unify string dictionaries (host metadata)
-  2. sort the right table's key operands once (XLA sort network) — the
-     analog of the hash-table *build* phase (join.cu:49 picks the smaller
-     side; callers can swap sides the same way)
-  3. probe: every left row binary-searches the sorted right keys with a
-     lexicographic comparator unrolled over log2(cap) gather+compare steps
-     — fully vectorized over the VPU, no per-row control flow
-  4. size pass: match counts -> exclusive scan -> one host sync for the
-     output row count (mirrors libcudf's join size estimation,
-     inner_join_size.cu)
+  2. ONE radix sort of the concatenated (right ++ left) key codes with a
+     side-flag tiebreak groups equal keys together, rights before lefts
+     (rides the shared per-capacity radix executables + key compression)
+  3. size pass: per-left-row match counts and right lower bounds fall out
+     of right-count prefix sums at key-group starts — no hash table, no
+     per-row binary search (sequential random gathers are slow on TPU)
+  4. one host sync for the output row count (mirrors libcudf's join size
+     estimation, inner_join_size.cu)
   5. retrieve: expansion via searchsorted(offsets, arange(out)) produces
      (left_idx, right_idx) gather maps; payloads gathered per column
+
+  A binary-search probe variant (_probe_bsearch) remains for per-shard
+  traced contexts.
 
 Left-order preservation comes free (pandas merge semantics). Null keys
 follow pandas/polars: null != null unless ``nulls_equal=True``
@@ -399,3 +401,43 @@ def cross_join(left: Table, right: Table) -> Table:
         cname = name if name not in set(left.names) else name + "_y"
         out[cname] = gather(right[name], right_idx, n_out)
     return Table(out)
+
+
+def conditional_join(left: Table, right: Table, predicate,
+                     how: str = "inner", block_rows: int = 4096) -> Table:
+    """Join on an arbitrary row-pair predicate (cudf::conditional_inner_join,
+    cpp/src/join/conditional_join.cu).
+
+    ``predicate(left_block: Table, right_broadcast: Table) -> Column[bool]``
+    evaluates pairs blockwise: for each block of left rows the right table
+    broadcasts against it (cross-product tiles), the predicate mask compacts
+    matches, and blocks concatenate. O(|L|*|R|) like the reference — use
+    equi-joins (or mixed_join) when any equality key exists.
+    """
+    from .copying import concatenate_tables
+    from .stream_compaction import apply_boolean_mask
+
+    nl = left.num_rows
+    out_blocks = []
+    for start in range(0, max(nl, 1), block_rows):
+        lblk = left.slice(start, min(block_rows, nl - start))
+        pairs = cross_join(lblk, right)
+        mask = predicate(pairs)
+        hit = apply_boolean_mask(pairs, mask)
+        if hit.num_rows:
+            out_blocks.append(hit)
+    if not out_blocks:
+        empty = cross_join(left.slice(0, 0), right.slice(0, 0))
+        return empty
+    return concatenate_tables(out_blocks) if len(out_blocks) > 1 else out_blocks[0]
+
+
+def mixed_join(left: Table, right: Table, left_on, right_on, predicate,
+               how: str = "inner", nulls_equal: bool = False) -> Table:
+    """Equality keys + residual predicate (cudf::mixed_inner_join,
+    cpp/src/join/mixed_join.cu): equi-join first, then filter pairs."""
+    from .stream_compaction import apply_boolean_mask
+
+    assert how == "inner", "mixed_join: inner only in round 1"
+    eq = join(left, right, list(left_on), list(right_on), "inner", nulls_equal)
+    return apply_boolean_mask(eq, predicate(eq))
