@@ -257,6 +257,27 @@ class DataFrame:
         keep = [n for n, c in self._tbl if dtypes.to_numpy(c.dtype).kind in kinds]
         return DataFrame._from_table(self._tbl.select(keep))
 
+    def hash_values(self, method="murmur3", seed=0):
+        """Per-row hash Series (cudf.DataFrame.hash_values analog).
+
+        Methods: murmur3 (default), xxhash32, xxhash64, md5, sha1, sha224,
+        sha256, sha384, sha512 (reference: cpp/src/hash/).
+        """
+        from ..ops import crypto_hash, hashing
+
+        cols = [c for _, c in self._tbl]
+        if method == "murmur3":
+            out = hashing.hash_values(cols, seed)
+        elif method in ("xxhash32", "xxhash_32"):
+            out = crypto_hash.xxhash_32(cols, seed)
+        elif method in ("xxhash64", "xxhash_64"):
+            out = crypto_hash.xxhash_64(cols, seed)
+        elif method in ("md5", "sha1", "sha224", "sha256", "sha384", "sha512"):
+            out = getattr(crypto_hash, method)(cols)
+        else:
+            raise ValueError(f"unknown hash method {method!r}")
+        return Series(column=out, name=None)
+
     # ------------------------------------------------------------ reductions
     def _agg_all(self, method):
         import pandas as pd

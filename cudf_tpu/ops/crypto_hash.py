@@ -1,0 +1,545 @@
+"""Cryptographic & non-crypto column hashers, fully vectorized on device.
+
+TPU-native analog of cpp/src/hash/ (md5_hash.cu, sha_hash.cuh,
+xxhash_32.cu, xxhash_64.cu). The reference launches one thread per row and
+walks the row's bytes; here every hash-state register is a ``[rows]`` u32/u64
+vector and the compression rounds are unrolled VPU element-wise ops, so all
+rows advance through the compression function in lock-step.
+
+Serialization contract (the "row message"):
+
+* md5/sha*: the concatenated little-endian physical bytes of each **non-null**
+  value in the row, in column order (null values contribute no bytes — the
+  reference's md5 semantics). Strings contribute their UTF-8 bytes (expanded
+  on device from the host dictionary). Digests are bit-exact vs ``hashlib``
+  on the same byte stream (tests/test_crypto_hash.py).
+* xxhash_32/64: the row's canonical equality-code operands
+  (ops/rowcodes.equality_operands) serialized as little-endian u32 words.
+  This keeps hash equality consistent with row equality (null==null,
+  NaN==NaN) like the murmur3 path in ops/hashing.py, and makes the message
+  length static so the full XXH stripe algorithm unrolls at trace time.
+
+Dynamic per-row message lengths (from null-skipping / string lengths) are
+handled with static-shape machinery: a stable argsort compacts kept bytes
+left, padding/length-field bytes are placed by broadcast position compares,
+and rows stop updating their digest state once their own block count is
+exhausted (masked select inside a static block loop).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from . import rowcodes
+
+_u32 = jnp.uint32
+_u64 = jnp.uint64
+
+
+# =========================================================================
+# Row message assembly
+# =========================================================================
+
+def _value_bytes(col: Column) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (bytes [cap, w] uint8, keep [cap, w] bool) for one column.
+
+    Fixed-width values serialize little-endian at their physical width;
+    strings expand to UTF-8 via a host-built [dict, maxlen] byte matrix
+    gathered by code on device.
+    """
+    cap = col.capacity
+    if col.dtype.is_string:
+        d = col.dictionary if col.dictionary is not None else np.array([], str)
+        enc = [s.encode("utf-8") for s in d]
+        maxlen = max((len(b) for b in enc), default=0)
+        maxlen = max(maxlen, 1)
+        mat = np.zeros((max(len(enc), 1), maxlen), np.uint8)
+        lens = np.zeros((max(len(enc), 1),), np.int32)
+        for i, b in enumerate(enc):
+            mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+            lens[i] = len(b)
+        codes = jnp.clip(col.data.astype(jnp.int32), 0, mat.shape[0] - 1)
+        byts = jnp.asarray(mat)[codes]
+        keep = jax.lax.broadcasted_iota(jnp.int32, (cap, maxlen), 1) < jnp.asarray(lens)[codes][:, None]
+    else:
+        phys = np.dtype(col.data.dtype)
+        w = phys.itemsize
+        uint_of = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}[w]
+        if col.dtype.is_floating:
+            bits = jax.lax.bitcast_convert_type(col.data, uint_of)
+        elif phys == np.bool_:
+            bits = col.data.astype(jnp.uint8)
+        else:
+            bits = col.data.astype(uint_of)
+        cols_b = []
+        for j in range(w):
+            sh = bits.dtype.type(8 * j)
+            cols_b.append(((bits >> sh) & bits.dtype.type(0xFF)).astype(jnp.uint8))
+        byts = jnp.stack(cols_b, axis=1)
+        keep = jnp.ones((cap, w), bool)
+    vm = col.valid_mask()
+    keep = keep & vm[:, None]
+    return byts, keep
+
+
+def _row_messages(cols: Sequence[Column]):
+    """Compact per-row byte stream: (bytes [cap, W] u8, msg_len [cap] i32)."""
+    parts_b, parts_k = [], []
+    for c in cols:
+        b, k = _value_bytes(c)
+        parts_b.append(b)
+        parts_k.append(k)
+    B = jnp.concatenate(parts_b, axis=1)
+    K = jnp.concatenate(parts_k, axis=1)
+    # stable argsort on (not keep) moves kept bytes to the front, in order
+    perm = jnp.argsort(~K, axis=1, stable=True)
+    Bc = jnp.take_along_axis(B, perm, axis=1)
+    msg_len = K.sum(axis=1).astype(jnp.int32)
+    return Bc, msg_len
+
+
+def _padded_blocks(Bc, msg_len, block_bytes: int, len_bytes: int, len_big_endian: bool):
+    """Build the padded message buffer [cap, NB*block_bytes] (uint8) and the
+    per-row block count. Standard MD-strengthening: 0x80, zeros, bit length."""
+    cap, W = Bc.shape
+    nb = (W + 1 + len_bytes + block_bytes - 1) // block_bytes
+    total = nb * block_bytes
+    pos = jax.lax.broadcasted_iota(jnp.int32, (cap, total), 1)
+    ml = msg_len[:, None]
+    nb_row = ((msg_len + 1 + len_bytes + block_bytes - 1) // block_bytes)[:, None]
+    src = jnp.pad(Bc, ((0, 0), (0, total - W)))
+    out = jnp.where(pos < ml, src, jnp.uint8(0))
+    out = jnp.where(pos == ml, jnp.uint8(0x80), out)
+    bitlen = (msg_len.astype(jnp.uint64) * _u64(8))[:, None]
+    len_start = nb_row * block_bytes - len_bytes
+    j_rel = pos - len_start
+    in_len = (j_rel >= 0) & (j_rel < len_bytes)
+    shift = (len_bytes - 1 - j_rel) if len_big_endian else j_rel
+    # bit lengths above 2^64 never occur; bytes beyond 8 are zero
+    lb = jnp.where(
+        shift < 8,
+        ((bitlen >> (shift.clip(0, 7).astype(jnp.uint64) * _u64(8))) & _u64(0xFF)).astype(jnp.uint8),
+        jnp.uint8(0),
+    )
+    out = jnp.where(in_len, lb, out)
+    return out, nb_row[:, 0], nb
+
+
+def _blocks_to_words32(buf, nb, block_bytes, big_endian):
+    """[cap, nb*block_bytes] u8 → [nb, words_per_block, cap] u32."""
+    cap = buf.shape[0]
+    wpb = block_bytes // 4
+    b = buf.reshape(cap, nb, wpb, 4).astype(jnp.uint32)
+    order = (3, 2, 1, 0) if big_endian else (0, 1, 2, 3)
+    w = (
+        b[..., order[0]]
+        | (b[..., order[1]] << _u32(8))
+        | (b[..., order[2]] << _u32(16))
+        | (b[..., order[3]] << _u32(24))
+    )
+    return jnp.transpose(w, (1, 2, 0))
+
+
+def _blocks_to_words64(buf, nb, block_bytes):
+    """Big-endian u64 words: [nb, words_per_block, cap] u64 (for SHA-384/512)."""
+    cap = buf.shape[0]
+    wpb = block_bytes // 8
+    b = buf.reshape(cap, nb, wpb, 8).astype(jnp.uint64)
+    w = jnp.zeros(b.shape[:-1], jnp.uint64)
+    for j in range(8):
+        w = w | (b[..., j] << _u64(8 * (7 - j)))
+    return jnp.transpose(w, (1, 2, 0))
+
+
+# =========================================================================
+# MD5 (RFC 1321)
+# =========================================================================
+
+_MD5_S = [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4
+_MD5_K = [int(abs(np.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)]
+_MD5_IV = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476)
+
+
+def _rotl(x, r):
+    return (x << _u32(r)) | (x >> _u32(32 - r))
+
+
+def _rotl_v(x, r):
+    """rotl by a traced (scalar) amount."""
+    r = r.astype(jnp.uint32)
+    return (x << r) | (x >> (_u32(32) - r))
+
+
+_MD5_G = np.array(
+    [i for i in range(16)]
+    + [(5 * i + 1) % 16 for i in range(16, 32)]
+    + [(3 * i + 5) % 16 for i in range(32, 48)]
+    + [(7 * i) % 16 for i in range(48, 64)],
+    np.int32,
+)
+
+
+def _md5_compress(state, M):
+    """One 512-bit block over all rows; rounds as lax.scan (compile-friendly:
+    the unrolled 64-round graph makes XLA:CPU's scheduler blow up)."""
+    W = jnp.stack(M)  # [16, cap]
+    ks = jnp.asarray(np.array(_MD5_K, np.uint32))
+    ss = jnp.asarray(np.array(_MD5_S, np.uint32))
+    gs = jnp.asarray(_MD5_G)
+    phase = jnp.asarray(np.arange(64, dtype=np.int32) // 16)
+
+    def step(carry, xs):
+        a, b, c, d = carry
+        k, s, g, ph = xs
+        f = jnp.where(
+            ph == 0,
+            (b & c) | (~b & d),
+            jnp.where(
+                ph == 1,
+                (d & b) | (~d & c),
+                jnp.where(ph == 2, b ^ c ^ d, c ^ (b | ~d)),
+            ),
+        )
+        w = jax.lax.dynamic_index_in_dim(W, g, 0, keepdims=False)
+        t = f + a + k + w
+        return (d, b + _rotl_v(t, s), b, c), None
+
+    (a, b, c, d), _ = jax.lax.scan(step, state, (ks, ss, gs, phase))
+    return (state[0] + a, state[1] + b, state[2] + c, state[3] + d)
+
+
+# =========================================================================
+# SHA-1 / SHA-2 (FIPS 180-4)
+# =========================================================================
+
+_SHA1_IV = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476, 0xC3D2E1F0)
+
+_SHA256_K = [
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1, 0x923F82A4, 0xAB1C5ED5,
+    0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3, 0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174,
+    0xE49B69C1, 0xEFBE4786, 0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147, 0x06CA6351, 0x14292967,
+    0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13, 0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85,
+    0xA2BFE8A1, 0xA81A664B, 0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A, 0x5B9CCA4F, 0x682E6FF3,
+    0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208, 0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+]
+_SHA256_IV = (0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A, 0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19)
+_SHA224_IV = (0xC1059ED8, 0x367CD507, 0x3070DD17, 0xF70E5939, 0xFFC00B31, 0x68581511, 0x64F98FA7, 0xBEFA4FA4)
+
+_SHA512_IV = (
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B, 0xA54FF53A5F1D36F1,
+    0x510E527FADE682D1, 0x9B05688C2B3E6C1F, 0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+)
+_SHA384_IV = (
+    0xCBBB9D5DC1059ED8, 0x629A292A367CD507, 0x9159015A3070DD17, 0x152FECD8F70E5939,
+    0x67332667FFC00B31, 0x8EB44A8768581511, 0xDB0C2E0D64F98FA7, 0x47B5481DBEFA4FA4,
+)
+# SHA-512 round constants: first 64 bits of frac(cbrt(primes)) — derive once.
+def _sha512_k():
+    ks = []
+    p, primes = 2, []
+    while len(primes) < 80:
+        if all(p % q for q in primes):
+            primes.append(p)
+        p += 1
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 50
+    for q in primes:
+        c = Decimal(q) ** (Decimal(1) / Decimal(3))
+        frac = c - int(c)
+        ks.append(int(frac * (1 << 64)) & 0xFFFFFFFFFFFFFFFF)
+    return ks
+
+
+_SHA512_K = _sha512_k()
+
+
+def _sha1_schedule(M, nrounds, ext):
+    """Extend a 16-word schedule to ``nrounds`` words via lax.scan."""
+    W0 = jnp.stack(M)  # [16, cap]
+
+    def step(win, _):
+        nxt = ext(win)
+        return jnp.concatenate([win[1:], nxt[None]], axis=0), nxt
+
+    _, rest = jax.lax.scan(step, W0, None, length=nrounds - 16)
+    return jnp.concatenate([W0, rest], axis=0)  # [nrounds, cap]
+
+
+def _sha1_compress(state, M):
+    W = _sha1_schedule(
+        M, 80, lambda w: _rotl(w[16 - 3] ^ w[16 - 8] ^ w[16 - 14] ^ w[0], 1)
+    )
+    ks = jnp.asarray(
+        np.repeat(np.array([0x5A827999, 0x6ED9EBA1, 0x8F1BBCDC, 0xCA62C1D6], np.uint32), 20)
+    )
+    phase = jnp.asarray(np.arange(80, dtype=np.int32) // 20)
+
+    def step(carry, xs):
+        a, b, c, d, e = carry
+        w, k, ph = xs
+        f = jnp.where(
+            ph == 0,
+            (b & c) | (~b & d),
+            jnp.where(ph == 2, (b & c) | (b & d) | (c & d), b ^ c ^ d),
+        )
+        t = _rotl(a, 5) + f + e + k + w
+        return (t, a, _rotl(b, 30), c, d), None
+
+    out, _ = jax.lax.scan(step, state, (W, ks, phase))
+    return tuple(s + v for s, v in zip(state, out))
+
+
+def _rotr(x, r):
+    return (x >> _u32(r)) | (x << _u32(32 - r))
+
+
+def _sha256_ext(w):
+    s0 = _rotr(w[1], 7) ^ _rotr(w[1], 18) ^ (w[1] >> _u32(3))
+    s1 = _rotr(w[14], 17) ^ _rotr(w[14], 19) ^ (w[14] >> _u32(10))
+    return w[0] + s0 + w[9] + s1
+
+
+def _sha256_compress(state, M):
+    W = _sha1_schedule(M, 64, _sha256_ext)
+    ks = jnp.asarray(np.array(_SHA256_K, np.uint32))
+
+    def step(carry, xs):
+        a, b, c, d, e, f, g, h = carry
+        w, k = xs
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + k + w
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        t2 = S0 + ((a & b) ^ (a & c) ^ (b & c))
+        return (t1 + t2, a, b, c, d + t1, e, f, g), None
+
+    out, _ = jax.lax.scan(step, state, (W, ks))
+    return tuple(s + v for s, v in zip(state, out))
+
+
+def _rotr64(x, r):
+    return (x >> _u64(r)) | (x << _u64(64 - r))
+
+
+def _sha512_ext(w):
+    s0 = _rotr64(w[1], 1) ^ _rotr64(w[1], 8) ^ (w[1] >> _u64(7))
+    s1 = _rotr64(w[14], 19) ^ _rotr64(w[14], 61) ^ (w[14] >> _u64(6))
+    return w[0] + s0 + w[9] + s1
+
+
+def _sha512_compress(state, M):
+    W = _sha1_schedule(M, 80, _sha512_ext)
+    ks = jnp.asarray(np.array(_SHA512_K, np.uint64))
+
+    def step(carry, xs):
+        a, b, c, d, e, f, g, h = carry
+        w, k = xs
+        S1 = _rotr64(e, 14) ^ _rotr64(e, 18) ^ _rotr64(e, 41)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + k + w
+        S0 = _rotr64(a, 28) ^ _rotr64(a, 34) ^ _rotr64(a, 39)
+        t2 = S0 + ((a & b) ^ (a & c) ^ (b & c))
+        return (t1 + t2, a, b, c, d + t1, e, f, g), None
+
+    out, _ = jax.lax.scan(step, state, (W, ks))
+    return tuple(s + v for s, v in zip(state, out))
+
+
+# =========================================================================
+# Digest drivers
+# =========================================================================
+
+_ALGOS = {
+    # name: (iv, compress, block_bytes, len_bytes, len_BE, words_BE, wordbits, out_words)
+    "md5": (_MD5_IV, _md5_compress, 64, 8, False, False, 32, 4),
+    "sha1": (_SHA1_IV, _sha1_compress, 64, 8, True, True, 32, 5),
+    "sha224": (_SHA224_IV, _sha256_compress, 64, 8, True, True, 32, 7),
+    "sha256": (_SHA256_IV, _sha256_compress, 64, 8, True, True, 32, 8),
+    "sha384": (_SHA384_IV, _sha512_compress, 128, 16, True, True, 64, 6),
+    "sha512": (_SHA512_IV, _sha512_compress, 128, 16, True, True, 64, 8),
+}
+
+
+def _digest_words(cols, algo: str):
+    iv, compress, bb, lb, len_be, words_be, wordbits, _ = _ALGOS[algo]
+    Bc, msg_len = _row_messages(cols)
+    buf, nb_row, nb = _padded_blocks(Bc, msg_len, bb, lb, len_be)
+    cap = buf.shape[0]
+    if wordbits == 32:
+        words = _blocks_to_words32(buf, nb, bb, words_be)
+        state = tuple(jnp.full((cap,), _u32(v)) for v in iv)
+    else:
+        words = _blocks_to_words64(buf, nb, bb)
+        state = tuple(jnp.full((cap,), _u64(v)) for v in iv)
+    for blk in range(nb):
+        M = [words[blk, j] for j in range(words.shape[1])]
+        new = compress(state, M)
+        active = blk < nb_row
+        state = tuple(jnp.where(active, n, s) for n, s in zip(new, state))
+    return state
+
+
+@jax.jit
+def _digest_md5(cols):
+    return _digest_words(cols, "md5")
+
+
+_digest_jits = {"md5": _digest_md5}
+for _name in ("sha1", "sha224", "sha256", "sha384", "sha512"):
+    _digest_jits[_name] = jax.jit(lambda cols, _n=_name: _digest_words(cols, _n))
+
+
+def _hexdigest_column(cols: Sequence[Column], algo: str) -> Column:
+    state = _digest_jits[algo](tuple(cols))
+    iv, _, _, _, _, words_be, wordbits, out_words = _ALGOS[algo]
+    n = int(cols[0].length)
+    host = [np.asarray(s)[:n] for s in state[:out_words]]
+    if wordbits == 32:
+        parts = [h.astype(">u4") if words_be else h.astype("<u4") for h in host]
+    else:
+        parts = [h.astype(">u8") for h in host]
+    raw = np.concatenate([p[:, None].view(np.uint8).reshape(n, -1) for p in parts], axis=1)
+    hexes = np.array([bytes(r).hex() for r in raw], dtype=str)
+    return Column.from_numpy(hexes)
+
+
+def md5(cols: Sequence[Column]) -> Column:
+    """Per-row MD5 hex digest (cudf.hashing.md5 analog)."""
+    return _hexdigest_column(cols, "md5")
+
+
+def sha1(cols: Sequence[Column]) -> Column:
+    return _hexdigest_column(cols, "sha1")
+
+
+def sha224(cols: Sequence[Column]) -> Column:
+    return _hexdigest_column(cols, "sha224")
+
+
+def sha256(cols: Sequence[Column]) -> Column:
+    return _hexdigest_column(cols, "sha256")
+
+
+def sha384(cols: Sequence[Column]) -> Column:
+    return _hexdigest_column(cols, "sha384")
+
+
+def sha512(cols: Sequence[Column]) -> Column:
+    return _hexdigest_column(cols, "sha512")
+
+
+# =========================================================================
+# XXHash-32 / XXHash-64 over equality-code operands (static length)
+# =========================================================================
+
+_X32P = [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1]
+_X64P = [
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+]
+
+
+def _xxh32_words(ws: List[jnp.ndarray], seed: int) -> jnp.ndarray:
+    """XXH32 over a static-length little-endian u32 word stream."""
+    P1, P2, P3, P4, P5 = (_u32(p) for p in _X32P)
+    total = 4 * len(ws)
+    shape = ws[0].shape if ws else (1,)
+    seed = _u32(seed)
+    i = 0
+    if total >= 16:
+        v = [seed + P1 + P2, seed + P2, seed + _u32(0), seed - P1]
+        while total - 4 * i >= 16:
+            for lane in range(4):
+                v[lane] = _rotl(v[lane] + ws[i + lane] * P2, 13) * P1
+            i += 4
+        h = _rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)
+    else:
+        h = seed + P5
+    h = h + _u32(total)
+    while i < len(ws):
+        h = _rotl(h + ws[i] * P3, 17) * P4
+        i += 1
+    h = (h ^ (h >> _u32(15))) * P2
+    h = (h ^ (h >> _u32(13))) * P3
+    h = h ^ (h >> _u32(16))
+    return h
+
+
+def _xxh64_words(ws: List[jnp.ndarray], seed: int) -> jnp.ndarray:
+    """XXH64 over a static-length stream of little-endian u32 words."""
+    P1, P2, P3, P4, P5 = (_u64(p) for p in _X64P)
+    # pair u32 words into u64 lanes (little-endian)
+    w64 = []
+    k = 0
+    while k + 1 < len(ws):
+        w64.append(ws[k].astype(_u64) | (ws[k + 1].astype(_u64) << _u64(32)))
+        k += 2
+    tail32 = ws[k] if k < len(ws) else None
+    total = 4 * len(ws)
+    seed = _u64(seed)
+
+    def _rotl64(x, r):
+        return (x << _u64(r)) | (x >> _u64(64 - r))
+
+    def rnd(acc, x):
+        return _rotl64(acc + x * P2, 31) * P1
+
+    i = 0
+    if total >= 32:
+        v = [seed + P1 + P2, seed + P2, seed + _u64(0), seed - P1]
+        while total - 8 * i >= 32:
+            for lane in range(4):
+                v[lane] = rnd(v[lane], w64[i + lane])
+            i += 4
+        h = _rotl64(v[0], 1) + _rotl64(v[1], 7) + _rotl64(v[2], 12) + _rotl64(v[3], 18)
+        for lane in range(4):
+            h = (h ^ rnd(_u64(0), v[lane])) * P1 + P4
+    else:
+        h = seed + P5
+    h = h + _u64(total)
+    while i < len(w64):
+        h = _rotl64(h ^ rnd(_u64(0), w64[i]), 27) * P1 + P4
+        i += 1
+    if tail32 is not None:
+        h = _rotl64(h ^ (tail32.astype(_u64) * P1), 23) * P2 + P3
+    h = (h ^ (h >> _u64(33))) * P2
+    h = (h ^ (h >> _u64(29))) * P3
+    h = h ^ (h >> _u64(32))
+    return h
+
+
+def _operand_words(cols: Sequence[Column]) -> List[jnp.ndarray]:
+    ws: List[jnp.ndarray] = []
+    for c in cols:
+        ws.extend(rowcodes.equality_operands(c))
+    return [w.astype(jnp.uint32) for w in ws]
+
+
+@jax.jit
+def _xxh32_impl(cols, seed):
+    return _xxh32_words(_operand_words(cols), seed)
+
+
+@jax.jit
+def _xxh64_impl(cols, seed):
+    return _xxh64_words(_operand_words(cols), seed)
+
+
+def xxhash_32(cols: Sequence[Column], seed: int = 0) -> Column:
+    """Per-row XXH32 (pylibcudf.hashing.xxhash_32 analog)."""
+    out = _xxh32_impl(tuple(cols), np.uint32(seed))
+    return Column(dtypes.uint32, out, None, cols[0].length)
+
+
+def xxhash_64(cols: Sequence[Column], seed: int = 0) -> Column:
+    """Per-row XXH64 (pylibcudf.hashing.xxhash_64 analog)."""
+    out = _xxh64_impl(tuple(cols), np.uint64(seed))
+    return Column(dtypes.uint64, out, None, cols[0].length)

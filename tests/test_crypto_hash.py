@@ -1,0 +1,182 @@
+"""Bit-exactness tests for the crypto/column hash family.
+
+Oracles: hashlib for md5/sha* over the documented row-byte serialization;
+a pure-python XXH32/XXH64 reference over the equality-operand word stream.
+"""
+import hashlib
+
+import numpy as np
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.ops import crypto_hash, rowcodes
+
+
+def _row_bytes(vals):
+    """Oracle serialization: concat LE bytes of non-null values."""
+    out = b""
+    for v in vals:
+        if v is None:
+            continue
+        if isinstance(v, str):
+            out += v.encode("utf-8")
+        else:
+            out += np.asarray(v).tobytes()
+    return out
+
+
+def _oracle_hex(algo, rows):
+    return [getattr(hashlib, algo)(_row_bytes(r)).hexdigest() for r in rows]
+
+
+@pytest.mark.parametrize("algo", ["md5", "sha1", "sha224", "sha256", "sha384", "sha512"])
+def test_digest_matches_hashlib(algo):
+    rng = np.random.default_rng(7)
+    a = rng.integers(-(2**40), 2**40, 33).astype(np.int64)
+    b = rng.standard_normal(33).astype(np.float64)
+    c = rng.integers(0, 100, 33).astype(np.int32)
+    cols = [Column.from_numpy(a), Column.from_numpy(b), Column.from_numpy(c)]
+    got = getattr(crypto_hash, algo)(cols).to_numpy()
+    rows = [(a[i], b[i], c[i]) for i in range(33)]
+    assert list(got) == _oracle_hex(algo, rows)
+
+
+def test_digest_null_skipping_and_strings():
+    vals = np.array([1.5, 2.5, 3.5], np.float32)
+    validity = np.array([True, False, True])
+    s = np.array(["hello", "wo", "a-longer-string-value"], object)
+    cols = [
+        Column.from_numpy(vals, validity),
+        Column.from_numpy(s),
+        Column.from_numpy(np.array([7, 8, 9], np.int16)),
+    ]
+    got = crypto_hash.md5(cols).to_numpy()
+    rows = [
+        (np.float32(1.5), "hello", np.int16(7)),
+        (None, "wo", np.int16(8)),
+        (np.float32(3.5), "a-longer-string-value", np.int16(9)),
+    ]
+    assert list(got) == _oracle_hex("md5", rows)
+
+
+def test_digest_multiblock():
+    # strings long enough to force 3+ MD5 blocks and 2 SHA-512 blocks
+    s = np.array(["x" * 150, "y" * 7, ""], object)
+    cols = [Column.from_numpy(s)]
+    for algo in ("md5", "sha256", "sha512"):
+        got = getattr(crypto_hash, algo)(cols).to_numpy()
+        want = [getattr(hashlib, algo)(v.encode()).hexdigest() for v in s]
+        assert list(got) == want, algo
+
+
+# ---------------------------------------------------------------- XXH oracle
+def _xxh32_ref(data: bytes, seed=0):
+    P1, P2, P3, P4, P5 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1
+    M = 0xFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M
+
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v = [(seed + P1 + P2) & M, (seed + P2) & M, seed, (seed - P1) & M]
+        while n - i >= 16:
+            for l in range(4):
+                w = int.from_bytes(data[i + 4 * l : i + 4 * l + 4], "little")
+                v[l] = (rotl((v[l] + w * P2) & M, 13) * P1) & M
+            i += 16
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while n - i >= 4:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h = (rotl((h + w * P3) & M, 17) * P4) & M
+        i += 4
+    while i < n:
+        h = (rotl((h + data[i] * P5) & M, 11) * P1) & M
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & M
+    h ^= h >> 13
+    h = (h * P3) & M
+    h ^= h >> 16
+    return h
+
+
+def _xxh64_ref(data: bytes, seed=0):
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def rnd(acc, x):
+        return (rotl((acc + x * P2) & M, 31) * P1) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [(seed + P1 + P2) & M, (seed + P2) & M, seed, (seed - P1) & M]
+        while n - i >= 32:
+            for l in range(4):
+                w = int.from_bytes(data[i + 8 * l : i + 8 * l + 8], "little")
+                v[l] = rnd(v[l], w)
+            i += 32
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & M
+        for l in range(4):
+            h = ((h ^ rnd(0, v[l])) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while n - i >= 8:
+        w = int.from_bytes(data[i : i + 8], "little")
+        h = (rotl(h ^ rnd(0, w), 27) * P1 + P4) & M
+        i += 8
+    while n - i >= 4:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h = (rotl(h ^ ((w * P1) & M), 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * P5) & M), 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+def _operand_stream(cols, row):
+    ws = []
+    for c in cols:
+        for op in rowcodes.equality_operands(c):
+            ws.append(int(np.asarray(op)[row]))
+    return b"".join(int(w).to_bytes(4, "little") for w in ws)
+
+
+@pytest.mark.parametrize("ncols,seed", [(1, 0), (2, 0), (3, 42), (5, 7)])
+def test_xxhash(ncols, seed):
+    rng = np.random.default_rng(ncols)
+    cols = []
+    for k in range(ncols):
+        if k % 2:
+            cols.append(Column.from_numpy(rng.standard_normal(17)))
+        else:
+            cols.append(Column.from_numpy(rng.integers(0, 1000, 17).astype(np.int64)))
+    got32 = crypto_hash.xxhash_32(cols, seed).to_numpy()
+    got64 = crypto_hash.xxhash_64(cols, seed).to_numpy()
+    for r in range(17):
+        stream = _operand_stream(cols, r)
+        assert int(got32[r]) == _xxh32_ref(stream, seed), r
+        assert int(got64[r]) == _xxh64_ref(stream, seed), r
+
+
+def test_xxhash_null_equals_null():
+    a = Column.from_numpy(np.array([1.0, 2.0, 1.0]), np.array([False, True, False]))
+    h = crypto_hash.xxhash_64([a]).to_numpy()
+    assert h[0] == h[2]
+    assert h[0] != h[1]
