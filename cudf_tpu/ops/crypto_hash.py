@@ -45,6 +45,50 @@ _u64 = jnp.uint64
 # Row message assembly
 # =========================================================================
 
+def _f64_ieee_words(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact IEEE-754 bit pattern of float64 as (hi32, lo32) u32 — computed
+    with pure f64 arithmetic because the TPU X64 rewrite has no f64 bitcast
+    (same trick as ops/rowcodes._f64_codes). Subnormals flush to ±0 (the TPU
+    DAZes them in every op anyway); NaNs canonicalize to 0x7FF8...0 and
+    -0.0 to +0.0 (no f64 signbit on TPU either).
+    """
+    neg = x < 0.0
+    a = jnp.abs(x)
+    nan = jnp.isnan(x)
+    inf = jnp.isinf(x)
+    a = jnp.where(a < 2.0 ** -1022, 0.0, a)  # FTZ
+    isz = a == 0.0
+    e = jnp.zeros(x.shape, jnp.int32)
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        big = a >= 2.0 ** k
+        a = jnp.where(big, a * (2.0 ** -k), a)
+        e = e + jnp.where(big, jnp.int32(k), jnp.int32(0))
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        small = (a < 2.0 ** (1 - k)) & ~isz
+        a = jnp.where(small, a * (2.0 ** k), a)
+        e = e - jnp.where(small, jnp.int32(k), jnp.int32(0))
+    f = jnp.where(isz, 0.0, a - 1.0)          # [0,1), exact
+    s20 = f * (2.0 ** 20)
+    m_hi20 = jnp.floor(s20)
+    rem = s20 - m_hi20                         # [0,1), exact
+    s16 = rem * (2.0 ** 16)
+    m16a = jnp.floor(s16)
+    m16b = (s16 - m16a) * (2.0 ** 16)          # exact integer < 2^16
+    biased = jnp.clip(e + 1023, 1, 2046)
+    biased = jnp.where(isz, 0, biased)
+    biased = jnp.where(inf | nan, 2047, biased)
+    mh = jnp.where(isz | inf, 0, m_hi20.astype(jnp.int32))
+    mh = jnp.where(nan, jnp.int32(1 << 19), mh)  # quiet-NaN bit
+    lo = jnp.where(
+        isz | inf | nan,
+        jnp.uint32(0),
+        (m16a.astype(jnp.uint32) << _u32(16)) | m16b.astype(jnp.uint32),
+    )
+    sign = jnp.where(neg & ~nan, _u32(1), _u32(0))
+    hi = (sign << _u32(31)) | (biased.astype(jnp.uint32) << _u32(20)) | mh.astype(jnp.uint32)
+    return hi, lo
+
+
 def _value_bytes(col: Column) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Return (bytes [cap, w] uint8, keep [cap, w] bool) for one column.
 
@@ -70,6 +114,16 @@ def _value_bytes(col: Column) -> Tuple[jnp.ndarray, jnp.ndarray]:
         phys = np.dtype(col.data.dtype)
         w = phys.itemsize
         uint_of = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}[w]
+        if col.dtype.is_floating and w == 8:
+            hi, lo = _f64_ieee_words(col.data)
+            cols_b = []
+            for word in (lo, hi):  # little-endian: low word first
+                for j in range(4):
+                    cols_b.append(((word >> _u32(8 * j)) & _u32(0xFF)).astype(jnp.uint8))
+            byts = jnp.stack(cols_b, axis=1)
+            keep = jnp.ones((cap, w), bool)
+            vm = col.valid_mask()
+            return byts, keep & vm[:, None]
         if col.dtype.is_floating:
             bits = jax.lax.bitcast_convert_type(col.data, uint_of)
         elif phys == np.bool_:
