@@ -1,0 +1,194 @@
+"""t-digest quantile sketches and HyperLogLog distinct-count sketches.
+
+TPU-native analog of cpp/src/quantiles/tdigest/ (TDIGEST / MERGE_TDIGEST
+aggregation kinds, include/cudf/aggregation.hpp:79-124) and the HLL
+approx_distinct_count reduction (cpp/src/reductions/).
+
+Design (vs the reference's per-warp clustering kernels): a t-digest over
+sorted data is a *deterministic binning* problem — with the k1 scale
+function, centroid membership of the i-th sorted value depends only on its
+quantile position. So build = sort + scale-function bin + segmented mean,
+all static-shaped XLA ops, with a fixed centroid capacity K = δ/2 + 2
+(empty slots carry zero weight). Merge re-bins the union of centroids by
+cumulative-weight midpoints — same machinery, no data-dependent loops.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from . import hashing
+
+
+class TDigest(NamedTuple):
+    """Fixed-capacity centroid set; slots with weight 0 are empty.
+
+    Slots are ordered by mean (construction preserves sorted order).
+    """
+
+    means: jnp.ndarray    # f64[K]
+    weights: jnp.ndarray  # f64[K]
+    vmin: jnp.ndarray     # f64 scalar
+    vmax: jnp.ndarray     # f64 scalar
+
+
+def _capacity(delta: int) -> int:
+    return int(delta) // 2 + 2
+
+
+def _k1_bin(q: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """k1 scale function → integer cluster id in [0, δ/2+1]."""
+    k = (delta / (2.0 * math.pi)) * jnp.arcsin(jnp.clip(2.0 * q - 1.0, -1.0, 1.0))
+    return jnp.clip(jnp.floor(k + delta / 4.0).astype(jnp.int32), 0, _capacity(delta) - 1)
+
+
+@partial(jax.jit, static_argnames=("delta",))
+def _build_impl(col: Column, delta: int) -> TDigest:
+    K = _capacity(delta)
+    valid = col.valid_mask()
+    x = col.data.astype(jnp.float64)
+    if col.dtype.is_floating:
+        valid = valid & ~jnp.isnan(x)
+    cnt = jnp.sum(valid.astype(jnp.int64))
+    big = jnp.where(valid, x, jnp.inf)
+    xs = jnp.sort(big)                       # valid values first, asc
+    n = col.capacity
+    i = jnp.arange(n, dtype=jnp.float64)
+    q = (i + 0.5) / jnp.maximum(cnt, 1).astype(jnp.float64)
+    cid = _k1_bin(q, float(delta))
+    inb = i < cnt
+    w = jnp.where(inb, 1.0, 0.0)
+    xv = jnp.where(inb, xs, 0.0)
+    sums = jnp.zeros((K,), jnp.float64).at[cid].add(xv * w)
+    wts = jnp.zeros((K,), jnp.float64).at[cid].add(w)
+    means = jnp.where(wts > 0, sums / jnp.maximum(wts, 1.0), 0.0)
+    vmin = jnp.min(jnp.where(valid, x, jnp.inf))
+    vmax = jnp.max(jnp.where(valid, x, -jnp.inf))
+    return TDigest(means, wts, vmin, vmax)
+
+
+def tdigest(col: Column, delta: int = 100) -> TDigest:
+    """Build a t-digest sketch of a numeric column (TDIGEST agg analog)."""
+    return _build_impl(col, int(delta))
+
+
+@partial(jax.jit, static_argnames=("delta",))
+def _merge_impl(means: jnp.ndarray, weights: jnp.ndarray, vmin, vmax, delta: int) -> TDigest:
+    """Re-cluster a (concatenated) centroid set by cumulative weight."""
+    K = _capacity(delta)
+    order = jnp.argsort(jnp.where(weights > 0, means, jnp.inf), stable=True)
+    m = means[order]
+    w = weights[order]
+    total = jnp.sum(w)
+    cum = jnp.cumsum(w)
+    qmid = (cum - w * 0.5) / jnp.maximum(total, 1.0)
+    cid = _k1_bin(qmid, float(delta))
+    sums = jnp.zeros((K,), jnp.float64).at[cid].add(m * w)
+    wts = jnp.zeros((K,), jnp.float64).at[cid].add(w)
+    out_means = jnp.where(wts > 0, sums / jnp.maximum(wts, 1.0), 0.0)
+    return TDigest(out_means, wts, vmin, vmax)
+
+
+def merge_tdigest(digests: Sequence[TDigest], delta: int = 100) -> TDigest:
+    """MERGE_TDIGEST analog: combine partial sketches (distributed path)."""
+    means = jnp.concatenate([d.means for d in digests])
+    weights = jnp.concatenate([d.weights for d in digests])
+    vmin = jnp.min(jnp.stack([d.vmin for d in digests]))
+    vmax = jnp.max(jnp.stack([d.vmax for d in digests]))
+    return _merge_impl(means, weights, vmin, vmax, int(delta))
+
+
+@jax.jit
+def _quantile_impl(td: TDigest, qs: jnp.ndarray) -> jnp.ndarray:
+    """Standard t-digest interpolation over centroid mid-weights."""
+    w = td.weights
+    total = jnp.sum(w)
+    cum = jnp.cumsum(w)
+    mid = cum - w * 0.5                      # weight position of each centroid mean
+    t = qs * total
+    # interp over non-empty centroids: empty slots get mid=+inf so they sort last
+    midx = jnp.where(w > 0, mid, jnp.inf)
+    j = jnp.searchsorted(midx, t, side="left")
+    Kn = w.shape[0]
+    j0 = jnp.clip(j - 1, 0, Kn - 1)
+    j1 = jnp.clip(j, 0, Kn - 1)
+    m0, m1 = td.means[j0], td.means[j1]
+    t0, t1 = mid[j0], mid[j1]
+    frac = jnp.where(t1 > t0, (t - t0) / jnp.maximum(t1 - t0, 1e-300), 0.0)
+    est = m0 + (m1 - m0) * jnp.clip(frac, 0.0, 1.0)
+    first_mid = jnp.min(midx)
+    last_mid = jnp.max(jnp.where(w > 0, mid, -jnp.inf))
+    est = jnp.where(t <= first_mid, td.means[jnp.argmin(midx)], est)
+    est = jnp.where(t >= last_mid, td.means[jnp.argmax(jnp.where(w > 0, mid, -jnp.inf))], est)
+    return jnp.clip(est, td.vmin, td.vmax)
+
+
+def tdigest_quantile(td: TDigest, qs) -> Column:
+    """Approximate quantiles from a sketch (percentile_approx analog)."""
+    qs_arr = jnp.asarray(np.atleast_1d(np.asarray(qs, np.float64)))
+    out = _quantile_impl(td, qs_arr)
+    return Column(dtypes.float64, out, None, qs_arr.shape[0])
+
+
+# =========================================================================
+# HyperLogLog approximate distinct count
+# =========================================================================
+
+_HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+@jax.jit
+def _hll_registers(cols) -> jnp.ndarray:
+    """Per-row murmur3 → HLL register maxima (u32[2^p])."""
+    h = hashing.hash_columns(cols)
+    valid = jnp.ones(h.shape, bool)
+    for c in cols:
+        valid = valid & c.bounds_mask()
+        # nulls count as one distinct value (cudf distinct_count w/ nulls);
+        # they hash to the canonical null code so they land in one register.
+    m = 1 << _HLL_P
+    idx = (h >> jnp.uint32(32 - _HLL_P)).astype(jnp.int32)
+    v = h & jnp.uint32((1 << (32 - _HLL_P)) - 1)
+    # bitlength via 20 compares (no clz primitive in XLA)
+    bl = jnp.zeros(h.shape, jnp.int32)
+    for k in range(32 - _HLL_P):
+        bl = bl + (v >= jnp.uint32(1 << k)).astype(jnp.int32)
+    rank = jnp.int32(32 - _HLL_P + 1) - bl
+    rank = jnp.where(valid, rank, 0)
+    return jnp.zeros((m,), jnp.int32).at[idx].max(rank)
+
+
+@jax.jit
+def _hll_estimate(regs: jnp.ndarray) -> jnp.ndarray:
+    m = regs.shape[0]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = jnp.sum(jnp.exp2(-regs.astype(jnp.float64)))
+    e = alpha * m * m / s
+    zeros = jnp.sum((regs == 0).astype(jnp.float64))
+    small = e <= 2.5 * m
+    lin = m * jnp.log(m / jnp.maximum(zeros, 1.0))
+    e = jnp.where(small & (zeros > 0), lin, e)
+    two32 = 2.0 ** 32
+    e = jnp.where(e > two32 / 30.0, -two32 * jnp.log1p(-e / two32), e)
+    return e
+
+
+def approx_distinct_count(cols: Sequence[Column]) -> int:
+    """HLL approximate distinct row count (approx_distinct_count analog)."""
+    regs = _hll_registers(tuple(cols))
+    return int(round(float(_hll_estimate(regs))))
+
+
+def hll_merge_registers(regsets: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Combine per-partition register arrays (distributed merge = max)."""
+    out = regsets[0]
+    for r in regsets[1:]:
+        out = jnp.maximum(out, r)
+    return out

@@ -1,0 +1,59 @@
+"""t-digest and HLL sketch accuracy tests (oracle: exact numpy quantiles)."""
+import numpy as np
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.ops import tdigest as td
+
+
+def test_tdigest_quantiles_accuracy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(50_000)
+    sk = td.tdigest(Column.from_numpy(x), delta=200)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = td.tdigest_quantile(sk, qs).to_numpy()
+    want = np.quantile(x, qs)
+    # t-digest is tight at the tails, looser mid-range
+    assert np.all(np.abs(got - want) < 0.05), (got, want)
+
+
+def test_tdigest_extremes_and_nulls():
+    x = np.array([5.0, 1.0, np.nan, 3.0, 2.0, 4.0])
+    validity = np.array([True, True, True, True, False, True])
+    sk = td.tdigest(Column.from_numpy(x, validity), delta=100)
+    got = td.tdigest_quantile(sk, [0.0, 1.0]).to_numpy()
+    assert got[0] == 1.0 and got[1] == 5.0
+    assert float(np.asarray(sk.weights).sum()) == 4.0  # nan + null skipped
+
+
+def test_merge_tdigest_matches_whole():
+    rng = np.random.default_rng(1)
+    parts = [rng.exponential(2.0, 20_000) for _ in range(4)]
+    whole = np.concatenate(parts)
+    sks = [td.tdigest(Column.from_numpy(p), delta=200) for p in parts]
+    merged = td.merge_tdigest(sks, delta=200)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = td.tdigest_quantile(merged, qs).to_numpy()
+    want = np.quantile(whole, qs)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-9)
+    assert np.all(rel < 0.05), (got, want)
+
+
+def test_approx_distinct_count():
+    rng = np.random.default_rng(2)
+    for true_n in (100, 5_000, 60_000):
+        x = rng.integers(0, true_n, 200_000).astype(np.int64)
+        actual = len(np.unique(x))
+        est = td.approx_distinct_count([Column.from_numpy(x)])
+        assert abs(est - actual) / actual < 0.05, (true_n, est, actual)
+
+
+def test_hll_merge():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 3000, 50_000).astype(np.int64)
+    b = rng.integers(2000, 6000, 50_000).astype(np.int64)
+    ra = td._hll_registers((Column.from_numpy(a),))
+    rb = td._hll_registers((Column.from_numpy(b),))
+    est = int(round(float(td._hll_estimate(td.hll_merge_registers([ra, rb])))))
+    actual = len(np.unique(np.concatenate([a, b])))
+    assert abs(est - actual) / actual < 0.05, (est, actual)
