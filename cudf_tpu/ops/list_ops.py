@@ -1,0 +1,215 @@
+"""List-column operations: contains, dedup, sort, and row-wise set ops.
+
+Analog of cpp/src/lists/ (contains.cu, set_operations.cu,
+drop_list_duplicates, segmented sort over list entries). TPU-native
+design: every op is a composition of (a) parent-id expansion from offsets,
+(b) one fused multi-operand sort keyed by (parent, value-codes), (c)
+adjacency compares and scatter-adds for run detection and per-row counts,
+and (d) a stable compaction (argsort of the drop mask). All static shapes;
+the output child capacity equals the input child capacity bound.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.lists import ListColumn
+from ..utils.padding import bucket_capacity
+from . import rowcodes
+from .sortprim import multisort_perm, tiled_cumsum
+
+
+def _parent_ids(lc: ListColumn) -> jnp.ndarray:
+    """int32[child_cap]: owning row per child element (cap rows → n)."""
+    cap = lc.child.capacity
+    j = jnp.arange(cap, dtype=jnp.int32)
+    n = lc.length
+    par = jnp.searchsorted(lc.offsets[: n + 1], j, side="right").astype(jnp.int32) - 1
+    return jnp.clip(par, 0, max(n - 1, 0))
+
+
+def _compact(values: Column, parents: jnp.ndarray, keep: jnp.ndarray,
+             out_row_cap: int) -> Tuple[jnp.ndarray, Column]:
+    """Stable-compact kept child rows; rebuild offsets from per-parent counts."""
+    cap = values.capacity
+    perm = jnp.argsort(~keep, stable=True)
+    data = values.data[perm]
+    val = values.valid_mask()[perm] & keep[perm]
+    new_len = keep.sum().astype(jnp.int32)
+    counts = jnp.zeros((out_row_cap,), jnp.int32).at[
+        jnp.clip(parents, 0, out_row_cap - 1)
+    ].add(keep.astype(jnp.int32))
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), tiled_cumsum(counts)])
+    child = Column(values.dtype, data, val, new_len, values.dictionary)
+    return offs, child
+
+
+@partial(jax.jit, static_argnames=("n_rows_cap",))
+def _contains_impl(child: Column, parents, target_ops, n_rows_cap: int):
+    eq = jnp.ones(child.data.shape, bool)
+    for op, t in zip(rowcodes.equality_operands(child), target_ops):
+        eq = eq & (op == t)
+    eq = eq & child.valid_mask()
+    hit = jnp.zeros((n_rows_cap,), jnp.int32).at[parents].max(eq.astype(jnp.int32))
+    return hit > 0
+
+
+def list_contains(lc: ListColumn, value) -> Column:
+    """Per-row bool: does the list contain ``value`` (lists::contains)."""
+    n = lc.length
+    row_cap = bucket_capacity(max(n, 1))
+    if lc.child.dtype.is_string:
+        # map value through the child's dictionary on host
+        d = lc.child.dictionary
+        idx = np.searchsorted(d, value)
+        found = idx < len(d) and d[idx] == value
+        if not found:
+            data = jnp.zeros((row_cap,), bool)
+            return Column(dtypes.bool_, data, lc.validity, n)
+        target_ops = [jnp.uint32(idx)]
+    else:
+        pc = Column.from_scalar(value, 1, lc.child.dtype)
+        target_ops = [op[0] for op in rowcodes.equality_operands(pc)]
+    hit = _contains_impl(lc.child, _parent_ids(lc), tuple(target_ops), row_cap)
+    return Column(dtypes.bool_, hit, lc.validity, n)
+
+
+@partial(jax.jit, static_argnames=("row_cap",))
+def _unique_impl(child: Column, parents, row_cap: int):
+    ops = [parents.astype(jnp.uint32)] + [
+        jnp.where(child.valid_mask(), o, jnp.zeros((), o.dtype))
+        for o in rowcodes.equality_operands(child)
+    ]
+    inb = child.bounds_mask()
+    # out-of-bounds child rows sort last and are dropped
+    ops = [jnp.where(inb, o, jnp.uint32(0xFFFFFFFF)) for o in ops]
+    perm = multisort_perm(ops)
+    sorted_ops = [o[perm] for o in ops]
+    first = rowcodes.adjacent_neq(sorted_ops)
+    keep = first & inb[perm]
+    sc = Column(child.dtype, child.data[perm],
+                None if child.validity is None else child.validity[perm],
+                child.length, child.dictionary)
+    return _compact(sc, parents[perm], keep, row_cap)
+
+
+def list_unique(lc: ListColumn) -> ListColumn:
+    """Distinct elements per list (drop_list_duplicates). Element order is
+    ascending value order (the reference also reorders)."""
+    n = lc.length
+    row_cap = bucket_capacity(max(n, 1))
+    offs, child = _unique_impl(lc.child, _parent_ids(lc), row_cap)
+    new_total = int(child.length)
+    child.length = new_total
+    return ListColumn(offs, child, n, lc.validity)
+
+
+def list_sort(lc: ListColumn, descending: bool = False, nulls_last: bool = True) -> ListColumn:
+    """Sort each list's elements (lists::sort_lists) via segmented sort."""
+    from .sorting import segmented_sorted_order
+
+    n = lc.length
+    perm = segmented_sorted_order([lc.child], lc.offsets[: n + 1], descending, nulls_last)
+    data = lc.child.data[perm]
+    v = None if lc.child.validity is None else lc.child.validity[perm]
+    child = Column(lc.child.dtype, data, v, lc.child.length, lc.child.dictionary)
+    return ListColumn(lc.offsets, child, n, lc.validity)
+
+
+@partial(jax.jit, static_argnames=("op", "row_cap"))
+def _setop_impl(a_child: Column, a_par, b_child: Column, b_par, op: str, row_cap: int):
+    # union of children with a source tag; values compared by equality codes
+    data = jnp.concatenate([a_child.data, b_child.data])
+    va = a_child.valid_mask()
+    vb = b_child.valid_mask()
+    valid = jnp.concatenate([va, vb])
+    parents = jnp.concatenate([a_par, b_par]).astype(jnp.uint32)
+    src_b = jnp.concatenate([
+        jnp.zeros(a_child.data.shape, jnp.int32),
+        jnp.ones(b_child.data.shape, jnp.int32),
+    ])
+    inb = jnp.concatenate([a_child.bounds_mask(), b_child.bounds_mask()]) & valid
+    merged = Column(a_child.dtype, data, valid, data.shape[0], a_child.dictionary)
+    val_ops = rowcodes.equality_operands(merged)
+    ops = [jnp.where(inb, o, jnp.uint32(0xFFFFFFFF))
+           for o in [parents] + list(val_ops)]
+    ops.append(jnp.where(inb, src_b.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF)))
+    perm = multisort_perm(ops)
+    sorted_run_ops = [o[perm] for o in ops[:-1]]   # (parent, value) only
+    first = rowcodes.adjacent_neq(sorted_run_ops)
+    run_id = tiled_cumsum(first.astype(jnp.int32)) - 1
+    cap2 = data.shape[0]
+    sb = src_b[perm]
+    sin = inb[perm]
+    has_a = jnp.zeros((cap2,), jnp.int32).at[run_id].max(((sb == 0) & sin).astype(jnp.int32))
+    has_b = jnp.zeros((cap2,), jnp.int32).at[run_id].max(((sb == 1) & sin).astype(jnp.int32))
+    ra = has_a[run_id] > 0
+    rb = has_b[run_id] > 0
+    if op == "union":
+        keep = first
+    elif op == "intersect":
+        keep = first & ra & rb
+    else:  # difference: a \ b
+        keep = first & ra & ~rb
+    keep = keep & sin
+    sc = Column(a_child.dtype, data[perm], valid[perm], cap2, a_child.dictionary)
+    return _compact(sc, parents[perm].astype(jnp.int32), keep, row_cap)
+
+
+def _setop(a: ListColumn, b: ListColumn, op: str) -> ListColumn:
+    assert a.length == b.length, "set ops are row-wise"
+    if a.child.dtype.is_string or b.child.dtype.is_string:
+        a, b = _align_string_children(a, b)
+    n = a.length
+    row_cap = bucket_capacity(max(n, 1))
+    offs, child = _setop_impl(a.child, _parent_ids(a), b.child, _parent_ids(b), op, row_cap)
+    v = a.validity
+    if b.validity is not None:
+        v = b.validity if v is None else (v & b.validity)
+    return ListColumn(offs, child, n, v)
+
+
+def _align_string_children(a: ListColumn, b: ListColumn):
+    """Re-encode both children over a shared sorted dictionary."""
+    da = a.child.dictionary if a.child.dictionary is not None else np.array([], str)
+    db = b.child.dictionary if b.child.dictionary is not None else np.array([], str)
+    merged = np.unique(np.concatenate([da, db]))
+    ra = np.searchsorted(merged, da).astype(np.int32)
+    rb = np.searchsorted(merged, db).astype(np.int32)
+
+    def remap(lc, table):
+        t = jnp.asarray(table if len(table) else np.zeros(1, np.int32))
+        codes = t[jnp.clip(lc.child.data.astype(jnp.int32), 0, max(len(table) - 1, 0))]
+        child = Column(dtypes.string, codes, lc.child.validity, lc.child.length,
+                       dictionary=merged)
+        return ListColumn(lc.offsets, child, lc.length, lc.validity)
+
+    return remap(a, ra), remap(b, rb)
+
+
+def list_union(a: ListColumn, b: ListColumn) -> ListColumn:
+    """Row-wise distinct union (lists::union_distinct)."""
+    return _setop(a, b, "union")
+
+
+def list_intersect(a: ListColumn, b: ListColumn) -> ListColumn:
+    """Row-wise distinct intersection (lists::intersect_distinct)."""
+    return _setop(a, b, "intersect")
+
+
+def list_difference(a: ListColumn, b: ListColumn) -> ListColumn:
+    """Row-wise a-minus-b (lists::difference_distinct)."""
+    return _setop(a, b, "difference")
+
+
+def list_overlap(a: ListColumn, b: ListColumn) -> Column:
+    """Per-row bool: any common element (lists::have_overlap)."""
+    inter = list_intersect(a, b)
+    lens = inter.lengths()
+    return Column(dtypes.bool_, lens.data > 0, lens.validity, a.length)

@@ -11,6 +11,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import dtypes
 from ..core.column import Column
@@ -115,3 +116,141 @@ def diff(col: Column, periods: int = 1) -> Column:
     from .binaryop import binary_op
 
     return binary_op(col, shift(col, periods), "sub")
+
+
+# ===========================================================================
+# Range-based (value) windows and variable windows from explicit bounds
+# ===========================================================================
+#
+# Analog of cudf's range window / windows-from-offsets rolling paths
+# (cpp/src/rolling/ grouped_range_rolling_window, rolling_variable). The
+# TPU design: per-row [start, end) bounds come from vectorized binary
+# search on the (monotonic) orderby column; sums/counts read exclusive
+# prefix sums at the bounds; min/max use a sparse-table RMQ (log2(n)
+# doubling levels + one two-range gather per row) — no per-row loops.
+
+def _bitlen(v: jnp.ndarray, maxbits: int) -> jnp.ndarray:
+    """floor(log2(v))+1 for v>0 via compares (no clz in XLA)."""
+    bl = jnp.zeros(v.shape, jnp.int32)
+    for k in range(maxbits):
+        bl = bl + (v > jnp.asarray((1 << k) - 1, v.dtype)).astype(jnp.int32)
+    return bl
+
+
+def _rmq_levels(x: jnp.ndarray, fn, ident):
+    """Sparse table: levels[k][i] = reduce over x[i : i+2^k]."""
+    n = x.shape[0]
+    levels = [x]
+    k = 1
+    while (1 << k) <= n:
+        prev = levels[-1]
+        sh = 1 << (k - 1)
+        shifted = jnp.concatenate([prev[sh:], jnp.full((sh,), ident, x.dtype)])
+        levels.append(fn(prev, shifted))
+        k += 1
+    return jnp.stack(levels)  # [L, n]
+
+
+def _rmq_query(levels: jnp.ndarray, starts, ends, ident):
+    """Reduce over [starts, ends) per row from a sparse table."""
+    L = ends - starts
+    k = jnp.maximum(_bitlen(L, levels.shape[0]) - 1, 0)
+    n = levels.shape[1]
+    a = levels[k, jnp.clip(starts, 0, n - 1)]
+    b = levels[k, jnp.clip(ends - (1 << k.astype(jnp.int64)).astype(jnp.int32), 0, n - 1)]
+    out = jnp.minimum(a, b) if float(ident) == float(jnp.inf) else jnp.maximum(a, b)
+    return jnp.where(L > 0, out, ident)
+
+
+def _window_agg(x64, valid, starts, ends, kind: str, mp: int):
+    """Aggregate x64 over per-row [starts, ends) windows. Returns (out, ok)."""
+    cap = x64.shape[0]
+    xz = jnp.where(valid, x64, 0.0)
+    from .sortprim import tiled_cumsum
+
+    def excl(c):
+        return jnp.concatenate([jnp.zeros((1,), c.dtype), c])
+
+    csum = excl(tiled_cumsum(xz))
+    ccnt = excl(tiled_cumsum(valid.astype(jnp.int64)))
+    s = jnp.clip(starts, 0, cap)
+    e = jnp.clip(ends, s, cap)
+    wcnt = ccnt[e] - ccnt[s]
+    ok = wcnt >= mp
+    if kind == "count":
+        return wcnt.astype(jnp.float64), ok
+    wsum = csum[e] - csum[s]
+    if kind == "sum":
+        return wsum, ok
+    if kind == "mean":
+        return wsum / jnp.maximum(wcnt, 1), ok
+    if kind in ("var", "std"):
+        csq = excl(tiled_cumsum(jnp.where(valid, x64 * x64, 0.0)))
+        wsq = csq[e] - csq[s]
+        mean = wsum / jnp.maximum(wcnt, 1)
+        m2 = jnp.maximum(wsq - wcnt * mean * mean, 0.0)
+        denom = wcnt - 1
+        out = jnp.where(denom > 0, m2 / jnp.maximum(denom, 1), jnp.nan)
+        if kind == "std":
+            out = jnp.sqrt(out)
+        return out, ok & (denom > 0)
+    if kind in ("min", "max"):
+        ident = jnp.inf if kind == "min" else -jnp.inf
+        fn = jnp.minimum if kind == "min" else jnp.maximum
+        acc = jnp.where(valid, x64, ident)
+        levels = _rmq_levels(acc, fn, ident)
+        out = _rmq_query(levels, s, e, ident)
+        return out, ok & jnp.isfinite(out)
+    raise ValueError(f"rolling kind {kind!r}")
+
+
+@elementwise_jit(static_argnames=("kind", "min_periods", "closed"))
+def rolling_range(col: Column, orderby: Column, window, kind: str = "sum",
+                  min_periods: int = 1, closed: str = "right") -> Column:
+    """Value-based rolling window (pandas ``rolling("2D")`` analog).
+
+    ``orderby`` must be monotonically increasing (pandas requirement); the
+    window for row i covers rows j with orderby[j] in (orderby[i]-window,
+    orderby[i]] for closed='right' (default), with the usual closed
+    variants. ``window`` is in orderby's physical units (ns for datetimes).
+    """
+    cap = col.capacity
+    inb = col.bounds_mask()
+    obmax = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+    ob = jnp.where(inb, orderby.data.astype(jnp.int64), obmax)
+    w = jnp.asarray(window, jnp.int64)
+    lo = ob - w
+    if closed in ("right", "neither"):
+        starts = jnp.searchsorted(ob, lo, side="right").astype(jnp.int32)
+    else:  # both / left
+        starts = jnp.searchsorted(ob, lo, side="left").astype(jnp.int32)
+    # right edge is positional (rows <= i), like pandas: duplicates of the
+    # current timestamp that appear later do not enter the window
+    pos_end = jnp.arange(cap, dtype=jnp.int32) + 1
+    if closed in ("right", "both"):
+        ends = pos_end
+    else:
+        ends = jnp.minimum(
+            pos_end, jnp.searchsorted(ob, ob, side="left").astype(jnp.int32)
+        )
+    valid = col.valid_mask()
+    if col.dtype.is_floating:
+        valid = valid & ~jnp.isnan(col.data)
+    out, ok = _window_agg(col.data.astype(jnp.float64), valid, starts, ends,
+                          kind, min_periods)
+    ok = ok & inb
+    return Column(dtypes.float64, jnp.where(ok, out, jnp.nan), ok, col.length)
+
+
+@elementwise_jit(static_argnames=("kind", "min_periods"))
+def rolling_variable(col: Column, starts: Column, ends: Column,
+                     kind: str = "sum", min_periods: int = 1) -> Column:
+    """Windows from explicit per-row [start, end) bounds (offsets API)."""
+    valid = col.valid_mask()
+    if col.dtype.is_floating:
+        valid = valid & ~jnp.isnan(col.data)
+    out, ok = _window_agg(col.data.astype(jnp.float64), valid,
+                          starts.data.astype(jnp.int32),
+                          ends.data.astype(jnp.int32), kind, min_periods)
+    ok = ok & col.bounds_mask()
+    return Column(dtypes.float64, jnp.where(ok, out, jnp.nan), ok, col.length)

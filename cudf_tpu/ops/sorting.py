@@ -136,3 +136,51 @@ def rank(
     from ..utils.jitutil import fix_lengths
 
     return fix_lengths(_rank_impl(col, method, descending, pct), col.length)
+
+
+# ===========================================================================
+# Segmented sort (cpp/src/sort/segmented_sort.cu analog)
+# ===========================================================================
+
+@partial(jax.jit, static_argnames=("desc", "nl"))
+def _segmented_order_impl(keys, offsets, desc, nl):
+    cap = keys[0].capacity
+    ops, _ = rowcodes.sort_operands(keys, desc, nl, keys[0].length)
+    # leading operand: segment id (rows never cross segment boundaries)
+    seg = (
+        jnp.searchsorted(offsets, jnp.arange(cap, dtype=offsets.dtype), side="right")
+        .astype(jnp.uint32)
+    )
+    from .sortprim import multisort_perm
+
+    return multisort_perm([seg] + list(ops))
+
+
+def segmented_sorted_order(
+    keys: Sequence[Column],
+    offsets: jnp.ndarray,
+    descending: Union[bool, Sequence[bool]] = False,
+    nulls_last: Union[bool, Sequence[bool]] = True,
+) -> jnp.ndarray:
+    """Stable within-segment ordering permutation.
+
+    ``offsets`` are segment start offsets (Arrow-style, segment i covers
+    rows [offsets[i], offsets[i+1])). Rows stay inside their segment; keys
+    order rows within it. One fused multi-operand sort — the TPU analog of
+    cub segmented radix sort.
+    """
+    keys = list(keys)
+    desc = tuple(_norm_flags(len(keys), descending))
+    nl = tuple(_norm_flags(len(keys), nulls_last))
+    return _segmented_order_impl(tuple(keys), jnp.asarray(offsets), desc, nl)
+
+
+def segmented_sort_by_key(
+    tbl: Table,
+    keys: Sequence[str],
+    offsets: jnp.ndarray,
+    descending: Union[bool, Sequence[bool]] = False,
+    nulls_last: Union[bool, Sequence[bool]] = True,
+) -> Table:
+    perm = segmented_sorted_order([tbl[k] for k in keys], offsets, descending, nulls_last)
+    return gather_table(tbl, perm, tbl.num_rows)

@@ -1,0 +1,101 @@
+"""Range windows, segmented sort, and list set-ops vs pandas/python oracles."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.lists import ListColumn
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops import list_ops, rolling, sorting
+
+
+# -------------------------------------------------------------- range windows
+@pytest.mark.parametrize("kind", ["sum", "mean", "min", "max", "count", "std"])
+def test_rolling_range_matches_pandas(kind):
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.integers(0, 1000, 200)).astype(np.int64)
+    x = rng.standard_normal(200)
+    x[rng.random(200) < 0.1] = np.nan
+    got = rolling.rolling_range(
+        Column.from_numpy(x), Column.from_numpy(t), 50, kind, min_periods=1
+    ).to_numpy()
+    s = pd.Series(x, index=pd.to_datetime(t, unit="ns"))
+    want = getattr(s.rolling("50ns", min_periods=1), kind)().to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_rolling_variable_bounds():
+    x = np.arange(10, dtype=np.float64)
+    starts = np.array([0, 0, 0, 1, 2, 3, 4, 5, 6, 7], np.int32)
+    ends = np.arange(1, 11, dtype=np.int32)
+    got = rolling.rolling_variable(
+        Column.from_numpy(x), Column.from_numpy(starts), Column.from_numpy(ends), "sum"
+    ).to_numpy()
+    want = np.array([x[s:e].sum() for s, e in zip(starts, ends)])
+    np.testing.assert_allclose(got, want)
+
+
+# ------------------------------------------------------------- segmented sort
+def test_segmented_sort():
+    vals = np.array([5, 1, 4, 9, 2, 7, 7, 0], np.int64)
+    offsets = np.array([0, 3, 5, 8], np.int32)  # segments [0,3) [3,5) [5,8)
+    tbl = Table({"v": Column.from_numpy(vals)})
+    out = sorting.segmented_sort_by_key(tbl, ["v"], offsets)["v"].to_numpy()
+    want = np.concatenate([np.sort(vals[s:e]) for s, e in zip(offsets[:-1], offsets[1:])])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_segmented_sort_descending():
+    vals = np.array([1.0, 3.0, 2.0, 9.0, 8.0], np.float64)
+    offsets = np.array([0, 3, 5], np.int32)
+    tbl = Table({"v": Column.from_numpy(vals)})
+    out = sorting.segmented_sort_by_key(tbl, ["v"], offsets, descending=True)["v"].to_numpy()
+    np.testing.assert_array_equal(out, [3.0, 2.0, 1.0, 9.0, 8.0])
+
+
+# ------------------------------------------------------------------- list ops
+def test_list_contains():
+    lc = ListColumn.from_pylist([[1, 2, 3], [4, 5], [], [2, 2]])
+    got = list_ops.list_contains(lc, 2).to_numpy()
+    np.testing.assert_array_equal(got, [True, False, False, True])
+
+
+def test_list_contains_strings():
+    lc = ListColumn.from_pylist([["a", "b"], ["c"], ["b"]])
+    np.testing.assert_array_equal(
+        list_ops.list_contains(lc, "b").to_numpy(), [True, False, True]
+    )
+    np.testing.assert_array_equal(
+        list_ops.list_contains(lc, "zz").to_numpy(), [False, False, False]
+    )
+
+
+def test_list_unique():
+    lc = ListColumn.from_pylist([[3, 1, 3, 2, 1], [7, 7], [], [5]])
+    got = list_ops.list_unique(lc).to_pylist()
+    assert got == [[1, 2, 3], [7], [], [5]]
+
+
+def test_list_sort():
+    lc = ListColumn.from_pylist([[3.0, 1.0, 2.0], [9.0], [], [5.0, -5.0]])
+    assert list_ops.list_sort(lc).to_pylist() == [[1.0, 2.0, 3.0], [9.0], [], [-5.0, 5.0]]
+    assert list_ops.list_sort(lc, descending=True).to_pylist() == [
+        [3.0, 2.0, 1.0], [9.0], [], [5.0, -5.0]]
+
+
+def test_list_set_ops():
+    a = ListColumn.from_pylist([[1, 2, 3], [4, 5], [7]])
+    b = ListColumn.from_pylist([[2, 3, 9], [6], [7, 7]])
+    assert list_ops.list_union(a, b).to_pylist() == [[1, 2, 3, 9], [4, 5, 6], [7]]
+    assert list_ops.list_intersect(a, b).to_pylist() == [[2, 3], [], [7]]
+    assert list_ops.list_difference(a, b).to_pylist() == [[1], [4, 5], []]
+    np.testing.assert_array_equal(
+        list_ops.list_overlap(a, b).to_numpy(), [True, False, True]
+    )
+
+
+def test_list_set_ops_strings():
+    a = ListColumn.from_pylist([["x", "y"], ["p"]])
+    b = ListColumn.from_pylist([["y", "z"], ["q"]])
+    assert list_ops.list_union(a, b).to_pylist() == [["x", "y", "z"], ["p", "q"]]
+    assert list_ops.list_intersect(a, b).to_pylist() == [["y"], []]
