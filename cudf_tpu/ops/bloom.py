@@ -1,0 +1,77 @@
+"""Device bloom filter for join/shuffle pre-filtering.
+
+Analog of cpp/libcudf_streaming/src/detail/device_bloom_filter.cu (used by
+the streaming engine to drop probe rows whose keys cannot be in the build
+side before shuffling them). TPU-native design: the filter is a bool[m]
+array in HBM (byte-per-bit — VPU-native, no atomics needed because
+scatter `.at[].set(True)` is idempotent); k probe positions come from
+double hashing h1 + i*h2 over the murmur3 row hashes, so build and probe
+are each ONE fused scatter/gather kernel.
+
+String keys: hashes are computed over dictionary codes, so build and probe
+sides must share a dictionary (align with join's dictionary-merge step
+before filtering).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from . import hashing
+
+
+class BloomFilter(NamedTuple):
+    bits: jnp.ndarray   # bool[m]
+    k: int              # number of probes
+
+
+def _positions(cols, m: int, k: int):
+    h1 = hashing.hash_columns(cols, seed=0)
+    h2 = hashing.hash_columns(cols, seed=0x9E3779B9) | jnp.uint32(1)
+    pos = []
+    for i in range(k):
+        pos.append(((h1 + jnp.uint32(i) * h2) % jnp.uint32(m)).astype(jnp.int32))
+    return pos
+
+
+@partial(jax.jit, static_argnames=("m", "k"))
+def _build_impl(cols, m: int, k: int):
+    inb = cols[0].bounds_mask()
+    bits = jnp.zeros((m + 1,), bool)  # slot m is the padding-row sink
+    for p in _positions(cols, m, k):
+        bits = bits.at[jnp.where(inb, p, m)].set(True)
+    return bits[:m]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _probe_impl(bits, cols, k: int):
+    m = bits.shape[0]
+    out = jnp.ones(cols[0].data.shape, bool)
+    for p in _positions(cols, m, k):
+        out = out & bits[p]
+    return out
+
+
+def build(cols: Sequence[Column], m_log2: int = 20, k: int = 3) -> BloomFilter:
+    """Build a filter over the rows of the key columns."""
+    return BloomFilter(_build_impl(tuple(cols), 1 << m_log2, k), k)
+
+
+def maybe_contains(bf: BloomFilter, cols: Sequence[Column]) -> Column:
+    """bool per probe row: possibly present (no false negatives)."""
+    out = _probe_impl(bf.bits, tuple(cols), bf.k)
+    return Column(dtypes.bool_, out, None, cols[0].length)
+
+
+def merge(filters: Sequence[BloomFilter]) -> BloomFilter:
+    """Distributed combine: OR the bit arrays."""
+    bits = filters[0].bits
+    for f in filters[1:]:
+        bits = bits | f.bits
+    return BloomFilter(bits, filters[0].k)

@@ -1,0 +1,168 @@
+"""Fixed-point DECIMAL64 arithmetic with scale propagation.
+
+Analog of include/cudf/fixed_point/fixed_point.hpp (decimal32/64/128 with
+host+device arithmetic) — round-1 scope is DECIMAL64. A decimal column is
+an int64 column whose DType carries a power-of-ten ``scale``:
+value = unscaled * 10**scale (cudf convention: scale <= 0 means digits
+after the point).
+
+Scale rules (matching cudf::binary_operation on fixed_point):
+  add/sub/mod : rescale both to min(scale_l, scale_r), scale_out = min
+  mul         : scale_out = scale_l + scale_r (no rescale)
+  div         : scale_out = scale_l - scale_r (integer division)
+  compare     : rescale to min scale, compare unscaled
+
+Rescaling to a smaller scale multiplies by 10^d (may overflow int64, as in
+the reference); to a larger scale divides with round-half-up.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.dtypes import DType, Kind
+
+
+def _scale(dt: DType) -> int:
+    assert dt.kind == Kind.DECIMAL, dt
+    return int(dt.param or 0)
+
+
+def from_integers(col: Column, scale: int = 0) -> Column:
+    """Reinterpret an integer column as decimal64 with the given scale."""
+    return Column(dtypes.decimal64(scale), col.data.astype(jnp.int64),
+                  col.validity, col.length)
+
+
+def from_floats(col: Column, scale: int) -> Column:
+    """Quantize a float column to decimal64 (round half away from zero)."""
+    x = col.data.astype(jnp.float64) * (10.0 ** (-scale))
+    unscaled = jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int64)
+    v = col.valid_mask()
+    if col.dtype.is_floating:
+        v = v & ~jnp.isnan(col.data)
+    return Column(dtypes.decimal64(scale), unscaled, v, col.length)
+
+
+def to_floats(col: Column) -> Column:
+    s = _scale(col.dtype)
+    out = col.data.astype(jnp.float64) * (10.0 ** s)
+    return Column(dtypes.float64, out, col.validity, col.length)
+
+
+def _rescale_data(x: jnp.ndarray, from_scale: int, to_scale: int) -> jnp.ndarray:
+    if to_scale == from_scale:
+        return x
+    if to_scale < from_scale:
+        return x * jnp.int64(10 ** (from_scale - to_scale))
+    f = jnp.int64(10 ** (to_scale - from_scale))
+    # round half away from zero, like fixed_point::rescaled (symmetric —
+    # floor division would bias negatives downward)
+    half = f // jnp.int64(2)
+    q = (jnp.abs(x) + half) // f
+    return jnp.where(x < 0, -q, q)
+
+
+@partial(jax.jit, static_argnames=("to_scale",))
+def _rescale_impl(col: Column, to_scale: int) -> Column:
+    out = _rescale_data(col.data, _scale(col.dtype), to_scale)
+    return Column(dtypes.decimal64(to_scale), out, col.validity, col.length)
+
+
+def rescale(col: Column, to_scale: int) -> Column:
+    """fixed_point::rescaled — change scale, preserving value."""
+    return _rescale_impl(col, int(to_scale))
+
+
+@partial(jax.jit, static_argnames=("op",))
+def _binop_impl(lhs: Column, rhs: Column, op: str) -> Column:
+    sl, sr = _scale(lhs.dtype), _scale(rhs.dtype)
+    v = lhs.valid_mask() & rhs.valid_mask()
+    l, r = lhs.data, rhs.data
+    if op in ("add", "sub", "eq", "ne", "lt", "le", "gt", "ge", "mod"):
+        s = min(sl, sr)
+        l = _rescale_data(l, sl, s)
+        r = _rescale_data(r, sr, s)
+        if op == "add":
+            return Column(dtypes.decimal64(s), l + r, v, lhs.length)
+        if op == "sub":
+            return Column(dtypes.decimal64(s), l - r, v, lhs.length)
+        if op == "mod":
+            safe = jnp.where(r == 0, 1, r)
+            out = jnp.where(r == 0, 0, l - (l // safe) * safe)
+            return Column(dtypes.decimal64(s), out, v & (r != 0), lhs.length)
+        cmp = {"eq": l == r, "ne": l != r, "lt": l < r,
+               "le": l <= r, "gt": l > r, "ge": l >= r}[op]
+        return Column(dtypes.bool_, cmp, v, lhs.length)
+    if op == "mul":
+        return Column(dtypes.decimal64(sl + sr), l * r, v, lhs.length)
+    if op == "div":
+        safe = jnp.where(r == 0, 1, r)
+        q = l // safe
+        # cudf fixed_point division truncates toward zero
+        q = jnp.where((l % safe != 0) & ((l < 0) != (r < 0)), q + 1, q)
+        return Column(dtypes.decimal64(sl - sr), jnp.where(r == 0, 0, q),
+                      v & (r != 0), lhs.length)
+    raise ValueError(f"decimal op {op!r}")
+
+
+def binary_op(lhs: Column, rhs: Union[Column, int, float], op: str) -> Column:
+    """Decimal binary op with cudf scale propagation."""
+    if not isinstance(rhs, Column):
+        if isinstance(rhs, int):
+            rhs = Column(dtypes.decimal64(0),
+                         jnp.full(lhs.data.shape, rhs, jnp.int64), None, lhs.length)
+        else:
+            rhs = from_floats(Column.from_scalar(float(rhs), lhs.length), _scale(lhs.dtype))
+    return _binop_impl(lhs, rhs, op)
+
+
+@partial(jax.jit, static_argnames=("decimal_places", "how"))
+def _round_impl(col: Column, decimal_places: int, how: str) -> Column:
+    s = _scale(col.dtype)
+    target = -decimal_places
+    if target <= s:
+        return col
+    f = jnp.int64(10 ** (target - s))
+    x = col.data
+    a = jnp.abs(x)
+    qa = a // f
+    rem = a - qa * f
+    if how == "half_up":
+        up = 2 * rem >= f
+    else:  # half_even
+        up = (2 * rem > f) | ((2 * rem == f) & (qa % 2 != 0))
+    qa = qa + up.astype(jnp.int64)
+    q = jnp.where(x < 0, -qa, qa)
+    return Column(dtypes.decimal64(target), q, col.validity, col.length)
+
+
+def round_decimal(col: Column, decimal_places: int = 0, how: str = "half_up") -> Column:
+    """cudf::round on decimal columns (changes scale to -decimal_places)."""
+    return _round_impl(col, int(decimal_places), how)
+
+
+def to_strings(col: Column) -> Column:
+    """Host-format decimals as strings (strings/convert analog)."""
+    s = _scale(col.dtype)
+    vals = np.asarray(col.data)[: col.length].astype(object)
+    out = []
+    v = None if col.validity is None else np.asarray(col.validity)[: col.length]
+    for i, u in enumerate(vals):
+        if v is not None and not v[i]:
+            out.append(None)
+            continue
+        if s >= 0:
+            out.append(str(int(u) * 10 ** s))
+        else:
+            d = 10 ** (-s)
+            sign = "-" if u < 0 else ""
+            u = abs(int(u))
+            out.append(f"{sign}{u // d}.{u % d:0{-s}d}")
+    return Column.from_numpy(np.array(out, object))

@@ -1,0 +1,138 @@
+"""pack / unpack / contiguous_split: one-blob table serialization.
+
+Analog of include/cudf/contiguous_split.hpp:93-146 (pack, chunked_pack,
+unpack; wire format `packed_columns{host metadata, one contiguous device
+buffer}`). On TPU the consumers of this format are host-side: the spill
+store (native/partition_store.cpp), checkpoint sinks, and cross-host DCN
+transfer — intra-slice shuffle uses the device-native (P,B)-block layout in
+parallel/spmd.py instead. So the blob is a host bytes object with 64-byte
+aligned sections and a JSON header; ``unpack`` reconstructs zero-copy numpy
+views and uploads once per column.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator, List
+
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..core.table import Table
+
+_ALIGN = 64
+_MAGIC = "cudf_tpu.packed.v1"
+
+
+def _aligned(n: int) -> int:
+    return (n + _ALIGN - 1) // _ALIGN * _ALIGN
+
+
+@dataclass
+class PackedColumns:
+    """Host metadata + one contiguous buffer (packed_columns analog)."""
+
+    metadata: bytes
+    buffer: bytes
+
+    @property
+    def nbytes(self) -> int:
+        return len(self.metadata) + len(self.buffer)
+
+
+def _column_sections(col: Column):
+    """(numpy arrays, per-section descriptors) for one column's logical rows."""
+    n = int(col.length)
+    data = np.asarray(col.data)[:n]
+    if data.dtype.kind not in "biufMm":  # e.g. ml_dtypes bfloat16
+        data = data.astype(np.float32)
+    secs = [("data", data)]
+    if col.validity is not None:
+        # Arrow-style packed bitmap: 8x smaller than the device byte mask
+        v = np.asarray(col.validity)[:n]
+        secs.append(("validity", np.packbits(v, bitorder="little")))
+    return secs
+
+
+def pack(tbl: Table) -> PackedColumns:
+    """Serialize a table into one contiguous aligned blob."""
+    header = {"magic": _MAGIC, "num_rows": tbl.num_rows, "columns": []}
+    chunks: List[bytes] = []
+    off = 0
+    for name, col in tbl:
+        centry = {"name": name, "dtype": col.dtype.kind,
+                  "bits": col.dtype.bits, "param": col.dtype.param,
+                  "sections": {}}
+        if col.dictionary is not None:
+            centry["dictionary"] = [str(x) for x in col.dictionary]
+        for sname, arr in _column_sections(col):
+            raw = np.ascontiguousarray(arr).tobytes()
+            centry["sections"][sname] = {
+                "offset": off, "nbytes": len(raw), "np_dtype": arr.dtype.str,
+            }
+            chunks.append(raw)
+            pad = _aligned(len(raw)) - len(raw)
+            if pad:
+                chunks.append(b"\0" * pad)
+            off += _aligned(len(raw))
+        header["columns"].append(centry)
+    return PackedColumns(json.dumps(header).encode(), b"".join(chunks))
+
+
+def unpack(packed: PackedColumns) -> Table:
+    """Rebuild a Table from a packed blob (zero-copy numpy views)."""
+    header = json.loads(packed.metadata.decode())
+    assert header["magic"] == _MAGIC, "not a cudf_tpu packed blob"
+    n = header["num_rows"]
+    buf = memoryview(packed.buffer)
+    cols = {}
+    for centry in header["columns"]:
+        dsec = centry["sections"]["data"]
+        data = np.frombuffer(
+            buf[dsec["offset"] : dsec["offset"] + dsec["nbytes"]],
+            dtype=np.dtype(dsec["np_dtype"]),
+        )
+        validity = None
+        if "validity" in centry["sections"]:
+            vsec = centry["sections"]["validity"]
+            bits = np.frombuffer(
+                buf[vsec["offset"] : vsec["offset"] + vsec["nbytes"]], np.uint8
+            )
+            validity = np.unpackbits(bits, bitorder="little")[:n].astype(bool)
+        if "dictionary" in centry:
+            d = np.asarray(centry["dictionary"], str)
+            col = Column.from_numpy(d[np.clip(data, 0, max(len(d) - 1, 0))]
+                                    if len(d) else np.full(n, "", object), validity)
+        else:
+            kind = centry["dtype"]
+            if kind in (dtypes.Kind.TIMESTAMP, dtypes.Kind.DURATION):
+                unit = centry["param"] or "ns"
+                ch = "M" if kind == dtypes.Kind.TIMESTAMP else "m"
+                col = Column.from_numpy(data.view(f"{ch}8[{unit}]"), validity)
+            elif kind == dtypes.Kind.DECIMAL:
+                col = Column.from_numpy(data.astype(np.int64), validity)
+                col = Column(dtypes.decimal64(centry["param"] or 0), col.data,
+                             col.validity, col.length)
+            else:
+                col = Column.from_numpy(data, validity)
+        cols[centry["name"]] = col
+    return Table(cols)
+
+
+def contiguous_split(tbl: Table, splits: List[int]) -> List[PackedColumns]:
+    """cudf::contiguous_split — slice at row offsets, pack each piece."""
+    bounds = [0] + list(splits) + [tbl.num_rows]
+    out = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        out.append(pack(tbl.slice(s, e - s)))
+    return out
+
+
+def chunked_pack(tbl: Table, chunk_rows: int) -> Iterator[PackedColumns]:
+    """cudf::chunked_pack — bounded-memory streaming serialization."""
+    if tbl.num_rows == 0:
+        yield pack(tbl)
+        return
+    for s in range(0, tbl.num_rows, chunk_rows):
+        yield pack(tbl.slice(s, min(chunk_rows, tbl.num_rows - s)))

@@ -1,0 +1,117 @@
+"""Decimal arithmetic, pack/unpack round-trips, bloom filter guarantees."""
+import numpy as np
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops import bloom, decimal, pack
+
+
+# ------------------------------------------------------------------ decimals
+def test_decimal_add_rescale():
+    a = decimal.from_floats(Column.from_numpy(np.array([1.23, -4.50, 0.07])), -2)
+    b = decimal.from_floats(Column.from_numpy(np.array([0.1, 0.3, 1.0])), -1)
+    out = decimal.binary_op(a, b, "add")
+    assert int(out.dtype.param) == -2
+    np.testing.assert_allclose(decimal.to_floats(out).to_numpy(), [1.33, -4.20, 1.07])
+
+
+def test_decimal_mul_div_scales():
+    a = decimal.from_floats(Column.from_numpy(np.array([1.5, 2.5])), -1)   # 15, 25
+    b = decimal.from_floats(Column.from_numpy(np.array([0.2, 0.4])), -1)   # 2, 4
+    m = decimal.binary_op(a, b, "mul")
+    assert int(m.dtype.param) == -2
+    np.testing.assert_allclose(decimal.to_floats(m).to_numpy(), [0.30, 1.00])
+    d = decimal.binary_op(a, b, "div")
+    assert int(d.dtype.param) == 0
+    np.testing.assert_allclose(decimal.to_floats(d).to_numpy(), [7.0, 6.0])
+
+
+def test_decimal_compare_and_div_by_zero():
+    a = decimal.from_floats(Column.from_numpy(np.array([1.00, 2.00])), -2)
+    b = decimal.from_floats(Column.from_numpy(np.array([1.0, 0.0])), -1)
+    eq = decimal.binary_op(a, b, "eq")
+    np.testing.assert_array_equal(eq.to_numpy(), [True, False])
+    d = decimal.binary_op(a, b, "div")
+    assert d.null_count == 1
+
+
+def test_decimal_round_and_strings():
+    c = decimal.from_floats(Column.from_numpy(np.array([1.25, -1.25, 1.35])), -2)
+    r_up = decimal.round_decimal(c, 1, "half_up")
+    np.testing.assert_allclose(decimal.to_floats(r_up).to_numpy(), [1.3, -1.3, 1.4])
+    r_even = decimal.round_decimal(c, 1, "half_even")
+    np.testing.assert_allclose(decimal.to_floats(r_even).to_numpy(), [1.2, -1.2, 1.4])
+    s = decimal.to_strings(c).to_numpy()
+    assert list(s) == ["1.25", "-1.25", "1.35"]
+
+
+def test_decimal_rescale_roundtrip():
+    c = decimal.from_integers(Column.from_numpy(np.array([12345, -999])), -2)
+    up = decimal.rescale(c, -4)
+    back = decimal.rescale(up, -2)
+    np.testing.assert_array_equal(back.to_numpy(), c.to_numpy())
+
+
+# ---------------------------------------------------------------------- pack
+def _mk_table():
+    rng = np.random.default_rng(0)
+    return Table({
+        "i": Column.from_numpy(rng.integers(-100, 100, 57).astype(np.int64)),
+        "f": Column.from_numpy(rng.standard_normal(57),
+                               validity=rng.random(57) > 0.2),
+        "s": Column.from_numpy(rng.choice(["aa", "bb", "cc"], 57)),
+        "t": Column.from_numpy(np.arange(57).astype("datetime64[ns]")),
+    })
+
+
+def test_pack_roundtrip():
+    tbl = _mk_table()
+    p = pack.pack(tbl)
+    out = pack.unpack(p)
+    for name, col in tbl:
+        a, b = col.to_numpy(), out[name].to_numpy()
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, equal_nan=True)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+def test_contiguous_split_and_chunked():
+    tbl = _mk_table()
+    parts = pack.contiguous_split(tbl, [10, 40])
+    assert [pack.unpack(p).num_rows for p in parts] == [10, 30, 17]
+    chunks = list(pack.chunked_pack(tbl, 25))
+    assert [pack.unpack(c).num_rows for c in chunks] == [25, 25, 7]
+    cat = np.concatenate([pack.unpack(c)["i"].to_numpy() for c in chunks])
+    np.testing.assert_array_equal(cat, tbl["i"].to_numpy())
+
+
+def test_pack_empty():
+    tbl = _mk_table().slice(0, 0)
+    out = pack.unpack(pack.pack(tbl))
+    assert out.num_rows == 0
+
+
+# --------------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(1)
+    build_keys = rng.integers(0, 10_000, 5000).astype(np.int64)
+    bf = bloom.build([Column.from_numpy(build_keys)], m_log2=16, k=3)
+    probe = rng.integers(0, 30_000, 8000).astype(np.int64)
+    got = bloom.maybe_contains(bf, [Column.from_numpy(probe)]).to_numpy()
+    present = np.isin(probe, build_keys)
+    assert got[present].all()  # no false negatives, ever
+    # false-positive rate should be modest at this sizing
+    fpr = got[~present].mean()
+    assert fpr < 0.15, fpr
+
+
+def test_bloom_merge():
+    a = np.arange(100, dtype=np.int64)
+    b = np.arange(100, 200, dtype=np.int64)
+    fa = bloom.build([Column.from_numpy(a)], 14, 3)
+    fb = bloom.build([Column.from_numpy(b)], 14, 3)
+    m = bloom.merge([fa, fb])
+    got = bloom.maybe_contains(m, [Column.from_numpy(np.arange(200, dtype=np.int64))])
+    assert got.to_numpy().all()
