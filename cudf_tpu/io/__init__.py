@@ -101,6 +101,10 @@ def scan(fmt: str, paths: List[str], columns: Optional[List[str]] = None) -> Tab
         return read_json(paths[0])
     if fmt == "orc":
         return read_orc(paths[0], columns)
+    if fmt == "avro":
+        from .avro import read_avro
+
+        return read_avro(paths[0], columns)
     raise ValueError(f"unknown scan format {fmt}")
 
 
@@ -113,6 +117,10 @@ def write(tbl: Table, fmt: str, path: str) -> None:
         write_json(tbl, path)
     elif fmt == "orc":
         write_orc(tbl, path)
+    elif fmt == "avro":
+        from .avro import write_avro
+
+        write_avro(tbl, path)
     else:
         raise ValueError(f"unknown sink format {fmt}")
 

@@ -1,0 +1,112 @@
+"""GET_JSON_PATH: JSONPath extraction on string columns.
+
+Analog of cpp/src/json/ (get_json_object device kernel, 1.1k LoC). TPU
+design note: string columns are dictionary-encoded, so path evaluation runs
+once per *unique* string on host (the standard amortization for all
+value-level string work in this engine) and the result re-expands through
+the device codes; the device never parses bytes. Supported JSONPath subset
+matches the reference (cpp/src/json/json_path.cu): ``$``, ``.child``,
+``['child']``, ``[index]``, ``[*]``/``.*`` wildcards.
+"""
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.column import Column
+
+
+def _parse_path(path: str) -> List:
+    """Tokenize a JSONPath into field / index / wildcard steps."""
+    assert path.startswith("$"), "JSONPath must start with $"
+    i, steps = 1, []
+    while i < len(path):
+        c = path[i]
+        if c == ".":
+            i += 1
+            if i < len(path) and path[i] == "*":
+                steps.append(("wild",))
+                i += 1
+                continue
+            j = i
+            while j < len(path) and path[j] not in ".[":
+                j += 1
+            steps.append(("field", path[i:j]))
+            i = j
+        elif c == "[":
+            j = path.index("]", i)
+            inner = path[i + 1 : j].strip()
+            if inner == "*":
+                steps.append(("wild",))
+            elif inner[:1] in ("'", '"'):
+                steps.append(("field", inner[1:-1]))
+            else:
+                steps.append(("index", int(inner)))
+            i = j + 1
+        else:
+            raise ValueError(f"bad JSONPath at {path[i:]!r}")
+    return steps
+
+
+def _walk(node, steps):
+    """Evaluate steps against a parsed JSON node; list results on wildcard."""
+    cur = [node]
+    for step in steps:
+        nxt = []
+        for n in cur:
+            if step[0] == "field":
+                if isinstance(n, dict) and step[1] in n:
+                    nxt.append(n[step[1]])
+            elif step[0] == "index":
+                if isinstance(n, list) and -len(n) <= step[1] < len(n):
+                    nxt.append(n[step[1]])
+            else:  # wildcard
+                if isinstance(n, list):
+                    nxt.extend(n)
+                elif isinstance(n, dict):
+                    nxt.extend(n.values())
+        cur = nxt
+    return cur
+
+
+def _render(matches) -> Optional[str]:
+    """Reference semantics: scalar → bare string; object/array → raw JSON;
+    multiple matches → JSON array; none → null."""
+    if not matches:
+        return None
+    if len(matches) == 1:
+        m = matches[0]
+        if isinstance(m, str):
+            return m
+        if isinstance(m, bool):
+            return "true" if m else "false"
+        if m is None:
+            return "null"
+        if isinstance(m, (int, float)):
+            return json.dumps(m)
+        return json.dumps(m, separators=(",", ":"))
+    return json.dumps(matches, separators=(",", ":"))
+
+
+def get_json_path(col: Column, path: str) -> Column:
+    """Extract a JSONPath from every row of a JSON string column."""
+    assert col.dtype.is_string, "get_json_path requires a string column"
+    steps = _parse_path(path)
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    out_vals: List[Optional[str]] = []
+    for s in d:
+        try:
+            out_vals.append(_render(_walk(json.loads(s), steps)))
+        except (json.JSONDecodeError, ValueError):
+            out_vals.append(None)
+    # re-expand through the device codes; invalid JSON / no match → null
+    n = col.length
+    codes = np.asarray(col.data)[:n]
+    vals = np.array([out_vals[c] if 0 <= c < len(out_vals) else None
+                     for c in codes], object)
+    validity = np.array([v is not None for v in vals])
+    if col.validity is not None:
+        validity &= np.asarray(col.validity)[:n]
+    return Column.from_numpy(np.where(validity, vals, None), validity)

@@ -138,3 +138,112 @@ def porter_stem(col: Column) -> Column:
     from .strings import _dict_map
 
     return _dict_map(col, stem)
+
+
+# ===========================================================================
+# Subword tokenizers (nvtext wordpiece_tokenize / byte_pair_encode)
+# ===========================================================================
+#
+# Design: tokenization runs once per UNIQUE string (host, over the
+# dictionary — the standard amortization for value-level string work in
+# this engine; reference runs device kernels per row: cpp/src/text/
+# wordpiece_tokenize.cu, bpe_tokenize.cu). The per-row expansion (codes →
+# token-id lists) is a device gather from the host-built token matrix.
+
+class WordPieceVocabulary:
+    """Greedy longest-match-first subword vocab (BERT-style '##' pieces)."""
+
+    def __init__(self, tokens, unk: str = "[UNK]"):
+        self.index = {t: i for i, t in enumerate(tokens)}
+        self.unk_id = self.index.get(unk, 0)
+        self.max_piece = max((len(t) for t in tokens), default=1)
+
+    def encode_word(self, word: str):
+        ids = []
+        i = 0
+        while i < len(word):
+            end = min(len(word), i + self.max_piece)
+            found = None
+            while end > i:
+                piece = word[i:end] if i == 0 else "##" + word[i:end]
+                if piece in self.index:
+                    found = self.index[piece]
+                    break
+                end -= 1
+            if found is None:
+                return [self.unk_id]
+            ids.append(found)
+            i = end
+        return ids
+
+
+def wordpiece_tokenize(col: Column, vocab: WordPieceVocabulary,
+                       max_tokens_per_row: int = 64):
+    """Token ids per row as a ListColumn (nvtext::wordpiece_tokenize)."""
+    from ..core.lists import ListColumn
+
+    d = _dict_of(col)
+    per_unique = []
+    for s in d:
+        ids: List[int] = []
+        for w in str(s).split():
+            ids.extend(vocab.encode_word(w))
+            if len(ids) >= max_tokens_per_row:
+                break
+        per_unique.append(ids[:max_tokens_per_row])
+    n = col.length
+    codes = np.asarray(col.data)[:n]
+    valid = None if col.validity is None else np.asarray(col.validity)[:n]
+    rows = []
+    for i in range(n):
+        if valid is not None and not valid[i]:
+            rows.append(None)
+        else:
+            c = int(codes[i])
+            rows.append(per_unique[c] if 0 <= c < len(per_unique) else [])
+    return ListColumn.from_pylist(rows)
+
+
+class BPEMergePairs:
+    """Ranked merge table (load_merge_pairs analog)."""
+
+    def __init__(self, pairs):
+        self.rank = {tuple(p.split() if isinstance(p, str) else p): i
+                     for i, p in enumerate(pairs)}
+
+
+def _bpe_word(word: str, rank) -> List[str]:
+    parts = list(word)
+    while len(parts) > 1:
+        best, best_rank = None, None
+        for i in range(len(parts) - 1):
+            r = rank.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        parts[best : best + 2] = [parts[best] + parts[best + 1]]
+    return parts
+
+
+def byte_pair_encode(col: Column, merges: BPEMergePairs,
+                     separator: str = " ") -> Column:
+    """BPE-split each string (nvtext::byte_pair_encoding): pieces joined by
+    ``separator``, spaces between input words preserved."""
+    d = _dict_of(col)
+    out = []
+    cache = {}
+    for s in d:
+        words = str(s).split(" ")
+        enc_words = []
+        for w in words:
+            if w not in cache:
+                cache[w] = separator.join(_bpe_word(w, merges.rank))
+            enc_words.append(cache[w])
+        out.append(" ".join(enc_words))
+    remap = np.array(out, object) if len(out) else np.array([], object)
+    n = col.length
+    codes = np.asarray(col.data)[:n]
+    vals = np.array([remap[c] if 0 <= c < len(remap) else "" for c in codes], object)
+    validity = None if col.validity is None else np.asarray(col.validity)[:n]
+    return Column.from_numpy(vals, validity)

@@ -1,0 +1,94 @@
+"""JSON path extraction, Avro IO round-trip, subword tokenizers."""
+import numpy as np
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.io import avro
+from cudf_tpu.ops import json_ops, text
+
+
+# ----------------------------------------------------------------- json path
+def test_get_json_path_fields():
+    col = Column.from_numpy(np.array([
+        '{"a": {"b": 1}, "c": "x"}',
+        '{"a": {"b": 2.5}}',
+        '{"c": "y"}',
+        'not json',
+    ], object))
+    got = json_ops.get_json_path(col, "$.a.b").to_numpy()
+    assert list(got) == ["1", "2.5", None, None]
+    got_c = json_ops.get_json_path(col, "$.c").to_numpy()
+    assert list(got_c) == ["x", None, "y", None]
+
+
+def test_get_json_path_index_and_wildcard():
+    col = Column.from_numpy(np.array([
+        '{"items": [{"v": 10}, {"v": 20}]}',
+        '{"items": []}',
+    ], object))
+    assert list(json_ops.get_json_path(col, "$.items[1].v").to_numpy()) == ["20", None]
+    assert list(json_ops.get_json_path(col, "$.items[*].v").to_numpy()) == ["[10,20]", None]
+    assert list(json_ops.get_json_path(col, "$.items[0]").to_numpy()) == ['{"v":10}', None]
+
+
+def test_get_json_path_negative_index_and_quoted():
+    col = Column.from_numpy(np.array(['{"a b": [1, 2, 3]}'], object))
+    assert list(json_ops.get_json_path(col, "$['a b'][-1]").to_numpy()) == ["3"]
+
+
+# ---------------------------------------------------------------------- avro
+def test_avro_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    tbl = Table({
+        "i": Column.from_numpy(rng.integers(-5, 5, 31).astype(np.int64)),
+        "f": Column.from_numpy(rng.standard_normal(31)),
+        "b": Column.from_numpy(rng.random(31) > 0.5),
+        "s": Column.from_numpy(rng.choice(["aa", "bb", "cc"], 31)),
+        "nul": Column.from_numpy(rng.integers(0, 9, 31).astype(np.int32),
+                                 validity=rng.random(31) > 0.3),
+    })
+    p = str(tmp_path / "t.avro")
+    avro.write_avro(tbl, p)
+    out = avro.read_avro(p)
+    for name, col in tbl:
+        a, b = col.to_numpy(), out[name].to_numpy()
+        if getattr(a.dtype, "kind", "O") == "f":
+            np.testing.assert_allclose(a.astype(float), b.astype(float))
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+def test_avro_deflate_and_columns(tmp_path):
+    tbl = Table({"x": Column.from_numpy(np.arange(100, dtype=np.int64)),
+                 "y": Column.from_numpy(np.arange(100) * 0.5)})
+    p = str(tmp_path / "d.avro")
+    avro.write_avro(tbl, p, codec="deflate")
+    out = avro.read_avro(p, columns=["x"])
+    assert out.names == ["x"]
+    np.testing.assert_array_equal(out["x"].to_numpy(), np.arange(100))
+
+
+def test_avro_empty(tmp_path):
+    tbl = Table({"x": Column.from_numpy(np.array([], np.int64))})
+    p = str(tmp_path / "e.avro")
+    avro.write_avro(tbl, p)
+    assert avro.read_avro(p).num_rows == 0
+
+
+# ------------------------------------------------------------------- subword
+def test_wordpiece():
+    vocab = text.WordPieceVocabulary(
+        ["[UNK]", "un", "##aff", "##able", "hello", "world", "##s"])
+    col = Column.from_numpy(np.array(
+        ["unaffable", "hello worlds", "xyz"], object))
+    got = text.wordpiece_tokenize(col, vocab).to_pylist()
+    assert got == [[1, 2, 3], [4, 5, 6], [0]]
+
+
+def test_bpe():
+    merges = text.BPEMergePairs(["l o", "lo w", "e r"])
+    col = Column.from_numpy(np.array(["lower low", "newer"], object))
+    got = text.byte_pair_encode(col, merges).to_numpy()
+    assert got[0] == "low er low"
+    assert got[1] == "n e w er"
