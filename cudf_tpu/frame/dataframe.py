@@ -18,9 +18,10 @@ from .series import Series
 
 
 class DataFrame:
-    __slots__ = ("_tbl",)
+    __slots__ = ("_tbl", "_index")
 
-    def __init__(self, data=None, columns=None):
+    def __init__(self, data=None, columns=None, index=None):
+        self._index = index
         if data is None:
             self._tbl = Table({})
         elif isinstance(data, Table):
@@ -47,7 +48,10 @@ class DataFrame:
             import pandas as pd
 
             if isinstance(data, pd.DataFrame):
-                self._tbl = Table.from_pandas(data)
+                self._tbl = Table.from_pandas(data.reset_index(drop=True))
+                from . import index as index_mod
+
+                self._index = index_mod.from_pandas(data.index)
             elif isinstance(data, np.ndarray):
                 names = columns or [str(i) for i in range(data.shape[1])]
                 self._tbl = Table({n: Column.from_numpy(data[:, i]) for i, n in enumerate(names)})
@@ -55,10 +59,75 @@ class DataFrame:
                 raise TypeError(f"cannot construct DataFrame from {type(data)}")
 
     @classmethod
-    def _from_table(cls, tbl: Table) -> "DataFrame":
+    def _from_table(cls, tbl: Table, index=None) -> "DataFrame":
         out = object.__new__(cls)
         out._tbl = tbl
+        out._index = index
         return out
+
+    # ------------------------------------------------------------- index glue
+    # Row-permuting ops run with the index levels appended as reserved
+    # columns, so one fused device program moves data + labels together
+    # (cudf's "index is just columns" Frame model, core/frame.py:60).
+    _IDX_PREF = "__cudf_tpu_index_"
+
+    @property
+    def index(self):
+        from .index import RangeIndex
+
+        return self._index if self._index is not None else RangeIndex(len(self))
+
+    def _embed_index(self) -> Table:
+        if self._index is None:
+            return self._tbl
+        t = self._tbl
+        for i, c in enumerate(self._index.columns()):
+            t = t.with_column(f"{self._IDX_PREF}{i}", c)
+        return t
+
+    def _unembed_index(self, tbl: Table) -> "DataFrame":
+        if self._index is None:
+            return DataFrame._from_table(tbl)
+        from .index import Index, MultiIndex
+
+        names = [n for n in tbl.names if n.startswith(self._IDX_PREF)]
+        cols = [tbl[n] for n in names]
+        data = tbl.drop(names)
+        if isinstance(self._index, MultiIndex):
+            idx = MultiIndex(cols, self._index.names)
+        else:
+            idx = Index(cols[0], getattr(self._index, "name", None))
+        return DataFrame._from_table(data, idx)
+
+    def set_index(self, keys, drop=True, append=False):
+        """pandas/cudf set_index (single or multi level)."""
+        from .index import Index, MultiIndex
+
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        levels = [self._tbl[k] for k in keys]
+        names = list(keys)
+        if append and self._index is not None:
+            levels = self._index.columns() + levels
+            prev = (self._index.names if isinstance(self._index, MultiIndex)
+                    else [getattr(self._index, "name", None)])
+            names = list(prev) + names
+        tbl = self._tbl.drop(keys) if drop else self._tbl
+        idx = Index(levels[0], names[0]) if len(levels) == 1 else MultiIndex(levels, names)
+        return DataFrame._from_table(tbl, idx)
+
+    def sort_index(self, ascending=True):
+        if self._index is None:
+            return self
+        from .index import MultiIndex
+
+        keys = self._index.columns()
+        perm = sorting.sorted_order(keys, descending=not ascending)
+        tbl = copying.gather_table(self._embed_index(), perm, len(self))
+        return self._unembed_index(tbl)
+
+    @property
+    def loc(self):
+        return _Loc(self)
 
     # ------------------------------------------------------------------ meta
     @property
@@ -93,15 +162,17 @@ class DataFrame:
     # ---------------------------------------------------------------- access
     def __getitem__(self, key):
         if isinstance(key, str):
-            return Series(column=self._tbl[key], name=key)
+            return Series(column=self._tbl[key], name=key, index=self._index)
         if isinstance(key, list):
-            return DataFrame._from_table(self._tbl.select(key))
+            return DataFrame._from_table(self._tbl.select(key), self._index)
         if isinstance(key, Series):  # boolean mask
-            return DataFrame._from_table(sc.apply_boolean_mask(self._tbl, key._col))
+            out = sc.apply_boolean_mask(self._embed_index(), key._col)
+            return self._unembed_index(out)
         if isinstance(key, slice):
             start, stop, step = key.indices(len(self))
             assert step == 1
-            return DataFrame._from_table(self._tbl.slice(start, stop - start))
+            idx = self._index.slice(start, stop - start) if self._index is not None else None
+            return DataFrame._from_table(self._tbl.slice(start, stop - start), idx)
         raise KeyError(key)
 
     def __setitem__(self, key, value):
@@ -128,41 +199,44 @@ class DataFrame:
             if callable(v):
                 v = v(DataFrame._from_table(out))
             out = out.with_column(k, v._col if isinstance(v, Series) else Column.from_numpy(np.asarray(v)))
-        return DataFrame._from_table(out)
+        return DataFrame._from_table(out, self._index)
 
     def drop(self, columns=None, **kw):
         cols = columns if isinstance(columns, (list, tuple)) else [columns]
-        return DataFrame._from_table(self._tbl.drop(cols))
+        return DataFrame._from_table(self._tbl.drop(cols), self._index)
 
     def rename(self, columns: Dict[str, str] = None, **kw):
-        return DataFrame._from_table(self._tbl.rename(columns or {}))
+        return DataFrame._from_table(self._tbl.rename(columns or {}), self._index)
 
     # ------------------------------------------------------------ operations
     def head(self, n=5):
-        return DataFrame._from_table(self._tbl.slice(0, n))
+        n = min(n, len(self))
+        idx = self._index.slice(0, n) if self._index is not None else None
+        return DataFrame._from_table(self._tbl.slice(0, n), idx)
 
     def tail(self, n=5):
-        return DataFrame._from_table(self._tbl.slice(max(0, len(self) - n)))
+        off = max(0, len(self) - n)
+        idx = self._index.slice(off, len(self) - off) if self._index is not None else None
+        return DataFrame._from_table(self._tbl.slice(off), idx)
 
     def sort_values(self, by, ascending=True, na_position="last", kind=None):
         by = [by] if isinstance(by, str) else list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         desc = [not a for a in asc]
-        return DataFrame._from_table(
-            sorting.sort_by_key(self._tbl, by, desc, na_position == "last")
-        )
+        out = sorting.sort_by_key(self._embed_index(), by, desc, na_position == "last")
+        return self._unembed_index(out)
 
     def nlargest(self, n, columns):
         cols = [columns] if isinstance(columns, str) else list(columns)
-        return DataFrame._from_table(sorting.top_k(self._tbl, n, cols, largest=True))
+        return self._unembed_index(sorting.top_k(self._embed_index(), n, cols, largest=True))
 
     def nsmallest(self, n, columns):
         cols = [columns] if isinstance(columns, str) else list(columns)
-        return DataFrame._from_table(sorting.top_k(self._tbl, n, cols, largest=False))
+        return self._unembed_index(sorting.top_k(self._embed_index(), n, cols, largest=False))
 
     def dropna(self, subset=None, how="any", thresh=None):
-        tbl = self._tbl
-        names = list(subset) if subset is not None else tbl.names
+        tbl = self._embed_index()
+        names = list(subset) if subset is not None else self._tbl.names
         # pandas treats NaN as missing: convert NaNs to nulls on float cols
         conv = {}
         for n, c in tbl:
@@ -177,7 +251,7 @@ class DataFrame:
             kt = 1
         else:
             kt = len(names)
-        return DataFrame._from_table(sc.drop_nulls(tbl2, names, kt))
+        return self._unembed_index(sc.drop_nulls(tbl2, names, kt))
 
     def fillna(self, value):
         cols = {}
@@ -188,16 +262,18 @@ class DataFrame:
             else:
                 cc = unaryop.nans_to_nulls(c) if c.dtype.is_floating else c
                 cols[n] = unaryop.replace_nulls(cc, v)
-        return DataFrame._from_table(Table(cols))
+        return DataFrame._from_table(Table(cols), self._index)
 
     def isna(self):
         return DataFrame._from_table(
-            Table({n: Series(column=c, name=n).isna()._col for n, c in self._tbl})
+            Table({n: Series(column=c, name=n).isna()._col for n, c in self._tbl}),
+            self._index,
         )
 
     def drop_duplicates(self, subset=None, keep="first"):
-        return DataFrame._from_table(
-            sc.distinct(self._tbl, None if subset is None else list(subset), keep)
+        return self._unembed_index(
+            sc.distinct(self._embed_index(),
+                        list(subset) if subset is not None else self._tbl.names, keep)
         )
 
     def query(self, expr_str: str):
@@ -206,7 +282,7 @@ class DataFrame:
         env = {n: E.col(n) for n in self._tbl.names}
         mask_expr = eval(expr_str, {"__builtins__": {}}, env)  # noqa: S307
         mask = E.evaluate(mask_expr, self._tbl)
-        return DataFrame._from_table(sc.apply_boolean_mask(self._tbl, mask))
+        return self._unembed_index(sc.apply_boolean_mask(self._embed_index(), mask))
 
     def merge(self, right, on=None, left_on=None, right_on=None, how="inner",
               suffixes=("_x", "_y")):
@@ -229,17 +305,35 @@ class DataFrame:
         from .groupby import DataFrameGroupBy
 
         keys = [by] if isinstance(by, str) else list(by)
-        return DataFrameGroupBy(self, keys, sort=sort, dropna=dropna)
+        return DataFrameGroupBy(self, keys, sort=sort, dropna=dropna, as_index=as_index)
 
     def concat_with(self, others):
         tables = [self._tbl] + [o._tbl for o in others]
         return DataFrame._from_table(copying.concatenate_tables(tables))
 
-    def reset_index(self, drop=True):
-        return self
+    def reset_index(self, drop=False):
+        if self._index is None:
+            return self
+        if drop:
+            return DataFrame._from_table(self._tbl)
+        from .index import MultiIndex, RangeIndex
+
+        if isinstance(self._index, RangeIndex):
+            idx = self._index.materialize()
+            levels, names = [idx.column], [idx.name]
+        elif isinstance(self._index, MultiIndex):
+            levels, names = self._index.levels, self._index.names
+        else:
+            levels, names = [self._index.column], [self._index.name]
+        cols = {}
+        for i, (c, nm) in enumerate(zip(levels, names)):
+            cols[nm if nm is not None else ("index" if len(levels) == 1 else f"level_{i}")] = c
+        for n, c in self._tbl:
+            cols[n] = c
+        return DataFrame._from_table(Table(cols))
 
     def copy(self, deep=False):
-        return DataFrame._from_table(self._tbl)
+        return DataFrame._from_table(self._tbl, self._index)
 
     def astype(self, mapping):
         if not isinstance(mapping, dict):
@@ -250,7 +344,7 @@ class DataFrame:
                 cols[n] = unaryop.cast(c, dtypes.from_numpy(np.dtype(mapping[n])))
             else:
                 cols[n] = c
-        return DataFrame._from_table(Table(cols))
+        return DataFrame._from_table(Table(cols), self._index)
 
     def select_dtypes(self, include=None):
         kinds = {np.dtype(i).kind for i in (include if isinstance(include, list) else [include])}
@@ -354,7 +448,10 @@ class DataFrame:
 
     # --------------------------------------------------------------- export
     def to_pandas(self):
-        return self._tbl.to_pandas()
+        pdf = self._tbl.to_pandas()
+        if self._index is not None:
+            pdf.index = self._index.to_pandas()
+        return pdf
 
     def to_arrow(self):
         return self._tbl.to_arrow()
@@ -371,7 +468,12 @@ class DataFrame:
 
     @classmethod
     def from_pandas(cls, df):
-        return cls._from_table(Table.from_pandas(df))
+        from . import index as index_mod
+
+        idx = index_mod.from_pandas(df.index)
+        if idx is not None:
+            df = df.reset_index(drop=True)
+        return cls._from_table(Table.from_pandas(df), idx)
 
     @classmethod
     def from_arrow(cls, at):
@@ -392,7 +494,7 @@ class _ILoc:
         if isinstance(key, slice):
             start, stop, step = key.indices(len(self._df))
             assert step == 1
-            return DataFrame._from_table(self._df._tbl.slice(start, stop - start))
+            return self._df[start:stop]
         if isinstance(key, int):
             return self._df._tbl.slice(key, 1).to_pandas().iloc[0]
         import numpy as _np
@@ -403,7 +505,40 @@ class _ILoc:
         idx = _np.asarray(key, dtype=_np.int32)
         cap = bucket_capacity(max(len(idx), 1))
         dev = jnp.asarray(_np.pad(idx, (0, cap - len(idx))))
-        return DataFrame._from_table(gather_table(self._df._tbl, dev, len(idx)))
+        out = gather_table(self._df._embed_index(), dev, len(idx))
+        return self._df._unembed_index(out)
+
+
+class _Loc:
+    """Label-based row selection (basic: bool mask, value list, scalar)."""
+
+    def __init__(self, df):
+        self._df = df
+
+    def __getitem__(self, key):
+        df = self._df
+        if isinstance(key, tuple):
+            rows, cols = key
+            sub = df.loc[rows]
+            if isinstance(cols, list):
+                return sub[cols]
+            return sub[cols] if isinstance(sub, DataFrame) else sub
+        if isinstance(key, Series):  # boolean mask
+            return df[key]
+        from .index import Index, RangeIndex
+
+        idx = df.index
+        if isinstance(idx, RangeIndex):
+            icol = idx.materialize().column
+        elif isinstance(idx, Index):
+            icol = idx.column
+        else:
+            raise NotImplementedError("loc on MultiIndex")
+        iser = Series(column=icol)
+        if isinstance(key, (list, np.ndarray)):
+            return df[iser.isin(list(key))]
+        # scalar label
+        return df[iser == key]
 
 
 def concat(objs: Sequence[Union[DataFrame, Series]], ignore_index=True, axis=0):

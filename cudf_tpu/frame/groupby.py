@@ -18,15 +18,18 @@ _METHODS = (
 
 
 class DataFrameGroupBy:
-    def __init__(self, df, keys: List[str], sort=True, dropna=True, value_cols=None):
+    def __init__(self, df, keys: List[str], sort=True, dropna=True, value_cols=None,
+                 as_index=False):
         self._df = df
         self._keys = keys
         self._dropna = dropna
         self._value_cols = value_cols
+        self._as_index = as_index
 
     def __getitem__(self, cols):
         cols = [cols] if isinstance(cols, str) else list(cols)
-        return DataFrameGroupBy(self._df, self._keys, dropna=self._dropna, value_cols=cols)
+        return DataFrameGroupBy(self._df, self._keys, dropna=self._dropna,
+                                value_cols=cols, as_index=self._as_index)
 
     def _value_columns(self):
         if self._value_cols is not None:
@@ -37,7 +40,10 @@ class DataFrameGroupBy:
         from .dataframe import DataFrame
 
         out = groupby_aggregate(self._df._tbl, self._keys, specs, self._dropna)
-        return DataFrame._from_table(out)
+        df = DataFrame._from_table(out)
+        if self._as_index:
+            return df.set_index(self._keys if len(self._keys) > 1 else self._keys[0])
+        return df
 
     def _method(self, kind, param=0.0, numeric_only=True):
         specs = []

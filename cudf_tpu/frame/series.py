@@ -18,19 +18,25 @@ from ..ops.stream_compaction import filter_column
 
 
 class Series:
-    __slots__ = ("_col", "name")
+    __slots__ = ("_col", "name", "_index")
 
-    def __init__(self, data=None, name: Optional[str] = None, column: Optional[Column] = None):
+    def __init__(self, data=None, name: Optional[str] = None,
+                 column: Optional[Column] = None, index=None):
+        self._index = index
         if column is not None:
             self._col = column
         elif isinstance(data, Series):
             self._col = data._col
+            self._index = data._index if index is None else index
         elif isinstance(data, Column):
             self._col = data
         else:
             import pandas as pd
 
             if isinstance(data, pd.Series):
+                from . import index as index_mod
+
+                self._index = index_mod.from_pandas(data.index)
                 name = name if name is not None else data.name
                 vals = data.to_numpy()
                 if vals.dtype == object or str(data.dtype) in ("string", "category"):
@@ -211,21 +217,61 @@ class Series:
             vals = value if isinstance(value, (list, tuple)) else [value] * len(keys)
         return Series(column=unaryop.find_and_replace(self._col, keys, vals), name=self.name)
 
+    @property
+    def index(self):
+        from .index import RangeIndex
+
+        return self._index if self._index is not None else RangeIndex(len(self))
+
+    def reset_index(self, drop=True):
+        return Series(column=self._col, name=self.name)
+
     def head(self, n=5):
-        return Series(column=self._col.slice(0, n), name=self.name)
+        n = min(n, len(self))
+        idx = self._index.slice(0, n) if self._index is not None else None
+        return Series(column=self._col.slice(0, n), name=self.name, index=idx)
 
     def tail(self, n=5):
-        return Series(column=self._col.slice(max(0, len(self) - n)), name=self.name)
+        off = max(0, len(self) - n)
+        idx = self._index.slice(off, len(self) - off) if self._index is not None else None
+        return Series(column=self._col.slice(off), name=self.name, index=idx)
 
     def sort_values(self, ascending=True, na_position="last"):
-        return Series(
-            column=sorting.sort_column(self._col, not ascending, na_position == "last"),
-            name=self.name,
-        )
+        if self._index is None:
+            return Series(
+                column=sorting.sort_column(self._col, not ascending, na_position == "last"),
+                name=self.name,
+            )
+        perm = sorting.sorted_order([self._col], not ascending, na_position == "last")
+        from ..ops.copying import gather
+
+        return Series(column=gather(self._col, perm, len(self)), name=self.name,
+                      index=self._index.take(perm, len(self)))
+
+    def sort_index(self, ascending=True):
+        if self._index is None:
+            return self
+        perm = sorting.sorted_order(self._index.columns(), not ascending)
+        from ..ops.copying import gather
+
+        return Series(column=gather(self._col, perm, len(self)), name=self.name,
+                      index=self._index.take(perm, len(self)))
 
     def dropna(self):
         mask = self.notna()
-        return Series(column=filter_column(self._col, mask._col), name=self.name)
+        out = filter_column(self._col, mask._col)
+        idx = None
+        if self._index is not None:
+            from .index import Index, MultiIndex
+
+            n = int(out.length)
+            if isinstance(self._index, MultiIndex):
+                idx = MultiIndex([filter_column(c, mask._col) for c in self._index.levels],
+                                 self._index.names)
+            else:
+                idx = Index(filter_column(self._index.columns()[0], mask._col),
+                            getattr(self._index, "name", None))
+        return Series(column=out, name=self.name, index=idx)
 
     def unique(self):
         from ..core.table import Table
@@ -380,7 +426,10 @@ class Series:
     def to_pandas(self):
         import pandas as pd
 
-        return pd.Series(self.to_numpy(), name=self.name)
+        out = pd.Series(self.to_numpy(), name=self.name)
+        if self._index is not None:
+            out.index = self._index.to_pandas()
+        return out
 
     def to_arrow(self):
         return self._col.to_arrow()

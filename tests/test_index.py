@@ -1,0 +1,110 @@
+"""Index / MultiIndex semantics vs pandas."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+
+
+def _pdf():
+    return pd.DataFrame(
+        {"a": [3, 1, 2, 5, 4], "b": [1.0, np.nan, 3.0, 4.0, 5.0],
+         "k": ["x", "y", "x", "y", "x"]},
+        index=pd.Index([10, 11, 12, 13, 14], name="rid"),
+    )
+
+
+def test_index_roundtrip():
+    pdf = _pdf()
+    df = ct.DataFrame.from_pandas(pdf)
+    pd.testing.assert_frame_equal(df.to_pandas(), pdf)
+    assert df.index.name == "rid"
+
+
+def test_index_through_sort_filter_head():
+    pdf = _pdf()
+    df = ct.DataFrame.from_pandas(pdf)
+    pd.testing.assert_frame_equal(df.sort_values("a").to_pandas(), pdf.sort_values("a"))
+    got = df[df["a"] > 2].to_pandas()
+    pd.testing.assert_frame_equal(got, pdf[pdf["a"] > 2])
+    pd.testing.assert_frame_equal(df.head(3).to_pandas(), pdf.head(3))
+    pd.testing.assert_frame_equal(df.tail(2).to_pandas(), pdf.tail(2))
+
+
+def test_dropna_keeps_labels():
+    pdf = _pdf()
+    df = ct.DataFrame.from_pandas(pdf)
+    pd.testing.assert_frame_equal(df.dropna().to_pandas(), pdf.dropna())
+
+
+def test_set_reset_index():
+    pdf = _pdf().reset_index(drop=True)
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.set_index("k").to_pandas()
+    pd.testing.assert_frame_equal(got, pdf.set_index("k"))
+    back = df.set_index("k").reset_index().to_pandas()
+    pd.testing.assert_frame_equal(back, pdf.set_index("k").reset_index())
+
+
+def test_sort_index():
+    pdf = _pdf().sort_values("a")  # scrambles the rid index
+    df = ct.DataFrame.from_pandas(pdf)
+    pd.testing.assert_frame_equal(df.sort_index().to_pandas(), pdf.sort_index())
+
+
+def test_multiindex_groupby_as_index():
+    pdf = pd.DataFrame({"k1": ["a", "a", "b", "b"], "k2": [1, 2, 1, 1],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby(["k1", "k2"], as_index=True).agg({"v": "sum"}).to_pandas()
+    want = pdf.groupby(["k1", "k2"]).agg({"v": "sum"})
+    pd.testing.assert_frame_equal(got.sort_index(), want.sort_index(), check_dtype=False)
+
+
+def test_groupby_single_as_index():
+    pdf = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby("k", as_index=True).agg({"v": "sum"}).to_pandas()
+    want = pdf.groupby("k").agg({"v": "sum"})
+    pd.testing.assert_frame_equal(got.sort_index(), want.sort_index(), check_dtype=False)
+
+
+def test_loc_scalar_list_mask():
+    pdf = _pdf()
+    df = ct.DataFrame.from_pandas(pdf)
+    pd.testing.assert_frame_equal(df.loc[[11, 13]].to_pandas(), pdf.loc[[11, 13]])
+    pd.testing.assert_frame_equal(df.loc[df["a"] > 3].to_pandas(), pdf.loc[pdf["a"] > 3])
+    got_scalar = df.loc[12].to_pandas()
+    assert got_scalar.iloc[0]["a"] == 2
+
+
+def test_series_index():
+    pdf = _pdf()
+    s = ct.DataFrame.from_pandas(pdf)["a"]
+    pd.testing.assert_series_equal(s.to_pandas(), pdf["a"])
+    pd.testing.assert_series_equal(s.sort_values().to_pandas(), pdf["a"].sort_values())
+    pd.testing.assert_series_equal(
+        s.sort_values().sort_index().to_pandas(), pdf["a"].sort_values().sort_index()
+    )
+
+
+def test_series_dropna_index():
+    ps = pd.Series([1.0, np.nan, 3.0], index=pd.Index(["p", "q", "r"]))
+    s = ct.Series(ps)
+    pd.testing.assert_series_equal(s.dropna().to_pandas(), ps.dropna())
+
+
+def test_iloc_with_index():
+    pdf = _pdf()
+    df = ct.DataFrame.from_pandas(pdf)
+    pd.testing.assert_frame_equal(df.iloc[[0, 2, 4]].to_pandas(), pdf.iloc[[0, 2, 4]])
+    pd.testing.assert_frame_equal(df.iloc[1:4].to_pandas(), pdf.iloc[1:4])
+
+
+def test_drop_duplicates_index():
+    pdf = pd.DataFrame({"a": [1, 1, 2]}, index=pd.Index([5, 6, 7], name="i"))
+    df = ct.DataFrame.from_pandas(pdf)
+    pd.testing.assert_frame_equal(
+        df.drop_duplicates(subset=["a"]).sort_index().to_pandas(),
+        pdf.drop_duplicates(subset=["a"]).sort_index(),
+    )
