@@ -1,0 +1,35 @@
+"""Pallas TPU kernels — the cuco/CUB-equivalent layer (SURVEY §7).
+
+These are the hand-written Mosaic kernels for the spots where XLA's
+built-ins leave performance on the table:
+
+* ``hashtable``    — VMEM-resident linear-probing hash table probe
+                     (replaces cuco::static_set probe for distinct-key
+                     build sides, cpp/src/join/distinct_hash_join.cu)
+* ``onehot_groupby`` — one-hot × values MXU matmul groupby accumulator
+                     (the VMEM analog of libcudf's shared-memory
+                     single-pass aggregation,
+                     cpp/src/groupby/hash/compute_single_pass_aggs.cuh)
+
+Execution policy: on the axon-tunneled TPU used for CI, Pallas kernels
+hang at runtime (tunnel limitation), so the default engine path stays on
+XLA ops; set ``CUDF_TPU_PALLAS=1`` (direct-attached TPU) to enable them,
+and the test suite exercises them in interpreter mode on CPU.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def pallas_enabled() -> bool:
+    env = os.environ.get("CUDF_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return False
+
+
+def interpret_mode() -> bool:
+    """Interpret kernels when not running on a real TPU backend."""
+    return jax.default_backend() != "tpu"

@@ -1,0 +1,140 @@
+"""Linear-probing hash table: XLA scatter build + Pallas VMEM probe.
+
+The cuco::static_set replacement for **distinct-key build sides** (the
+dimension-table case, cpp/src/join/distinct_hash_join.cu). Layout: open
+addressing, power-of-two slots, an INT32_MIN ``EMPTY`` payload sentinel; keys are
+stored as two u32 operand words (the row-code hash words), so any key
+column combination reduces to the same kernel.
+
+* **Build** runs as a bounded sequence of XLA scatter rounds (probe round
+  i scatters every still-unplaced row at slot (h+i) & mask with
+  ``.at[].min``; ties resolve deterministically to the smallest row id).
+  Expected rounds at 50% load factor ≈ 2; MAX_PROBE caps the tail.
+* **Probe** is the hot path: a Pallas kernel holding the whole table in
+  VMEM, grid over probe-row tiles. Each probe step is a vectorized VMEM
+  gather + compare over the tile — the 8×128-lane analog of cuco's
+  per-warp probing.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import interpret_mode
+
+MAX_PROBE = 16
+_EMPTY = -2147483648  # vacant-slot payload sentinel
+
+
+def _mix(h1: jnp.ndarray, h2: jnp.ndarray) -> jnp.ndarray:
+    """u32 hash of the two key words (murmur-style finalizer)."""
+    h = h1 * jnp.uint32(0xCC9E2D51) ^ h2 * jnp.uint32(0x1B873593)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    return h
+
+
+@partial(jax.jit, static_argnames=("m",))
+def build_table(k1: jnp.ndarray, k2: jnp.ndarray, valid: jnp.ndarray, m: int):
+    """Insert rows (k1[i], k2[i]) → i for valid rows. Returns
+    (tk1, tk2, payload) arrays of size m (payload EMPTY = vacant).
+
+    Duplicate keys keep the smallest row id (distinct build side expected;
+    ties are then deterministic).
+    """
+    n = k1.shape[0]
+    mask = jnp.uint32(m - 1)
+    h = _mix(k1, k2)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    placed = ~valid
+    payload = jnp.full((m,), jnp.int32(_EMPTY), jnp.int32)
+    tk1 = jnp.zeros((m,), jnp.uint32)
+    tk2 = jnp.zeros((m,), jnp.uint32)
+    big = jnp.int32(2147483647)
+    for i in range(MAX_PROBE):
+        slot = ((h + jnp.uint32(i)) & mask).astype(jnp.int32)
+        # claim: smallest contending row id wins a vacant slot
+        bid = jnp.where(placed, big, rows)
+        claim = jnp.full((m,), big, jnp.int32).at[slot].min(bid)
+        won = (~placed) & (claim[slot] == rows)
+        vacant = payload == _EMPTY
+        # only fill genuinely vacant slots
+        won = won & vacant[slot]
+        payload = payload.at[jnp.where(won, slot, m)].set(
+            jnp.where(won, rows, 0), mode="drop")
+        tk1 = tk1.at[jnp.where(won, slot, m)].set(
+            jnp.where(won, k1, 0), mode="drop")
+        tk2 = tk2.at[jnp.where(won, slot, m)].set(
+            jnp.where(won, k2, 0), mode="drop")
+        # a row is placed once its key is in the table (covers duplicates)
+        occupied = payload != jnp.int32(_EMPTY)
+        key_present = occupied[slot] & (tk1[slot] == k1) & (tk2[slot] == k2)
+        placed = placed | key_present
+    return tk1, tk2, payload, placed.all()
+
+
+def _probe_kernel(tk1_ref, tk2_ref, pay_ref, q1_ref, q2_ref, out_ref):
+    m = tk1_ref.shape[0]
+    mask = jnp.uint32(m - 1)
+    tk1 = tk1_ref[:]
+    tk2 = tk2_ref[:]
+    pay = pay_ref[:]
+    q1 = q1_ref[:]
+    q2 = q2_ref[:]
+    h = _mix(q1, q2)
+    out = jnp.full(q1.shape, jnp.int32(_EMPTY), jnp.int32)
+    done = jnp.zeros(q1.shape, bool)
+    for i in range(MAX_PROBE):
+        slot = ((h + jnp.uint32(i)) & mask).astype(jnp.int32)
+        s1 = tk1[slot]
+        s2 = tk2[slot]
+        p = pay[slot]
+        vacant = p == jnp.int32(_EMPTY)
+        match = (~vacant) & (s1 == q1) & (s2 == q2)
+        out = jnp.where(match & ~done, p, out)
+        done = done | match | vacant
+    out_ref[:] = out
+
+
+def probe_table(tk1, tk2, payload, q1, q2, tile: int = 8192) -> jnp.ndarray:
+    """Lookup each probe key; returns build row id or EMPTY (i32)."""
+    n = q1.shape[0]
+    tiles = max(1, (n + tile - 1) // tile)
+    padded = tiles * tile
+    if padded != n:
+        q1 = jnp.pad(q1, (0, padded - n))
+        q2 = jnp.pad(q2, (0, padded - n))
+    grid = (tiles,)
+    out = pl.pallas_call(
+        _probe_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,)),
+        out_shape=jax.ShapeDtypeStruct((padded,), jnp.int32),
+        interpret=interpret_mode(),
+    )(tk1, tk2, payload, q1, q2)
+    return out[:n]
+
+
+def table_size_for(n_build: int) -> int:
+    """Power-of-two size at <=50% load."""
+    m = 1
+    while m < max(2 * n_build, 16):
+        m *= 2
+    return m
+
+
+EMPTY = _EMPTY

@@ -1,0 +1,99 @@
+"""Single-pass low-cardinality groupby on the MXU: one-hot × values matmul.
+
+The VMEM analog of libcudf's shared-memory single-pass aggregation
+(cpp/src/groupby/hash/compute_single_pass_aggs.cuh: aggregate in shared
+memory when estimated cardinality is small, spill to global otherwise).
+On TPU the idiomatic version of "aggregate into a small table" is a
+matmul: a [T, K] one-hot of the group ids times the [T, V] value block
+accumulates [K, V] partials — this runs on the 128×128 systolic array
+instead of the VPU, turning a scatter-bound problem into a FLOP-bound one.
+
+Kernel: grid over row tiles; VMEM scratch [K, V+2] accumulator persists
+across grid steps (sum per value col, count, validity-weighted count);
+f32 accumulation. Group ids must be dense in [0, K) (dictionary codes or
+factorized ints — exactly the keys the engine's dictionary encoding
+produces).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import interpret_mode
+
+
+def _kernel(gid_ref, vals_ref, w_ref, out_ref, acc_ref):
+    """One row-tile step: acc += one_hot(gid).T @ [vals*w, w]."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gid = gid_ref[:]                      # [T]
+    w = w_ref[:]                          # [T] f32 (0 for invalid/padding)
+    vals = vals_ref[:]                    # [T, V] f32
+    K = acc_ref.shape[0]
+    T = gid.shape[0]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, K), 1) == gid[:, None]
+    ).astype(jnp.float32) * w[:, None]    # weighted one-hot [T, K]
+    contrib = jax.lax.dot_general(
+        onehot, jnp.concatenate([vals * w[:, None], w[:, None]], axis=1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                     # [K, V+1]
+    acc_ref[:] = acc_ref[:] + contrib
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("n_groups", "tile"))
+def groupby_sum_count(gid: jnp.ndarray, vals: jnp.ndarray, weight: jnp.ndarray,
+                      n_groups: int, tile: int = 2048):
+    """Returns [K, V+1]: per-group weighted sums for each value column plus
+    the weight (count) total in the last column."""
+    n = gid.shape[0]
+    V = vals.shape[1]
+    tiles = max(1, (n + tile - 1) // tile)
+    padded = tiles * tile
+    if padded != n:
+        gid = jnp.pad(gid, (0, padded - n))
+        vals = jnp.pad(vals, ((0, padded - n), (0, 0)))
+        weight = jnp.pad(weight, (0, padded - n))
+    out = pl.pallas_call(
+        _kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile, V), lambda i: (i, 0)),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((n_groups, V + 1), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_groups, V + 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_groups, V + 1), jnp.float32)],
+        interpret=interpret_mode(),
+    )(gid.astype(jnp.int32), vals.astype(jnp.float32), weight.astype(jnp.float32))
+    return out
+
+
+def groupby_low_cardinality(gid, vals_list, valid_list, n_groups: int):
+    """sum + count per group for each value column; dense gid in [0, K)."""
+    V = len(vals_list)
+    vals = jnp.stack([v.astype(jnp.float32) for v in vals_list], axis=1)
+    # per-column validity folds into per-column weighted inputs; shared row
+    # weight covers bounds; per-column invalid values are zeroed and counted
+    # separately via one pass per distinct validity pattern — round-1 scope:
+    # shared validity (all columns same mask) or no nulls.
+    w = valid_list[0].astype(jnp.float32)
+    out = groupby_sum_count(gid, vals, w, n_groups)
+    sums = [out[:, j] for j in range(V)]
+    count = out[:, V]
+    return sums, count

@@ -1,0 +1,70 @@
+"""Pallas kernel correctness (interpreter mode on CPU; oracle = numpy)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cudf_tpu.kernels import hashtable, onehot_groupby
+
+
+def _keys(rng, n, dup=False):
+    base = rng.choice(2**31, size=n, replace=dup)
+    k1 = (base & 0xFFFF).astype(np.uint32)
+    k2 = (base >> 16).astype(np.uint32)
+    return k1, k2
+
+
+def test_hashtable_build_probe_exact():
+    rng = np.random.default_rng(0)
+    n = 5000
+    k1, k2 = _keys(rng, n)
+    m = hashtable.table_size_for(n)
+    tk1, tk2, pay, ok = hashtable.build_table(
+        jnp.asarray(k1), jnp.asarray(k2), jnp.ones(n, bool), m)
+    assert bool(ok)
+    # probe with a mix of present and absent keys
+    q1 = np.concatenate([k1[:2000], (k1[:1000] ^ np.uint32(0xDEAD))])
+    q2 = np.concatenate([k2[:2000], k2[:1000]])
+    got = np.asarray(hashtable.probe_table(tk1, tk2, pay,
+                                           jnp.asarray(q1), jnp.asarray(q2)))
+    # oracle
+    lut = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(k1, k2))}
+    for j in range(len(q1)):
+        want = lut.get((int(q1[j]), int(q2[j])), int(hashtable.EMPTY))
+        assert got[j] == want, j
+
+
+def test_hashtable_invalid_rows_skipped():
+    k1 = jnp.asarray(np.array([1, 2, 3], np.uint32))
+    k2 = jnp.asarray(np.array([0, 0, 0], np.uint32))
+    valid = jnp.asarray(np.array([True, False, True]))
+    tk1, tk2, pay, ok = hashtable.build_table(k1, k2, valid, 16)
+    got = np.asarray(hashtable.probe_table(tk1, tk2, pay, k1, k2))
+    assert got[0] == 0 and got[2] == 2
+    assert got[1] == int(hashtable.EMPTY)
+
+
+def test_onehot_groupby_matches_numpy():
+    rng = np.random.default_rng(1)
+    n, K = 10_000, 37
+    gid = rng.integers(0, K, n).astype(np.int32)
+    v1 = rng.standard_normal(n).astype(np.float32)
+    v2 = rng.standard_normal(n).astype(np.float32)
+    valid = rng.random(n) > 0.1
+    sums, count = onehot_groupby.groupby_low_cardinality(
+        jnp.asarray(gid), [jnp.asarray(v1), jnp.asarray(v2)],
+        [jnp.asarray(valid)], K)
+    for k in range(K):
+        sel = (gid == k) & valid
+        np.testing.assert_allclose(np.asarray(sums[0])[k], v1[sel].sum(), rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sums[1])[k], v2[sel].sum(), rtol=2e-4, atol=1e-3)
+        assert int(np.asarray(count)[k]) == sel.sum()
+
+
+def test_onehot_groupby_multiple_tiles():
+    n, K = 5000, 5
+    gid = (np.arange(n) % K).astype(np.int32)
+    v = np.ones(n, np.float32)
+    sums, count = onehot_groupby.groupby_low_cardinality(
+        jnp.asarray(gid), [jnp.asarray(v)], [jnp.asarray(np.ones(n, bool))], K)
+    np.testing.assert_allclose(np.asarray(count), [1000] * K)
+    np.testing.assert_allclose(np.asarray(sums[0]), [1000.0] * K)
