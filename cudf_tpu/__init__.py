@@ -24,6 +24,7 @@ if _cache_dir:
     except Exception:  # pragma: no cover - older jax
         pass
 
+from .utils import real_pandas as _real_pandas  # capture real pandas pre-install
 from .core import dtypes
 from .core.column import Column
 from .core.table import Table

@@ -301,7 +301,7 @@ class Column:
         return pa.array(data, mask=mask)
 
     def to_pandas(self, name=None):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.Series(self.to_numpy(), name=name)
 

@@ -122,7 +122,7 @@ class Table:
         return cls(cols)
 
     def to_pandas(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.DataFrame({n: c.to_numpy() for n, c in self._columns.items()})
 

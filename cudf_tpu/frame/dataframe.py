@@ -45,7 +45,7 @@ class DataFrame:
                         cols[str(k)] = Column.from_numpy(arr)
             self._tbl = Table(cols)
         else:
-            import pandas as pd
+            from ..utils.real_pandas import pd
 
             if isinstance(data, pd.DataFrame):
                 self._tbl = Table.from_pandas(data.reset_index(drop=True))
@@ -136,7 +136,7 @@ class DataFrame:
 
     @property
     def columns(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.Index(self._tbl.names)
 
@@ -146,7 +146,7 @@ class DataFrame:
 
     @property
     def dtypes(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.Series({n: dtypes.to_numpy(c.dtype) for n, c in self._tbl})
 
@@ -374,7 +374,7 @@ class DataFrame:
 
     # ------------------------------------------------------------ reductions
     def _agg_all(self, method):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         vals = {}
         for n, c in self._tbl:
@@ -395,12 +395,12 @@ class DataFrame:
         return self._agg_all("max")
 
     def count(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.Series({n: Series(column=c, name=n).count() for n, c in self._tbl})
 
     def describe(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         rows = {}
         num = [(n, c) for n, c in self._tbl if c.dtype.is_numeric]
@@ -415,7 +415,7 @@ class DataFrame:
 
     def corr(self):
         """Pearson correlation matrix (pairwise complete obs not supported)."""
-        import pandas as pd
+        from ..utils.real_pandas import pd
         import jax.numpy as jnp
         import jax as _jax
 

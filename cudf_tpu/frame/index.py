@@ -46,7 +46,7 @@ class RangeIndex:
         return RangeIndex(s + length * self.step, s, self.step, self.name)
 
     def to_pandas(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.RangeIndex(self.start, self.stop, self.step, name=self.name)
 
@@ -73,7 +73,7 @@ class Index:
         return Index(self.column.slice(offset, length), self.name)
 
     def to_pandas(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.Index(self.column.to_numpy(), name=self.name)
 
@@ -100,7 +100,7 @@ class MultiIndex:
         return MultiIndex([c.slice(offset, length) for c in self.levels], self.names)
 
     def to_pandas(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.MultiIndex.from_arrays(
             [c.to_numpy() for c in self.levels], names=self.names
@@ -112,7 +112,7 @@ class MultiIndex:
 
 def from_pandas(pidx) -> Optional[object]:
     """Capture a pandas index; None for the default RangeIndex (free)."""
-    import pandas as pd
+    from ..utils.real_pandas import pd
 
     if isinstance(pidx, pd.RangeIndex):
         if pidx.start == 0 and pidx.step == 1 and pidx.name is None:

@@ -31,7 +31,7 @@ class Series:
         elif isinstance(data, Column):
             self._col = data
         else:
-            import pandas as pd
+            from ..utils.real_pandas import pd
 
             if isinstance(data, pd.Series):
                 from . import index as index_mod
@@ -424,7 +424,7 @@ class Series:
         return self._col.to_numpy()
 
     def to_pandas(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         out = pd.Series(self.to_numpy(), name=self.name)
         if self._index is not None:

@@ -50,7 +50,7 @@ def read_csv(path, columns=None, **kwargs) -> Table:
 
 
 def read_json(path, lines: bool = True, **kwargs) -> Table:
-    import pandas as pd
+    from ..utils.real_pandas import pd
 
     df = pd.read_json(path, lines=lines, **kwargs)
     return Table.from_pandas(df)

@@ -112,7 +112,7 @@ def truncate(col: Column, freq: str) -> Column:
 
 def timestamp_from_strings(col: Column, fmt: str = "%Y-%m-%d") -> Column:
     """Parse dictionary-encoded date strings host-side (tiny dictionary)."""
-    import pandas as pd
+    from ..utils.real_pandas import pd
 
     d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
     parsed = pd.to_datetime(list(d.astype(str)), format=fmt, errors="coerce")

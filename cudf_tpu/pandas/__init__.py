@@ -1,0 +1,7 @@
+"""cudf_tpu.pandas — zero-code-change pandas accelerator entry point.
+
+Analog of cudf.pandas (python/cudf/cudf/pandas/__init__.py:33):
+``import cudf_tpu.pandas; cudf_tpu.pandas.install()`` or run a script
+unchanged with ``python -m cudf_tpu.pandas script.py``.
+"""
+from ..pandas_accel import fallback_stats, install, uninstall  # noqa: F401

@@ -1,0 +1,20 @@
+"""python -m cudf_tpu.pandas <script.py> [args...] — run a pandas script
+with the TPU accelerator installed (cudf.pandas __main__ analog)."""
+import runpy
+import sys
+
+from . import install
+
+
+def main():
+    install()
+    if len(sys.argv) < 2:
+        print("usage: python -m cudf_tpu.pandas <script.py> [args...]",
+              file=sys.stderr)
+        sys.exit(2)
+    sys.argv = sys.argv[1:]
+    runpy.run_path(sys.argv[0], run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

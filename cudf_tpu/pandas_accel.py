@@ -247,6 +247,10 @@ class _GroupByProxy:
 
 def _make_module() -> types.ModuleType:
     m = types.ModuleType("pandas")
+    m.__cudf_tpu_accel__ = True
+    # ride the real package's __path__ so `import pandas.anything` loads the
+    # genuine submodule files (they bind to the real pandas internally)
+    m.__path__ = list(getattr(_pd, "__path__", []))
     m.DataFrame = XDataFrame
     m.Series = XSeries
     m.concat = lambda objs, **kw: (
@@ -269,11 +273,62 @@ def _make_module() -> types.ModuleType:
     return m
 
 
+class _AccelFinder:
+    """Meta-path finder: makes ``import pandas`` resolve to the accelerated
+    proxy module even when installed before pandas is first imported
+    (analog of cudf.pandas.module_accelerator.ModuleAccelerator:366).
+    Submodule imports (``pandas.api.types`` …) flow through the proxy
+    module's ``__path__`` to the real pandas files, so the whole
+    transitive ``pandas.*`` namespace keeps working."""
+
+    def find_module(self, fullname, path=None):
+        return self if fullname == "pandas" else None
+
+    def load_module(self, fullname):
+        if "pandas" in sys.modules and getattr(
+            sys.modules["pandas"], "__cudf_tpu_accel__", False
+        ):
+            return sys.modules["pandas"]
+        m = _make_module()
+        sys.modules["pandas"] = m
+        return m
+
+    # PEP 451 interface
+    def find_spec(self, fullname, path=None, target=None):
+        if fullname != "pandas":
+            return None
+        import importlib.util
+
+        return importlib.util.spec_from_loader(fullname, _AccelLoader())
+
+
+class _AccelLoader:
+    def create_module(self, spec):
+        return _make_module()
+
+    def exec_module(self, module):
+        pass
+
+
+_finder = _AccelFinder()
+
+
 def install() -> types.ModuleType:
-    """Replace sys.modules['pandas'] with the accelerated proxy module."""
+    """Replace ``pandas`` with the accelerated proxy module (cudf.pandas
+    ``install()`` analog): patches sys.modules for already-imported code
+    and registers a meta-path finder for future imports."""
     m = _make_module()
     sys.modules["pandas"] = m
+    if _finder not in sys.meta_path:
+        sys.meta_path.insert(0, _finder)
     return m
+
+
+def uninstall() -> None:
+    """Restore the real pandas module."""
+    if _finder in sys.meta_path:
+        sys.meta_path.remove(_finder)
+    sys.modules["pandas"] = _pd
 
 
 # module-level convenience: `import cudf_tpu.pandas_accel as xpd`

@@ -202,7 +202,7 @@ class PartitionedFrame:
         return concatenate_tables(tables) if len(tables) > 1 else tables[0]
 
     def to_pandas(self):
-        import pandas as pd
+        from ..utils.real_pandas import pd
 
         return pd.concat([p.get().to_pandas() for p in self._parts],
                          ignore_index=True)

@@ -1,0 +1,19 @@
+"""The genuine pandas module, never the accelerator proxy.
+
+Framework internals must not construct through the cudf_tpu.pandas proxy
+(sys.modules['pandas'] after ``install()``) — that would recurse
+proxy→fast→proxy. This alias is imported eagerly from cudf_tpu.__init__
+(before any install can run) and additionally unwraps the proxy if one is
+already installed. (cudf.pandas has the same rule: the module accelerator
+keeps the captured "slow" module, fast_slow_proxy.py:563.)
+"""
+import sys
+
+import pandas as _maybe_proxy
+
+if getattr(_maybe_proxy, "__cudf_tpu_accel__", False):  # pragma: no cover
+    from ..pandas_accel import _pd as pd
+else:
+    pd = _maybe_proxy
+
+pandas = pd

@@ -53,3 +53,45 @@ class TestProxy:
             assert p2.Timestamp("2020-01-01").year == 2020  # passthrough attrs
         finally:
             sys.modules["pandas"] = real
+
+
+def test_meta_path_install_uninstall():
+    import importlib
+    import subprocess, sys, textwrap
+
+    code = textwrap.dedent("""
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import cudf_tpu.pandas
+        cudf_tpu.pandas.install()
+        import pandas as pd          # resolves to the proxy
+        assert getattr(pd, "__cudf_tpu_accel__", False)
+        import pandas.api.types as pat   # transitive submodule still works
+        assert pat.is_integer_dtype("int64")
+        df = pd.DataFrame({"a": [3, 1, 2]})
+        out = df.sort_values("a")
+        assert list(out.to_pandas()["a"]) == [1, 2, 3]
+        cudf_tpu.pandas.uninstall()
+        import pandas as real_pd
+        assert not getattr(real_pd, "__cudf_tpu_accel__", False)
+        print("HOOK_OK")
+    """)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                       timeout=240)
+    assert "HOOK_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_module_runner(tmp_path):
+    import subprocess, sys
+
+    script = tmp_path / "user_script.py"
+    script.write_text(
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import pandas as pd\n"
+        "df = pd.DataFrame({'x': [2, 1]})\n"
+        "print('RUNNER', getattr(pd, '__cudf_tpu_accel__', False),"
+        " list(df.sort_values('x').to_pandas()['x']))\n"
+    )
+    r = subprocess.run([sys.executable, "-m", "cudf_tpu.pandas", str(script)],
+                       capture_output=True, text=True, timeout=240,
+                       cwd="/root/repo")
+    assert "RUNNER True [1, 2]" in r.stdout, (r.stdout, r.stderr[-2000:])
