@@ -1,0 +1,91 @@
+"""Interop: dlpack and Arrow C Data Interface.
+
+Analog of cpp/src/interop/ (dlpack.cpp, to_arrow_device.cu,
+from_arrow_host.cu). jax.Arrays are dlpack capsules natively, so a column
+exchange with torch/cupy/numpy is zero-copy on the same device; Arrow
+interop rides pyarrow (host) — the C Data Interface structs come from
+pyarrow's own _export_to_c/_import_from_c.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+from . import dtypes
+from .column import Column
+from .table import Table
+
+
+def to_dlpack(col: Column):
+    """Export the column's data buffer as a DLPack capsule (logical rows).
+
+    Null-aware consumers should export ``validity`` separately; dlpack has
+    no mask concept (same caveat as cudf::to_dlpack).
+    """
+    data = col.data[: col.length] if col.length != col.capacity else col.data
+    return data  # jax.Array implements __dlpack__/__dlpack_device__
+
+
+class _CapsuleShim:
+    """Adapt a raw PyCapsule to the modern __dlpack__ protocol."""
+
+    def __init__(self, capsule):
+        self._capsule = capsule
+
+    def __dlpack__(self, **kw):
+        return self._capsule
+
+    def __dlpack_device__(self):
+        return (1, 0)  # kDLCPU
+
+
+def from_dlpack(capsule, dtype=None) -> Column:
+    """Import a 1-D DLPack tensor as a Column."""
+    if not hasattr(capsule, "__dlpack__"):
+        capsule = _CapsuleShim(capsule)
+    arr = jax.dlpack.from_dlpack(capsule)
+    assert arr.ndim == 1, "from_dlpack expects a 1-D tensor"
+    dt = dtype or dtypes.from_numpy(np.dtype(arr.dtype))
+    from ..utils.padding import bucket_capacity
+    import jax.numpy as jnp
+
+    n = arr.shape[0]
+    cap = bucket_capacity(max(n, 1))
+    if cap != n:
+        arr = jnp.pad(arr, (0, cap - n))
+    return Column(dt, arr, None, n)
+
+
+def table_to_dlpack(tbl: Table):
+    """2-D dlpack export (homogeneous numeric tables, cudf::to_dlpack)."""
+    import jax.numpy as jnp
+
+    cols = [c for _, c in tbl]
+    n = cols[0].length
+    mat = jnp.stack([c.data[:n].astype(jnp.float64) for c in cols], axis=1)
+    return mat
+
+
+def to_arrow_c(col: Column):
+    """Arrow C Data Interface export: (ArrowArray*, ArrowSchema*) addresses
+    via pyarrow (nanoarrow analog)."""
+    import pyarrow as pa
+    from pyarrow.cffi import ffi
+
+    arr = col.to_arrow()
+    c_schema = ffi.new("struct ArrowSchema*")
+    c_array = ffi.new("struct ArrowArray*")
+    arr._export_to_c(int(ffi.cast("uintptr_t", c_array)),
+                     int(ffi.cast("uintptr_t", c_schema)))
+    return c_array, c_schema, ffi
+
+
+def from_arrow_c(c_array, c_schema) -> Column:
+    import pyarrow as pa
+    from pyarrow.cffi import ffi
+
+    arr = pa.Array._import_from_c(int(ffi.cast("uintptr_t", c_array)),
+                                  int(ffi.cast("uintptr_t", c_schema)))
+    return Column.from_arrow(arr)

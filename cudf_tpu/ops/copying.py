@@ -166,3 +166,61 @@ def _interleave_impl(cols, n):
     out = Column(cols[0].dtype, data, validity, total, cols[0].dictionary)
     out.length = total
     return out
+
+
+def interleave_columns(tbl) -> "Column":
+    """cudf::interleave_columns (cpp/src/reshape/interleave_columns.cu):
+    [a b c] columns of length n → one column [a0 b0 c0 a1 b1 c1 ...]."""
+    import jax.numpy as jnp
+    from ..utils.padding import bucket_capacity
+
+    cols = [c for _, c in tbl]
+    n = cols[0].length
+    k = len(cols)
+    out_n = n * k
+    cap = bucket_capacity(max(out_n, 1))
+    stacked = jnp.stack([c.data for c in cols], axis=1).reshape(-1)  # [cap_in*k]
+    data = jnp.zeros((cap,), cols[0].data.dtype)
+    m = min(cap, stacked.shape[0])
+    data = data.at[:m].set(stacked[:m])
+    validity = None
+    if any(c.validity is not None for c in cols):
+        vs = [c.valid_mask() for c in cols]
+        sv = jnp.stack(vs, axis=1).reshape(-1)
+        validity = jnp.zeros((cap,), bool).at[:m].set(sv[:m])
+    return Column(cols[0].dtype, data, validity, out_n, cols[0].dictionary)
+
+
+def bools_to_mask(col) -> "Column":
+    """cudf::bools_to_mask — bool column → validity-only column."""
+    from ..core import dtypes as _dt
+    import jax.numpy as jnp
+
+    v = col.data.astype(bool) & col.valid_mask()
+    return Column(_dt.bool_, v, v, col.length)
+
+
+def row_bit_count(tbl) -> "Column":
+    """cudf::row_bit_count — per-row storage bits (transform analog)."""
+    import jax.numpy as jnp
+    import numpy as _np
+    from ..core import dtypes as _dt
+
+    cols = [c for _, c in tbl]
+    n = cols[0].length
+    cap = cols[0].capacity
+    bits = jnp.zeros((cap,), jnp.int32)
+    for c in cols:
+        if c.dtype.is_string:
+            d = c.dictionary if c.dictionary is not None else _np.array([], str)
+            lens = _np.array([len(s.encode()) * 8 for s in d], _np.int32)
+            if not len(lens):
+                lens = _np.zeros((1,), _np.int32)
+            per = jnp.asarray(lens)[jnp.clip(c.data.astype(jnp.int32), 0, len(lens) - 1)] + 32
+        else:
+            per = jnp.full((cap,), _np.dtype(_np.asarray(c.data[:1]).dtype).itemsize * 8,
+                           jnp.int32)
+        if c.validity is not None:
+            per = per + 1
+        bits = bits + per
+    return Column(_dt.int32, bits, None, n)

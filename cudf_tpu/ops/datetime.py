@@ -122,3 +122,74 @@ def timestamp_from_strings(col: Column, fmt: str = "%Y-%m-%d") -> Column:
     table = jnp.asarray(ticks if len(ticks) else np.zeros(1, np.int64))
     out = _table_gather(table, col.data)
     return Column(dtypes.timestamp("ns"), out, col.validity, col.length)
+
+
+def _freq_ns(freq: str) -> int:
+    table = {"D": 86_400_000_000_000, "h": 3_600_000_000_000, "H": 3_600_000_000_000,
+             "min": 60_000_000_000, "T": 60_000_000_000, "s": 1_000_000_000,
+             "S": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+    return table[freq]
+
+
+def ceil_timestamps(col: Column, freq: str) -> Column:
+    """cudf::datetime::ceil_datetimes."""
+    import jax.numpy as jnp
+
+    step = jnp.int64(_freq_ns(freq))
+    unit = col.dtype.param or "ns"
+    scale = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[unit]
+    v = col.data.astype(jnp.int64) * jnp.int64(scale)
+    up = ((v + step - 1) // step) * step
+    out = up // jnp.int64(scale)
+    return Column(col.dtype, out, col.validity, col.length)
+
+
+def floor_timestamps(col: Column, freq: str) -> Column:
+    import jax.numpy as jnp
+
+    step = jnp.int64(_freq_ns(freq))
+    unit = col.dtype.param or "ns"
+    scale = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[unit]
+    v = col.data.astype(jnp.int64) * jnp.int64(scale)
+    out = (v // step) * step // jnp.int64(scale)
+    return Column(col.dtype, out, col.validity, col.length)
+
+
+def round_timestamps(col: Column, freq: str) -> Column:
+    import jax.numpy as jnp
+
+    step = jnp.int64(_freq_ns(freq))
+    unit = col.dtype.param or "ns"
+    scale = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[unit]
+    v = col.data.astype(jnp.int64) * jnp.int64(scale)
+    out = ((v + step // 2) // step) * step // jnp.int64(scale)
+    return Column(col.dtype, out, col.validity, col.length)
+
+
+def is_leap_year(col: Column) -> Column:
+    import jax.numpy as jnp
+    from ..core import dtypes as _dt
+
+    y = extract(col, "year").data
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    return Column(_dt.bool_, leap, col.validity, col.length)
+
+
+def days_in_month(col: Column) -> Column:
+    import jax.numpy as jnp
+    from ..core import dtypes as _dt
+
+    m = extract(col, "month").data
+    leap = is_leap_year(col).data
+    base = jnp.asarray(np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31], np.int32))
+    d = base[jnp.clip(m, 0, 12)]
+    d = jnp.where((m == 2) & leap, 29, d)
+    return Column(_dt.int32, d, col.validity, col.length)
+
+
+def quarter(col: Column) -> Column:
+    import jax.numpy as jnp
+    from ..core import dtypes as _dt
+
+    m = extract(col, "month").data
+    return Column(_dt.int32, (m - 1) // 3 + 1, col.validity, col.length)

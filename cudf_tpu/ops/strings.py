@@ -155,3 +155,289 @@ def concat_strings(cols: List[Column], sep: str = "") -> Column:
         dtype=object,
     )
     return Column.from_numpy(out)
+
+
+# ===========================================================================
+# Strings long tail (cpp/src/strings/: pad, split, replace, find, convert,
+# char_types, translate, wrap, repeat — 18.4k LoC of device kernels in the
+# reference; here value-level work amortizes over the dictionary)
+# ===========================================================================
+
+def pad(col: Column, width: int, side: str = "left", fillchar: str = " ") -> Column:
+    fn = {"left": lambda s: s.rjust(width, fillchar),
+          "right": lambda s: s.ljust(width, fillchar),
+          "both": lambda s: s.center(width, fillchar)}[side]
+    return _dict_map(col, fn)
+
+
+def zfill(col: Column, width: int) -> Column:
+    return _dict_map(col, lambda s: s.zfill(width))
+
+
+def repeat_strings(col: Column, repeats: int) -> Column:
+    return _dict_map(col, lambda s: s * repeats)
+
+
+def translate(col: Column, table: dict) -> Column:
+    tr = str.maketrans({k: v for k, v in table.items()})
+    return _dict_map(col, lambda s: s.translate(tr))
+
+
+def wrap(col: Column, width: int) -> Column:
+    import textwrap
+
+    return _dict_map(col, lambda s: "\n".join(textwrap.wrap(s, width)) if s else s)
+
+
+def title(col: Column) -> Column:
+    return _dict_map(col, str.title)
+
+
+def swapcase(col: Column) -> Column:
+    return _dict_map(col, str.swapcase)
+
+
+def replace_str(col: Column, pat: str, repl: str, regex: bool = False,
+                n: int = -1) -> Column:
+    if regex:
+        import re
+
+        rx = re.compile(pat)
+        return _dict_map(col, lambda s: rx.sub(repl, s, 0 if n < 0 else n))
+    return _dict_map(col, lambda s: s.replace(pat, repl, n if n >= 0 else -1))
+
+
+def find(col: Column, sub: str) -> Column:
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    vals = np.array([s.find(sub) for s in d.astype(str)], np.int32)
+    if not len(vals):
+        vals = np.zeros((1,), np.int32)
+    out = _table_gather(jnp.asarray(vals), col.data)
+    return Column(dtypes.int32, out, col.validity, col.length)
+
+
+def rfind(col: Column, sub: str) -> Column:
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    vals = np.array([s.rfind(sub) for s in d.astype(str)], np.int32)
+    if not len(vals):
+        vals = np.zeros((1,), np.int32)
+    out = _table_gather(jnp.asarray(vals), col.data)
+    return Column(dtypes.int32, out, col.validity, col.length)
+
+
+def count_re(col: Column, pat: str) -> Column:
+    import re
+
+    rx = re.compile(pat)
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    vals = np.array([len(rx.findall(s)) for s in d.astype(str)], np.int32)
+    if not len(vals):
+        vals = np.zeros((1,), np.int32)
+    out = _table_gather(jnp.asarray(vals), col.data)
+    return Column(dtypes.int32, out, col.validity, col.length)
+
+
+def extract_re(col: Column, pat: str, group: int = 1) -> Column:
+    """First regex capture group per row; null on no match (extract.cu)."""
+    import re
+
+    rx = re.compile(pat)
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    vals = []
+    for s in d.astype(str):
+        m = rx.search(s)
+        vals.append(m.group(group) if m and m.lastindex and m.lastindex >= group else None)
+    n = col.length
+    codes = np.asarray(col.data)[:n]
+    out = np.array([vals[c] if 0 <= c < len(vals) else None for c in codes], object)
+    validity = np.array([v is not None for v in out])
+    if col.validity is not None:
+        validity &= np.asarray(col.validity)[:n]
+    return Column.from_numpy(np.where(validity, out, None), validity)
+
+
+def split_expand(col: Column, delimiter: str = " ", maxsplit: int = -1):
+    """split into a Table of string columns (strings::split, expand=True)."""
+    from ..core.table import Table
+
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    parts = [s.split(delimiter, maxsplit) if maxsplit >= 0 else s.split(delimiter)
+             for s in d.astype(str)]
+    width = max((len(p) for p in parts), default=0)
+    n = col.length
+    codes = np.asarray(col.data)[:n]
+    v = None if col.validity is None else np.asarray(col.validity)[:n]
+    cols = {}
+    for j in range(width):
+        vals = []
+        for i in range(n):
+            if v is not None and not v[i]:
+                vals.append(None)
+            else:
+                p = parts[codes[i]] if 0 <= codes[i] < len(parts) else []
+                vals.append(p[j] if j < len(p) else None)
+        arr = np.array(vals, object)
+        validity = np.array([x is not None for x in vals])
+        cols[str(j)] = Column.from_numpy(np.where(validity, arr, None), validity)
+    return Table(cols)
+
+
+def split_record(col: Column, delimiter: str = " ", maxsplit: int = -1):
+    """split into a ListColumn of tokens per row (strings::split_record)."""
+    from ..core.lists import ListColumn
+
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    parts = [s.split(delimiter, maxsplit) if maxsplit >= 0 else s.split(delimiter)
+             for s in d.astype(str)]
+    n = col.length
+    codes = np.asarray(col.data)[:n]
+    v = None if col.validity is None else np.asarray(col.validity)[:n]
+    rows = []
+    for i in range(n):
+        if v is not None and not v[i]:
+            rows.append(None)
+        else:
+            rows.append(parts[codes[i]] if 0 <= codes[i] < len(parts) else [])
+    return ListColumn.from_pylist(rows)
+
+
+def partition_strings(col: Column, delimiter: str = " "):
+    """3-column table: (head, sep, tail) (strings::partition)."""
+    from ..core.table import Table
+
+    heads = _dict_map(col, lambda s: s.partition(delimiter)[0])
+    seps = _dict_map(col, lambda s: s.partition(delimiter)[1])
+    tails = _dict_map(col, lambda s: s.partition(delimiter)[2])
+    return Table({"head": heads, "sep": seps, "tail": tails})
+
+
+# ------------------------------------------------------ char-type predicates
+def isalpha(col: Column) -> Column:
+    return _dict_predicate(col, lambda s: bool(s) and s.isalpha())
+
+
+def isdigit(col: Column) -> Column:
+    return _dict_predicate(col, lambda s: bool(s) and s.isdigit())
+
+
+def isalnum(col: Column) -> Column:
+    return _dict_predicate(col, lambda s: bool(s) and s.isalnum())
+
+
+def isspace(col: Column) -> Column:
+    return _dict_predicate(col, lambda s: bool(s) and s.isspace())
+
+
+def isupper(col: Column) -> Column:
+    return _dict_predicate(col, lambda s: bool(s) and s.isupper())
+
+
+def islower(col: Column) -> Column:
+    return _dict_predicate(col, lambda s: bool(s) and s.islower())
+
+
+def isdecimal(col: Column) -> Column:
+    return _dict_predicate(col, lambda s: bool(s) and s.isdecimal())
+
+
+# ----------------------------------------------------------- conversions
+def _dict_numeric(col: Column, fn, np_dtype, default):
+    d = col.dictionary if col.dictionary is not None else np.array([], str)
+    vals = np.empty(max(len(d), 1), np_dtype)
+    ok = np.zeros(max(len(d), 1), bool)
+    for i, s in enumerate(d.astype(str)):
+        try:
+            vals[i] = fn(s)
+            ok[i] = True
+        except (ValueError, OverflowError):
+            vals[i] = default
+    n = col.length
+    out = _table_gather(jnp.asarray(vals), col.data)
+    okg = _table_gather(jnp.asarray(ok), col.data)
+    import jax.numpy as _jnp
+
+    validity = okg if col.validity is None else (okg & col.validity)
+    return Column(dtypes.from_numpy(np.dtype(np_dtype)), out, validity, n)
+
+
+def to_integers(col: Column) -> Column:
+    """strings::to_integers — unparseable → null."""
+    return _dict_numeric(col, lambda s: int(s, 10), np.int64, 0)
+
+
+def to_floats(col: Column) -> Column:
+    return _dict_numeric(col, float, np.float64, 0.0)
+
+
+def from_integers(col: Column) -> Column:
+    """int column → decimal string column (strings::from_integers)."""
+    vals = col.to_numpy()
+    out = np.array([None if v is None else str(int(v)) for v in vals], object)
+    validity = np.array([v is not None for v in out])
+    return Column.from_numpy(np.where(validity, out, None),
+                             validity if not validity.all() else None)
+
+
+def from_floats(col: Column) -> Column:
+    vals = col.to_numpy()
+    out = []
+    for v in vals:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out.append(None)
+        else:
+            out.append(repr(float(v)))
+    arr = np.array(out, object)
+    validity = np.array([v is not None for v in out])
+    return Column.from_numpy(np.where(validity, arr, None),
+                             validity if not validity.all() else None)
+
+
+def ipv4_to_integers(col: Column) -> Column:
+    def conv(s):
+        a, b, c, d = s.split(".")
+        return (int(a) << 24) | (int(b) << 16) | (int(c) << 8) | int(d)
+
+    return _dict_numeric(col, conv, np.int64, 0)
+
+
+def integers_to_ipv4(col: Column) -> Column:
+    vals = col.to_numpy()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        else:
+            v = int(v)
+            out.append(f"{(v>>24)&255}.{(v>>16)&255}.{(v>>8)&255}.{v&255}")
+    arr = np.array(out, object)
+    validity = np.array([x is not None for x in out])
+    return Column.from_numpy(np.where(validity, arr, None),
+                             validity if not validity.all() else None)
+
+
+def hex_to_integers(col: Column) -> Column:
+    return _dict_numeric(col, lambda s: int(s, 16), np.int64, 0)
+
+
+def integers_to_hex(col: Column) -> Column:
+    vals = col.to_numpy()
+    out = np.array([None if v is None else format(int(v), "X") for v in vals], object)
+    validity = np.array([v is not None for v in out])
+    return Column.from_numpy(np.where(validity, out, None),
+                             validity if not validity.all() else None)
+
+
+def to_booleans(col: Column, true_string: str = "true") -> Column:
+    return _dict_predicate(col, lambda s: s == true_string)
+
+
+def url_encode(col: Column) -> Column:
+    from urllib.parse import quote
+
+    return _dict_map(col, lambda s: quote(s, safe=""))
+
+
+def url_decode(col: Column) -> Column:
+    from urllib.parse import unquote
+
+    return _dict_map(col, unquote)

@@ -247,3 +247,47 @@ def byte_pair_encode(col: Column, merges: BPEMergePairs,
     vals = np.array([remap[c] if 0 <= c < len(remap) else "" for c in codes], object)
     validity = None if col.validity is None else np.asarray(col.validity)[:n]
     return Column.from_numpy(vals, validity)
+
+
+def replace_tokens(col: Column, targets, replacements, delimiter: str = " ") -> Column:
+    """nvtext::replace_tokens — whole-token substitution."""
+    if isinstance(replacements, str):
+        replacements = [replacements] * len(targets)
+    table = dict(zip(targets, replacements))
+
+    def fn(s):
+        return delimiter.join(table.get(t, t) for t in s.split(delimiter))
+
+    from .strings import _dict_map
+
+    return _dict_map(col, fn)
+
+
+def filter_tokens(col: Column, min_token_length: int, replacement: str = "",
+                  delimiter: str = " ") -> Column:
+    """nvtext::filter_tokens — drop/replace tokens shorter than a minimum."""
+    def fn(s):
+        out = [(t if len(t) >= min_token_length else replacement)
+               for t in s.split(delimiter)]
+        return delimiter.join(x for x in out if x != "") if replacement == "" else delimiter.join(out)
+
+    from .strings import _dict_map
+
+    return _dict_map(col, fn)
+
+
+def normalize_characters(col: Column, do_lower: bool = True) -> Column:
+    """nvtext::normalize_characters — NFKC-ish cleanup + optional lowercase
+    (whitespace unification, accent strip, control removal)."""
+    import unicodedata
+
+    def fn(s):
+        s = unicodedata.normalize("NFKD", s)
+        s = "".join(c for c in s if not unicodedata.combining(c)
+                    and (unicodedata.category(c)[0] != "C" or c in "\t\n\r"))
+        s = " ".join(s.split())
+        return s.lower() if do_lower else s
+
+    from .strings import _dict_map
+
+    return _dict_map(col, fn)

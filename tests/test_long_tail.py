@@ -1,0 +1,127 @@
+"""Strings long tail, nvtext extras, datetime rounding, reshape, interop."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.core import interop
+from cudf_tpu.ops import copying, datetime as dt_ops, strings as S, text
+
+
+def _scol(vals):
+    return Column.from_numpy(np.array(vals, object))
+
+
+def test_pad_zfill_repeat_translate_wrap():
+    c = _scol(["ab", "c", ""])
+    assert list(S.pad(c, 4).to_numpy()) == ["  ab", "   c", "    "]
+    assert list(S.pad(c, 3, "right", ".").to_numpy()) == ["ab.", "c..", "..."]
+    assert list(S.zfill(_scol(["7", "-7"]), 3).to_numpy()) == ["007", "-07"]
+    assert list(S.repeat_strings(c, 2).to_numpy()) == ["abab", "cc", ""]
+    assert list(S.translate(_scol(["abc"]), {"a": "x"}).to_numpy()) == ["xbc"]
+    assert list(S.wrap(_scol(["aa bb cc"]), 5).to_numpy()) == ["aa bb\ncc"]
+    assert list(S.title(_scol(["ab cd"])).to_numpy()) == ["Ab Cd"]
+    assert list(S.swapcase(_scol(["aB"])).to_numpy()) == ["Ab"]
+
+
+def test_replace_find_count_extract():
+    c = _scol(["foo bar foo", "bar", "zzz"])
+    assert list(S.replace_str(c, "foo", "X").to_numpy()) == ["X bar X", "bar", "zzz"]
+    assert list(S.replace_str(c, "o+", "0", regex=True).to_numpy()) == ["f0 bar f0", "bar", "zzz"]
+    np.testing.assert_array_equal(S.find(c, "bar").to_numpy(), [4, 0, -1])
+    np.testing.assert_array_equal(S.rfind(c, "foo").to_numpy(), [8, -1, -1])
+    np.testing.assert_array_equal(S.count_re(c, "o").to_numpy(), [4, 0, 0])
+    got = S.extract_re(_scol(["id=17", "id=9", "nope"]), r"id=(\d+)").to_numpy()
+    assert list(got) == ["17", "9", None]
+
+
+def test_split_partition():
+    c = _scol(["a,b,c", "x", ""])
+    t = S.split_expand(c, ",")
+    assert list(t["0"].to_numpy()) == ["a", "x", ""]
+    assert list(t["1"].to_numpy()) == ["b", None, None]
+    assert list(t["2"].to_numpy()) == ["c", None, None]
+    rec = S.split_record(c, ",").to_pylist()
+    assert rec == [["a", "b", "c"], ["x"], [""]]
+    p = S.partition_strings(_scol(["k=v", "raw"]), "=")
+    assert list(p["head"].to_numpy()) == ["k", "raw"]
+    assert list(p["tail"].to_numpy()) == ["v", ""]
+
+
+def test_char_types_and_conversions():
+    c = _scol(["abc", "123", "a1", " ", "ABC"])
+    np.testing.assert_array_equal(S.isalpha(c).to_numpy(), [True, False, False, False, True])
+    np.testing.assert_array_equal(S.isdigit(c).to_numpy(), [False, True, False, False, False])
+    np.testing.assert_array_equal(S.isupper(c).to_numpy(), [False, False, False, False, True])
+    ints = S.to_integers(_scol(["42", "-7", "bad"]))
+    assert list(ints.to_numpy()[:2]) == [42, -7]
+    assert ints.null_count == 1
+    fl = S.to_floats(_scol(["2.5", "1e3", "x"]))
+    np.testing.assert_allclose(fl.to_numpy()[:2].astype(float), [2.5, 1000.0])
+    assert list(S.from_integers(Column.from_numpy(np.array([1, -2]))).to_numpy()) == ["1", "-2"]
+    ip = S.ipv4_to_integers(_scol(["1.2.3.4"]))
+    assert int(ip.to_numpy()[0]) == (1 << 24) | (2 << 16) | (3 << 8) | 4
+    assert list(S.integers_to_ipv4(ip).to_numpy()) == ["1.2.3.4"]
+    hx = S.hex_to_integers(_scol(["ff", "10"]))
+    np.testing.assert_array_equal(hx.to_numpy(), [255, 16])
+    assert list(S.integers_to_hex(hx).to_numpy()) == ["FF", "10"]
+    np.testing.assert_array_equal(
+        S.to_booleans(_scol(["true", "false"])).to_numpy(), [True, False])
+    assert list(S.url_encode(_scol(["a b/c"])).to_numpy()) == ["a%20b%2Fc"]
+    assert list(S.url_decode(_scol(["a%20b"])).to_numpy()) == ["a b"]
+
+
+def test_nvtext_extras():
+    c = _scol(["the quick fox", "a b ccc"])
+    got = text.replace_tokens(c, ["the", "a"], ["THE", "A"]).to_numpy()
+    assert list(got) == ["THE quick fox", "A b ccc"]
+    got2 = text.filter_tokens(c, 3).to_numpy()
+    assert list(got2) == ["the quick fox", "ccc"]
+    got3 = text.normalize_characters(_scol(["Héllo   World"])).to_numpy()
+    assert list(got3) == ["hello world"]
+
+
+def test_datetime_rounding():
+    ts = pd.to_datetime(["2024-03-01 10:17:45", "2024-03-01 23:59:59"])
+    c = Column.from_numpy(ts.values)
+    for freq, pfreq in (("h", "h"), ("D", "D"), ("min", "min")):
+        np.testing.assert_array_equal(
+            dt_ops.floor_timestamps(c, freq).to_numpy(), ts.floor(pfreq).values)
+        np.testing.assert_array_equal(
+            dt_ops.ceil_timestamps(c, freq).to_numpy(), ts.ceil(pfreq).values)
+        np.testing.assert_array_equal(
+            dt_ops.round_timestamps(c, freq).to_numpy(), ts.round(pfreq).values)
+    leap = dt_ops.is_leap_year(Column.from_numpy(
+        pd.to_datetime(["2024-01-01", "2023-01-01"]).values))
+    np.testing.assert_array_equal(leap.to_numpy(), [True, False])
+    dim = dt_ops.days_in_month(Column.from_numpy(
+        pd.to_datetime(["2024-02-10", "2023-02-10", "2023-04-01"]).values))
+    np.testing.assert_array_equal(dim.to_numpy(), [29, 28, 30])
+    q = dt_ops.quarter(Column.from_numpy(pd.to_datetime(["2024-05-01"]).values))
+    assert int(q.to_numpy()[0]) == 2
+
+
+def test_interleave_and_bits():
+    t = Table({"a": Column.from_numpy(np.array([1, 2, 3])),
+               "b": Column.from_numpy(np.array([10, 20, 30]))})
+    out = copying.interleave_columns(t)
+    np.testing.assert_array_equal(out.to_numpy(), [1, 10, 2, 20, 3, 30])
+    m = copying.bools_to_mask(Column.from_numpy(np.array([True, False, True])))
+    assert m.null_count == 1
+    rb = copying.row_bit_count(t)
+    np.testing.assert_array_equal(rb.to_numpy(), [128, 128, 128])
+
+
+def test_dlpack_roundtrip():
+    c = Column.from_numpy(np.arange(10, dtype=np.float32))
+    cap = interop.to_dlpack(c)
+    back = interop.from_dlpack(cap)
+    np.testing.assert_array_equal(back.to_numpy(), np.arange(10, dtype=np.float32))
+
+
+def test_arrow_c_interface():
+    c = Column.from_numpy(np.array([1.5, np.nan, 3.0]))
+    ca, cs, _ = interop.to_arrow_c(c)
+    back = interop.from_arrow_c(ca, cs)
+    np.testing.assert_allclose(back.to_numpy(), c.to_numpy(), equal_nan=True)
