@@ -1,8 +1,9 @@
 """DataFrame: pandas-like 2-D API over Table.
 
 Analog of cudf.DataFrame (reference: python/cudf/cudf/core/dataframe.py:901)
-with the positional RangeIndex model (align-by-position; groupby/merge
-results follow as_index=False / reset_index(drop=True) conventions).
+with the positional RangeIndex model (align-by-position; merge results
+follow reset_index(drop=True) conventions; groupby defaults to
+as_index=True and sets the key(s) as the result index, like pandas).
 """
 from __future__ import annotations
 
@@ -301,7 +302,7 @@ class DataFrame:
             join_ops.join(self._tbl, r, left_on, right_on, h, suffixes=suffixes)
         )
 
-    def groupby(self, by, sort=True, as_index=False, dropna=True):
+    def groupby(self, by, sort=True, as_index=True, dropna=True):
         from .groupby import DataFrameGroupBy
 
         keys = [by] if isinstance(by, str) else list(by)

@@ -19,7 +19,7 @@ _METHODS = (
 
 class DataFrameGroupBy:
     def __init__(self, df, keys: List[str], sort=True, dropna=True, value_cols=None,
-                 as_index=False):
+                 as_index=True):
         self._df = df
         self._keys = keys
         self._dropna = dropna

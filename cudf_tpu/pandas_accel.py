@@ -239,7 +239,8 @@ class _GroupByProxy:
         return _GroupByProxy(self._gb[cols], self._parent)
 
     def _fallback(self, name, *a, **k):
-        slow = self._parent._to_slow().groupby(self._gb._keys, as_index=False)
+        slow = self._parent._to_slow().groupby(self._gb._keys,
+                                               as_index=self._gb._as_index)
         if self._gb._value_cols is not None:
             slow = slow[self._gb._value_cols]
         return self._parent._rewrap(getattr(slow, name)(*a, **k))

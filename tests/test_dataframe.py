@@ -125,17 +125,17 @@ class TestFrameOps:
         pdf = pd.DataFrame({"k": rng.integers(0, 5, 200), "v": rng.normal(size=200),
                             "w": rng.integers(0, 100, 200)})
         df = ct.DataFrame.from_pandas(pdf)
-        out = df.groupby("k").sum().to_pandas()
+        out = df.groupby("k", as_index=False).sum().to_pandas()
         exp = pdf.groupby("k", as_index=False).sum()
         pd.testing.assert_frame_equal(out, exp)
-        out = df.groupby("k")[["v"]].mean().to_pandas()
+        out = df.groupby("k", as_index=False)[["v"]].mean().to_pandas()
         exp = pdf.groupby("k", as_index=False)[["v"]].mean()
         pd.testing.assert_frame_equal(out, exp)
 
     def test_groupby_agg_named(self):
         pdf = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
         df = ct.DataFrame.from_pandas(pdf)
-        out = df.groupby("k").agg(total=("v", "sum"), n=("v", "size")).to_pandas()
+        out = df.groupby("k", as_index=False).agg(total=("v", "sum"), n=("v", "size")).to_pandas()
         exp = pdf.groupby("k", as_index=False).agg(total=("v", "sum"), n=("v", "size"))
         exp["n"] = exp["n"].astype("int64")
         pd.testing.assert_frame_equal(out, exp)
@@ -150,7 +150,7 @@ class TestFrameOps:
         })
         pdf.loc[rng.choice(500, 30, replace=False), "a"] = np.nan
         df = ct.DataFrame.from_pandas(pdf)
-        out = df.dropna().groupby(["a", "b"]).agg(c=("c", "mean")).to_pandas()
+        out = df.dropna().groupby(["a", "b"], as_index=False).agg(c=("c", "mean")).to_pandas()
         exp = pdf.dropna().groupby(["a", "b"], as_index=False).agg(c=("c", "mean"))
         pd.testing.assert_frame_equal(out, exp)
 

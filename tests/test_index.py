@@ -108,3 +108,13 @@ def test_drop_duplicates_index():
         df.drop_duplicates(subset=["a"]).sort_index().to_pandas(),
         pdf.drop_duplicates(subset=["a"]).sort_index(),
     )
+
+
+def test_groupby_default_as_index_matches_pandas():
+    import numpy as np
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"k": rng.integers(0, 6, 300), "v": rng.normal(size=300)})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").mean().to_pandas()
+    exp = pdf.groupby("k").mean()
+    pd.testing.assert_frame_equal(got, exp, check_index_type=False)
