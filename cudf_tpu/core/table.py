@@ -130,3 +130,22 @@ class Table:
         import pyarrow as pa
 
         return pa.table({n: c.to_arrow() for n, c in self._columns.items()})
+
+
+def tables_equal(a: "Table", b: "Table") -> bool:
+    """pylibcudf.table_equality analog: schema + row-wise value/null equality."""
+    import numpy as np
+
+    if list(a.names) != list(b.names) or a.num_rows != b.num_rows:
+        return False
+    for ca, cb in zip(a.columns, b.columns):
+        if ca.dtype != cb.dtype:
+            return False
+        na = ca.to_numpy()
+        nb = cb.to_numpy()
+        for x, y in zip(na, nb):
+            xn = x is None or (isinstance(x, float) and np.isnan(x))
+            yn = y is None or (isinstance(y, float) and np.isnan(y))
+            if xn != yn or (not xn and x != y):
+                return False
+    return True

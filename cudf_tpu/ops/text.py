@@ -291,3 +291,45 @@ def normalize_characters(col: Column, do_lower: bool = True) -> Column:
     from .strings import _dict_map
 
     return _dict_map(col, fn)
+
+
+def ngrams_tokenize(col: Column, n: int = 2, delimiter: str = " ",
+                    sep: str = "_") -> Column:
+    """nvtext::ngrams_tokenize — tokenize each row, then emit that row's
+    token n-grams (explode semantics, like tokenize)."""
+    vals = col.to_numpy()
+    out: List[str] = []
+    for v in vals:
+        if v is None:
+            continue
+        toks = str(v).split(delimiter)
+        out.extend(sep.join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    return Column.from_numpy(np.array(out, dtype=object))
+
+
+def deduplicate(col: Column, min_width: int = 5) -> Column:
+    """nvtext::deduplicate — per row, collapse repeated substrings of at
+    least ``min_width`` characters (suffix-array approach in the reference;
+    greedy scan over the dictionary here)."""
+    def dedup_one(s: str) -> str:
+        out = []
+        i = 0
+        while i < len(s):
+            w = len(s) - i
+            dropped = False
+            while w >= min_width:
+                if s.startswith(s[i:i + w], i + w):
+                    # skip the duplicate occurrence
+                    out.append(s[i:i + w])
+                    i += 2 * w
+                    dropped = True
+                    break
+                w -= 1
+            if not dropped:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+    from .strings import _dict_map
+
+    return _dict_map(col, dedup_one)

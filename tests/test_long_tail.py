@@ -125,3 +125,26 @@ def test_arrow_c_interface():
     ca, cs, _ = interop.to_arrow_c(c)
     back = interop.from_arrow_c(ca, cs)
     np.testing.assert_allclose(back.to_numpy(), c.to_numpy(), equal_nan=True)
+
+
+def test_ngrams_tokenize_and_deduplicate():
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import text as tx
+
+    col = Column.from_numpy(np.array(["a b c", "x y"], object))
+    out = tx.ngrams_tokenize(col, 2).to_numpy()
+    assert list(out) == ["a_b", "b_c", "x_y"]
+
+    col2 = Column.from_numpy(np.array(["hellohello world", "abcdef"], object))
+    dd = tx.deduplicate(col2, min_width=5).to_numpy()
+    assert list(dd) == ["hello world", "abcdef"]
+
+
+def test_tables_equal():
+    from cudf_tpu.core.table import Table, tables_equal
+
+    a = Table.from_pandas(pd.DataFrame({"x": [1.0, np.nan], "y": ["a", "b"]}))
+    b = Table.from_pandas(pd.DataFrame({"x": [1.0, np.nan], "y": ["a", "b"]}))
+    c = Table.from_pandas(pd.DataFrame({"x": [1.0, 2.0], "y": ["a", "b"]}))
+    assert tables_equal(a, b)
+    assert not tables_equal(a, c)
