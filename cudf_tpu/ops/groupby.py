@@ -190,10 +190,12 @@ def _compute_agg(
     if kind == "size":
         return Column(dtypes.int64, counts_all, None, n_groups)
 
-    sv = vcol.data[perm]
+    # perm=None: hash path — rows stay in original order; positions ARE
+    # original row indices (no permutation gathers)
+    sv = vcol.data if perm is None else vcol.data[perm]
     svalid = inb_sorted
     if vcol.validity is not None:
-        svalid = svalid & vcol.validity[perm]
+        svalid = svalid & (vcol.validity if perm is None else vcol.validity[perm])
 
     def seg_sum(x):
         return jax.ops.segment_sum(x, seg_c, num_segments=nseg)[:out_cap]
@@ -263,11 +265,13 @@ def _compute_agg(
         if kind in ("first", "nth"):
             vp = jnp.where(svalid, pos, cap - 1)
             fp = jnp.full((nseg,), cap - 1, jnp.int32).at[seg_c].min(vp)[:out_cap]
-            idx = perm[jnp.clip(fp + jnp.int32(int(spec.param)), 0, cap - 1)]
+            sp = jnp.clip(fp + jnp.int32(int(spec.param)), 0, cap - 1)
+            idx = sp if perm is None else perm[sp]
         elif kind == "last":
             vp = jnp.where(svalid, pos, 0)
             lp = jnp.zeros((nseg,), jnp.int32).at[seg_c].max(vp)[:out_cap]
-            idx = perm[jnp.clip(lp, 0, cap - 1)]
+            sp = jnp.clip(lp, 0, cap - 1)
+            idx = sp if perm is None else perm[sp]
         else:
             # argmin/argmax: lex sort trick — reduce (value, pos) pairs
             ident = _minmax_identity(vcol.dtype, kind == "argmin")
@@ -279,7 +283,8 @@ def _compute_agg(
             isbest = svalid & (x == best[seg_c])
             vp = jnp.where(isbest, pos, cap - 1)
             bp = jnp.full((nseg,), cap - 1, jnp.int32).at[seg_c].min(vp)[:out_cap]
-            orig = perm[jnp.clip(bp, 0, cap - 1)]
+            bp = jnp.clip(bp, 0, cap - 1)
+            orig = bp if perm is None else perm[bp]
             return Column(dtypes.int64, orig.astype(jnp.int64),
                           validity, n_groups)
         out = gather(vcol, idx, n_groups)

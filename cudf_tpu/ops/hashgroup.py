@@ -1,0 +1,260 @@
+"""Vectorized hash-table machinery: the cuco static_set/static_multiset analog.
+
+Reference: cpp/src/groupby/hash/compute_groupby.cu:94 (cuco static_set over
+row hashes), cpp/src/join/hash_join/hash_join.cu:61-142 (build/probe with
+{hash, row_idx} pairs). TPU-native redesign — no device atomics/CAS exist,
+so insertion is *round-synchronous* linear probing expressed as dense XLA
+scatter/gather passes inside one ``lax.while_loop``:
+
+  1. key columns normalize to equality operands (ops/rowcodes.py), which are
+     range-compressed and bit-packed into as few u32 "key words" as possible
+     (one tiny min/max host sync, same trick as sortprim radix compression);
+  2. if the total packed width fits ``DIRECT_BITS``, the packed key IS the
+     slot — a perfect direct-address table, zero probing (one scatter to
+     build, one gather to look up);
+  3. otherwise: murmur-mix the words to a slot in a table of 2*capacity
+     slots; each round every unsettled row scatter-min's its row id into its
+     candidate slot, empty slots keep the winning row as the key
+     *representative*, rows whose representative has equal key words settle,
+     the rest advance to the next slot. Expected O(1) rounds at load <= 0.5.
+
+Both paths yield, per row, a *slot id* whose representative row defines the
+group, without ever sorting the full table — the O(n) hash path the
+reference dispatches to for unsorted keys (cpp/src/groupby/groupby.cu:53-69).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.column import Column
+from . import rowcodes
+from .hashing import hash_operands
+
+DIRECT_BITS = 23  # direct-address table cap: 2^23 slots = 32MB of int32
+
+
+# --------------------------------------------------------------------------
+# packed key words
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _ranges(ops):
+    return tuple((jnp.min(o), jnp.max(o)) for o in ops)
+
+
+@partial(jax.jit, static_argnames=("widths",))
+def _pack_lsb(ops, mins, widths):
+    """Bit-pack range-compressed operands into u32 words, LSB-aligned.
+
+    Equality/hashing does not need lexicographic alignment (unlike
+    sortprim._pack_words) — the first word is right-aligned so a single
+    word can directly address a 2^width table.
+    """
+    words: List[jnp.ndarray] = []
+    acc = None
+    used = 0
+    for op, lo, w in zip(ops, mins, widths):
+        v = op - lo.astype(jnp.uint32)
+        while w > 0:
+            room = 32 - used
+            take = min(w, room)
+            piece = (v >> jnp.uint32(w - take)) & jnp.uint32((1 << take) - 1)
+            acc = piece if acc is None else ((acc << jnp.uint32(take)) | piece)
+            used += take
+            w -= take
+            if used == 32:
+                words.append(acc)
+                acc = None
+                used = 0
+    if acc is not None:
+        words.append(acc)
+    return tuple(words)
+
+
+def equality_ops(cols: Sequence[Column]) -> List[jnp.ndarray]:
+    ops: List[jnp.ndarray] = []
+    for c in cols:
+        ops.extend(rowcodes.equality_operands(c))
+    return ops
+
+
+def pack_key_words(
+    ops: Sequence[jnp.ndarray],
+    joint_with: Optional[Sequence[jnp.ndarray]] = None,
+) -> Tuple[Optional[List[jnp.ndarray]], int, Optional[tuple], Optional[tuple]]:
+    """(words, total_bits, mins, widths) — or (None, 0, None, None) in-trace.
+
+    ``joint_with``: a second operand list (the other join side) whose value
+    ranges must share the packing so packed words compare equal across sides.
+    Returns the packing params so the caller can pack that side identically.
+    """
+    if isinstance(ops[0], jax.core.Tracer):
+        return None, 0, None, None
+    r1 = np.asarray(jax.device_get(_ranges(tuple(ops))), np.uint64).reshape(-1, 2)
+    if joint_with is not None:
+        r2 = np.asarray(jax.device_get(_ranges(tuple(joint_with))), np.uint64).reshape(-1, 2)
+        lo = np.minimum(r1[:, 0], r2[:, 0])
+        hi = np.maximum(r1[:, 1], r2[:, 1])
+    else:
+        lo, hi = r1[:, 0], r1[:, 1]
+    keep = [i for i in range(len(ops)) if lo[i] != hi[i]]
+    if not keep:
+        # all-constant keys: single group; one zero word, width 1
+        zero = (ops[0] * jnp.uint32(0),)
+        return [zero[0]], 1, ((), ()), ((), ())
+    mins = tuple(jnp.asarray(np.uint32(lo[i])) for i in keep)
+    widths = tuple(int(hi[i] - lo[i]).bit_length() for i in keep)
+    words = list(_pack_lsb(tuple(ops[i] for i in keep), mins, widths))
+    return words, sum(widths), (keep, mins), (keep, widths)
+
+
+def pack_like(ops: Sequence[jnp.ndarray], mins_spec, widths_spec) -> List[jnp.ndarray]:
+    """Pack another operand list with a previously computed packing."""
+    keep, mins = mins_spec
+    _, widths = widths_spec
+    if keep == ():
+        return [ops[0] * jnp.uint32(0)] if ops else []
+    if not keep:
+        return [ops[0] * jnp.uint32(0)]
+    return list(_pack_lsb(tuple(ops[i] for i in keep), mins, widths))
+
+
+# --------------------------------------------------------------------------
+# table build (insert all active rows, find slot per row)
+# --------------------------------------------------------------------------
+
+_BIG = jnp.int32(np.iinfo(np.int32).max)
+
+
+@partial(jax.jit, static_argnames=("tbits",))
+def build_direct(words, active, tbits):
+    """Direct-address build: slot = packed key. Returns (slot, rep_by_slot).
+
+    slot[i] = key value for active rows, T for inactive (overflow slot).
+    rep_by_slot[s] = smallest active row id with key s, else INT32_MAX.
+    """
+    (w,) = words
+    T = 1 << tbits
+    cap = w.shape[0]
+    rowid = jnp.arange(cap, dtype=jnp.int32)
+    slot = jnp.where(active, w.astype(jnp.int32), jnp.int32(T))
+    rep = jnp.full((T + 1,), _BIG, jnp.int32).at[slot].min(
+        jnp.where(active, rowid, _BIG))[:T]
+    return slot, rep
+
+
+@partial(jax.jit, static_argnames=("tbits",))
+def build_probe(words, active, tbits):
+    """Linear-probe build over all active rows. Returns (slot, rep_by_slot).
+
+    Round-synchronous insertion (see module docstring); terminates once every
+    active row has settled on a slot whose representative key equals its own.
+    """
+    T = 1 << tbits
+    cap = words[0].shape[0]
+    rowid = jnp.arange(cap, dtype=jnp.int32)
+    h = hash_operands(words)
+    mask = jnp.uint32(T - 1)
+    slot0 = jnp.where(active, (h & mask).astype(jnp.int32), jnp.int32(T))
+
+    def keys_eq(rep):
+        src = jnp.clip(rep, 0, cap - 1)
+        eq = jnp.ones((cap,), jnp.bool_)
+        for wd in words:
+            eq = eq & (wd[src] == wd)
+        return eq
+
+    def body(state):
+        slot, my_slot, settled, slot_key, it = state
+        attempt = jnp.where(settled, jnp.int32(T), slot)
+        cand = jnp.full((T + 1,), _BIG, jnp.int32).at[attempt].min(
+            jnp.where(settled, _BIG, rowid))[:T]
+        slot_key = jnp.where((slot_key < 0) & (cand < _BIG), cand, slot_key)
+        rep = slot_key[jnp.clip(slot, 0, T - 1)]
+        eq = keys_eq(rep)
+        newly = ~settled & eq
+        my_slot = jnp.where(newly, slot, my_slot)
+        settled = settled | newly
+        slot = jnp.where(settled, slot, (slot + 1) & jnp.int32(T - 1))
+        return slot, my_slot, settled, slot_key, it + 1
+
+    def cond(state):
+        _, _, settled, _, it = state
+        return ~jnp.all(settled) & (it < jnp.int32(T))
+
+    init = (
+        jnp.clip(slot0, 0, T - 1),
+        jnp.full((cap,), jnp.int32(T)),   # inactive rows land in overflow
+        ~active,
+        jnp.full((T,), jnp.int32(-1)),
+        jnp.int32(0),
+    )
+    _, my_slot, _, slot_key, _ = jax.lax.while_loop(cond, body, init)
+    rep = jnp.where(slot_key < 0, _BIG, slot_key)
+    return my_slot, rep
+
+
+def table_bits(cap: int, width: int) -> Tuple[int, bool]:
+    """(tbits, direct): table size for a build over ``cap`` rows."""
+    if width <= DIRECT_BITS:
+        return max(width, 1), True
+    return max(cap.bit_length(), 7) + 1, False  # 2*capacity, load <= 0.5
+
+
+# --------------------------------------------------------------------------
+# probe-only lookup (join probe side: never inserts)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("tbits", "direct"))
+def lookup(words, active, rep_by_slot, build_words, tbits, direct):
+    """Find each active row's slot in an already-built table.
+
+    Returns slot per row: the matching slot id, or T (miss/inactive).
+    ``build_words`` are the build side's packed words (for key verification);
+    a probe row misses once it reaches an empty slot.
+    """
+    T = 1 << tbits
+    cap = words[0].shape[0]
+    bcap = build_words[0].shape[0]
+    miss = jnp.int32(T)
+
+    if direct:
+        (w,) = words
+        slot = w.astype(jnp.int32)
+        used = rep_by_slot[jnp.clip(slot, 0, T - 1)] < _BIG
+        return jnp.where(active & used, slot, miss)
+
+    h = hash_operands(words)
+    slot0 = (h & jnp.uint32(T - 1)).astype(jnp.int32)
+
+    def keys_eq(rep):
+        src = jnp.clip(rep, 0, bcap - 1)
+        eq = jnp.ones((cap,), jnp.bool_)
+        for wd, bw in zip(words, build_words):
+            eq = eq & (bw[src] == wd)
+        return eq
+
+    def body(state):
+        slot, result, settled, it = state
+        rep = rep_by_slot[jnp.clip(slot, 0, T - 1)]
+        empty = rep == _BIG
+        eq = ~empty & keys_eq(rep)
+        newly_hit = ~settled & eq
+        newly_miss = ~settled & empty
+        result = jnp.where(newly_hit, slot, result)
+        settled = settled | newly_hit | newly_miss
+        slot = jnp.where(settled, slot, (slot + 1) & jnp.int32(T - 1))
+        return slot, result, settled, it + 1
+
+    def cond(state):
+        _, _, settled, it = state
+        return ~jnp.all(settled) & (it < jnp.int32(T))
+
+    init = (slot0, jnp.full((cap,), miss), ~active, jnp.int32(0))
+    _, result, _, _ = jax.lax.while_loop(cond, body, init)
+    return result

@@ -186,14 +186,83 @@ def _probe_finish(lcols, rcols, perm, nulls_equal):
 
 def _probe(lcols, rcols, nulls_equal):
     """Build + size pass via ONE combined radix sort of both key sets —
-    replaces binary-search probing (sequential random gathers are slow on
-    TPU; the combined sort rides the shared radix executables + key
-    compression)."""
+    the trace-safe fallback (works under shard_map where the hash path's
+    key-compression host sync is unavailable)."""
     from .sortprim import multisort_perm
 
     ops = _combined_codes(tuple(lcols), tuple(rcols))
     perm = multisort_perm(list(ops))
     return _probe_finish(tuple(lcols), tuple(rcols), perm, nulls_equal)
+
+
+@partial(jax.jit, static_argnames=("tbits", "direct", "nulls_equal"))
+def _probe_hash_impl(lcols, rcols, l_words, r_words, tbits, direct, nulls_equal):
+    """Hash-table build over the right side + O(1)-probe lookup from the left.
+
+    The cuco build/probe design (cpp/src/join/hash_join/hash_join.cu:61-142)
+    rebuilt on the round-synchronous table in ops/hashgroup.py. Duplicate
+    right keys are grouped by ONE cheap radix pass over slot ids (right side
+    only — never the 10-100x larger probe side), so per-left-row match
+    (count, offset) pairs are two table gathers.
+    """
+    from . import hashgroup
+    from .sortprim import multisort_perm, tiled_cumsum
+
+    T = 1 << tbits
+    capL = lcols[0].capacity
+    capR = rcols[0].capacity
+    posR = jnp.arange(capR, dtype=jnp.int32)
+    posL = jnp.arange(capL, dtype=jnp.int32)
+
+    r_act = posR < jnp.asarray(rcols[0].length, jnp.int32)
+    if not nulls_equal:
+        for c in rcols:
+            if c.validity is not None:
+                r_act = r_act & c.validity
+    if direct:
+        slotR, rep = hashgroup.build_direct(r_words, r_act, tbits)
+    else:
+        slotR, rep = hashgroup.build_probe(r_words, r_act, tbits)
+
+    # group rights by slot: counts + group starts, and rights ordered by slot
+    cnt_by_slot = jnp.zeros((T + 1,), jnp.int32).at[slotR].add(
+        r_act.astype(jnp.int32))[:T]
+    start_by_slot = tiled_cumsum(cnt_by_slot) - cnt_by_slot
+    r_order = multisort_perm([slotR.astype(jnp.uint32)])  # stable; misses last
+
+    l_act = posL < jnp.asarray(lcols[0].length, jnp.int32)
+    linb = l_act
+    if not nulls_equal:
+        for c in lcols:
+            if c.validity is not None:
+                l_act = l_act & c.validity
+    slotL = hashgroup.lookup(l_words, l_act, rep, r_words, tbits, direct)
+    hit = slotL < jnp.int32(T)
+    sidx = jnp.clip(slotL, 0, T - 1)
+    counts = jnp.where(hit, cnt_by_slot[sidx], 0)
+    lb = jnp.where(hit, start_by_slot[sidx], 0)
+    return counts, lb, r_order, linb
+
+
+def _probe_auto(lcols, rcols, nulls_equal):
+    """Hash build+probe when host-side (key compression needs one tiny
+    min/max sync); combined-sort fallback inside traces."""
+    from . import hashgroup
+
+    if isinstance(lcols[0].data, jax.core.Tracer) or isinstance(
+            rcols[0].data, jax.core.Tracer):
+        return _probe(tuple(lcols), tuple(rcols), nulls_equal)
+    l_ops = _join_key_operands(lcols)
+    r_ops = _join_key_operands(rcols)
+    r_words, width, mins_spec, widths_spec = hashgroup.pack_key_words(
+        r_ops, joint_with=l_ops)
+    if r_words is None:
+        return _probe(tuple(lcols), tuple(rcols), nulls_equal)
+    l_words = hashgroup.pack_like(l_ops, mins_spec, widths_spec)
+    tbits, direct = hashgroup.table_bits(rcols[0].capacity, width)
+    return _probe_hash_impl(
+        tuple(lcols), tuple(rcols), tuple(l_words), tuple(r_words),
+        tbits, direct, nulls_equal)
 
 
 def _probe_bsearch(lcols, rcols, nulls_equal):
@@ -280,15 +349,18 @@ def _expand(counts, lb, r_perm, linb, out_cap, how):
     else:
         eff = counts
     total = jnp.sum(eff)
-    # exclusive prefix; padding rows get offset=total so searchsorted skips them
-    from .sortprim import tiled_cumsum
+    from .sortprim import tiled_cumsum, tiled_cummax
 
-    offs = tiled_cumsum(eff) - eff
-    offs = jnp.where(linb, offs, total)
+    offs = tiled_cumsum(eff) - eff  # exclusive prefix over left rows
+    # expansion via scatter + forward-fill (cummax): each emitting left row
+    # marks its start offset with its row id; one pass instead of the
+    # log2(capL) random-gather rounds a searchsorted would cost on TPU
     j = jnp.arange(out_cap, dtype=eff.dtype)
-    src = jnp.clip(
-        jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1, 0, capL - 1
-    )
+    emit = eff > 0
+    mark_idx = jnp.where(emit, offs, out_cap).astype(jnp.int32)
+    mark = jnp.full((out_cap + 1,), -1, jnp.int32).at[mark_idx].max(
+        jnp.where(emit, jnp.arange(capL, dtype=jnp.int32), -1))[:out_cap]
+    src = jnp.clip(tiled_cummax(mark), 0, capL - 1)
     pos_in = j - offs[src]
     matched = counts[src] > 0
     r_sorted_pos = jnp.clip(lb[src] + pos_in.astype(jnp.int32), 0, capR - 1)
@@ -317,7 +389,7 @@ def join(
     from .stream_compaction import apply_boolean_mask
 
     lcols, rcols = _promote_keys(left, left_on, right, right_on)
-    counts, lb, r_perm, linb = _probe(tuple(lcols), tuple(rcols), nulls_equal)
+    counts, lb, r_perm, linb = _probe_auto(tuple(lcols), tuple(rcols), nulls_equal)
 
     if how in ("semi", "anti"):
         keep = _semi_anti_mask(counts, linb, how == "anti")
@@ -365,7 +437,7 @@ def _full_join(left, right, left_on, right_on, nulls_equal, suffixes) -> Table:
     lj = join(left, right, left_on, right_on, "left", nulls_equal, suffixes)
     # unmatched right rows: probe in the other direction, counts == 0
     rcols2, lcols2 = _promote_keys(right, right_on, left, left_on)
-    counts_r, _, _, rinb = _probe(tuple(rcols2), tuple(lcols2), nulls_equal)
+    counts_r, _, _, rinb = _probe_auto(tuple(rcols2), tuple(lcols2), nulls_equal)
     keep = (counts_r == 0) & rinb
     mask = Column(dtypes.bool_, keep, None, right.num_rows)
     r_only = apply_boolean_mask(right, mask)
