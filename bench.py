@@ -3,13 +3,24 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workloads mirror BASELINE.json configs: multi-key sort, dropna+groupby.mean
-(README config), and a fact-dim inner join — measured warm (post-compile) on
-the real TPU chip, against pandas wall-clock as the baseline engine.
+Workloads mirror BASELINE.json configs on the real TPU chip, measured warm
+(post-compile) against pandas wall-clock on the same data:
+
+  sort        config 2: multi-key numeric sort with nulls
+  sort_str    config 2: string-key sort (dictionary-encoded on device)
+  groupby     config 1: dropna + groupby(["A","B"]).mean()  (README example)
+  groupby_str string-key groupby aggregate
+  join        config 3: fact-dim inner hash join (orders x lineitem shape)
+  join_filter config 3 tail: join + predicate filter + count
+
+vs_baseline = geomean(pandas_time / tpu_time) across workloads. A roofline
+table (HBM-bandwidth-bound rows/s at 819 GB/s for v5e) goes to stderr —
+the honest speed-of-light accounting BASELINE.json asks for.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -17,9 +28,9 @@ import numpy as np
 import pandas as pd
 
 
-N = int(float(__import__("os").environ.get("CUDF_TPU_BENCH_ROWS", "2000000")))
-REPS = 5
-
+N = int(float(os.environ.get("CUDF_TPU_BENCH_ROWS", "2000000")))
+REPS = int(os.environ.get("CUDF_TPU_BENCH_REPS", "5"))
+HBM_BW = 819e9  # v5e HBM bytes/s
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -42,22 +53,34 @@ def main():
     from cudf_tpu.ops import stream_compaction as sc
     from cudf_tpu.ops.join import join as tpu_join
     from cudf_tpu.ops.unaryop import nans_to_nulls
+    import jax.numpy as jnp
 
     log(f"bench: backend={jax.default_backend()} rows={N}")
     rng = np.random.default_rng(0)
 
     # ---------------- data ----------------
+    # config 2: multi-key numeric sort with nulls
+    k1 = rng.integers(0, 100_000, N).astype(np.float64)
+    k1[rng.choice(N, N // 50, replace=False)] = np.nan  # ~2% null keys
     sort_df = pd.DataFrame({
-        "k1": rng.integers(0, 100_000, N),
+        "k1": k1,
         "k2": rng.normal(size=N).astype(np.float32),
         "v": rng.normal(size=N).astype(np.float32),
     })
+    # config 2: string keys (100k distinct)
+    str_pool = np.array([f"cust#{i:07d}" for i in range(100_000)])
+    s_keys = str_pool[rng.integers(0, len(str_pool), N)]
+    sort_str_df = pd.DataFrame({"k": s_keys, "v": rng.normal(size=N).astype(np.float32)})
+    # config 1: dropna + groupby mean (README example)
     gb_df = pd.DataFrame({
         "A": rng.integers(0, 1000, N).astype(np.float64),
         "B": rng.integers(0, 50, N),
         "C": rng.normal(size=N),
     })
     gb_df.loc[rng.choice(N, N // 100, replace=False), "A"] = np.nan
+    # string-key groupby
+    gb_str_df = pd.DataFrame({"k": s_keys, "C": rng.normal(size=N)})
+    # config 3: orders x lineitem shaped join (+ filter + count)
     n_dim = max(N // 20, 1)
     join_left = pd.DataFrame({
         "k": rng.integers(0, n_dim, N),
@@ -69,16 +92,15 @@ def main():
     })
 
     t_sort = ct.Table.from_pandas(sort_df)
+    t_sort_str = ct.Table.from_pandas(sort_str_df)
     t_gb = ct.Table.from_pandas(gb_df)
     t_gb = ct.Table({"A": nans_to_nulls(t_gb["A"]), "B": t_gb["B"], "C": t_gb["C"]})
+    t_gb_str = ct.Table.from_pandas(gb_str_df)
     t_jl = ct.Table.from_pandas(join_left)
     t_jr = ct.Table.from_pandas(join_right)
 
-    # ---------------- tpu ops (warm) ----------------
     # NOTE: block_until_ready does not reliably await completion over the
     # axon tunnel; a scalar D2H read does.
-    import jax.numpy as jnp
-
     def _force(arr):
         return float(jnp.sum(arr.astype(jnp.float32)))
 
@@ -86,21 +108,44 @@ def main():
         out = sorting.sort_by_key(t_sort, ["k1", "k2"])
         _force(out["v"].data)
 
+    def run_sort_str():
+        out = sorting.sort_by_key(t_sort_str, ["k"])
+        _force(out["v"].data)
+
     def run_groupby():
         t2 = sc.drop_nulls(t_gb)
         g = groupby_aggregate(t2, ["A", "B"], [AggSpec("C", "mean", "C")])
+        _force(g["C"].data)
+
+    def run_groupby_str():
+        g = groupby_aggregate(t_gb_str, ["k"], [AggSpec("C", "mean", "C")])
         _force(g["C"].data)
 
     def run_join():
         out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
         _force(out["w"].data)
 
+    def run_join_filter():
+        out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
+        from cudf_tpu.ops.binaryop import binary_op
+        mask = binary_op(out["w"], ct.Column.from_scalar(0.0, out.num_rows), "gt")
+        kept = sc.apply_boolean_mask(out, mask)
+        _force(kept["v"].data)
+
+    workloads = [
+        ("sort", run_sort), ("sort_str", run_sort_str),
+        ("groupby", run_groupby), ("groupby_str", run_groupby_str),
+        ("join", run_join), ("join_filter", run_join_filter),
+    ]
+
     results = {}
-    for name, fn in (("sort", run_sort), ("groupby", run_groupby), ("join", run_join)):
+    cold = {}
+    for name, fn in workloads:
         log(f"bench: warming {name} (compile)...")
         t0 = time.perf_counter()
         fn()
-        log(f"bench: {name} cold {time.perf_counter()-t0:.1f}s")
+        cold[name] = time.perf_counter() - t0
+        log(f"bench: {name} cold {cold[name]:.1f}s")
         results[name] = timeit(fn)
         log(f"bench: {name} warm best {results[name]*1e3:.1f} ms "
             f"({N/results[name]/1e6:.1f}M rows/s)")
@@ -109,18 +154,45 @@ def main():
     pd_results = {}
     pd_results["sort"] = timeit(
         lambda: sort_df.sort_values(["k1", "k2"], kind="stable"), 3)
+    pd_results["sort_str"] = timeit(
+        lambda: sort_str_df.sort_values(["k"], kind="stable"), 3)
     pd_results["groupby"] = timeit(
         lambda: gb_df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean")), 3)
+    pd_results["groupby_str"] = timeit(
+        lambda: gb_str_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
     pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), 3)
+
+    def pd_join_filter():
+        out = join_left.merge(join_right, on="k")
+        return len(out[out["w"] > 0.0])
+    pd_results["join_filter"] = timeit(pd_join_filter, 3)
     for k in pd_results:
         log(f"bench: pandas {k} {pd_results[k]*1e3:.1f} ms")
+
+    # ---------------- roofline table ----------------
+    # speed-of-light = one HBM read + one write of every byte the op must
+    # touch (the BASELINE.json accounting). bytes/row per workload:
+    bytes_per_row = {
+        "sort": 2 * (8 + 4 + 4),        # read+write (f64 key, f32 key, f32 v)
+        "sort_str": 2 * (4 + 4),        # dict codes + f32
+        "groupby": 2 * (8 + 8 + 8),
+        "groupby_str": 2 * (4 + 8),
+        "join": 2 * (8 + 4) + 4,        # left read+write + probe reads
+        "join_filter": 2 * (8 + 4) + 4 + 8,
+    }
+    log("bench: roofline (v5e HBM 819 GB/s):")
+    for name in results:
+        sol = HBM_BW / bytes_per_row[name]
+        got = N / results[name]
+        log(f"bench:   {name:12s} {got/1e6:8.1f}M rows/s  sol {sol/1e6:9.0f}M  "
+            f"({100*got/sol:5.2f}% of roofline, pandas x{pd_results[name]/results[name]:.1f})")
 
     geo_rows = float(np.exp(np.mean([np.log(N / results[k]) for k in results])))
     geo_speedup = float(np.exp(np.mean(
         [np.log(pd_results[k] / results[k]) for k in results])))
 
     print(json.dumps({
-        "metric": "core3_sort_groupby_join_rows_per_s_geomean",
+        "metric": "core_ops_rows_per_s_geomean",
         "value": round(geo_rows, 1),
         "unit": "rows/s",
         "vs_baseline": round(geo_speedup, 3),

@@ -1,0 +1,156 @@
+"""Probe 2: validate the round-2 design choices on the real chip.
+
+- u64 single-pass tile sort (x64 enabled, as cudf_tpu does)
+- TILE width 1<<20 vs 1<<18 (compile time + runtime)
+- gather 2M rows from a small (131k) table vs big table
+- multi-column row gather (2M,4) vs 4 separate gathers
+- fused direct-hash groupby program (codes->slot->segsum->ngroups)
+"""
+from __future__ import annotations
+
+import time, sys
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+N = 1 << 21
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+def timeit(fn, reps=5):
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+def force(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+def main():
+    log(f"backend={jax.default_backend()} N={N} x64={jax.config.jax_enable_x64}")
+    rng = np.random.default_rng(0)
+    k64 = jnp.asarray(rng.integers(0, 1 << 48, N).astype(np.uint64))
+    v = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+    idx_small = jnp.asarray(rng.integers(0, 1 << 17, N).astype(np.int32))
+    small = jnp.asarray(rng.normal(size=1 << 17).astype(np.float32))
+    mat = jnp.asarray(rng.integers(0, 1 << 30, (N, 4)).astype(np.uint32))
+    iota32 = jnp.arange(N, dtype=jnp.uint32)
+
+    # 1. u64 + iota sort, 8x262144 tiles, num_keys=2 (stable via iota tiebreak)
+    def sort_tiles(tw):
+        T = N // tw
+        f = jax.jit(lambda k, p: jax.lax.sort(
+            (k.reshape(T, tw), p.reshape(T, tw)), dimension=1, num_keys=2)[1],
+            static_argnums=())
+        t0 = time.perf_counter()
+        f(k64, iota32).block_until_ready()
+        compile_t = time.perf_counter() - t0
+        t = timeit(lambda: force(f(k64, iota32)))
+        log(f"u64+iota sort {T}x{tw}: compile {compile_t:.1f}s run {t*1e3:8.2f} ms")
+
+    sort_tiles(1 << 18)
+    sort_tiles(1 << 20)
+    sort_tiles(1 << 21)  # flat! may take forever to compile... watch
+
+    # 3. gather from small table
+    f_gs = jax.jit(lambda s, i: s[i])
+    t = timeit(lambda: force(f_gs(small, idx_small)))
+    log(f"gather 2M from 131k table:     {t*1e3:8.2f} ms")
+
+    f_gb = jax.jit(lambda s, i: s[i])
+    t = timeit(lambda: force(f_gb(v, idx)))
+    log(f"gather 2M from 2M table:       {t*1e3:8.2f} ms")
+
+    # 4. row gather (2M,4) vs 4 separate
+    f_gm = jax.jit(lambda m, i: m[i, :])
+    t = timeit(lambda: force(f_gm(mat, idx)))
+    log(f"row-gather (2M,4) u32:         {t*1e3:8.2f} ms")
+
+    f_g4 = jax.jit(lambda m, i: tuple(m[:, j][i] for j in range(4)))
+    t = timeit(lambda: force(f_g4(mat, idx)[0] + f_g4(mat, idx)[3]))
+    log(f"4 separate col gathers:        {t*1e3:8.2f} ms")
+
+    # 5. fused direct-hash groupby: codes -> slot -> 2 segsums + ngroups
+    A = jnp.asarray(rng.integers(0, 1000, N).astype(np.float64))
+    B = jnp.asarray(rng.integers(0, 50, N).astype(np.int64))
+    C = jnp.asarray(rng.normal(size=N))
+
+    TBITS = 16
+    Tt = 1 << TBITS
+
+    @jax.jit
+    def hashgb(a, b, c):
+        codeA = (a - 0.0).astype(jnp.int32)          # integral small-range f64
+        codeB = (b - 0).astype(jnp.int32)
+        slot = codeA * 64 + codeB                     # 10+6 bits
+        seg = slot
+        s = jax.ops.segment_sum(c, seg, num_segments=Tt)
+        cnt = jax.ops.segment_sum(jnp.ones_like(c), seg, num_segments=Tt)
+        occ = cnt > 0
+        ng = jnp.sum(occ.astype(jnp.int32))
+        return s, cnt, occ, ng
+
+    def run():
+        s, cnt, occ, ng = hashgb(A, B, C)
+        return int(ng)
+    t = timeit(run)
+    log(f"fused direct groupby + sync:   {t*1e3:8.2f} ms")
+
+    # 5b. same but two scatter passes into 4M slots
+    seg4m = jnp.asarray(rng.integers(0, 1 << 22, N).astype(np.int32))
+    @jax.jit
+    def hashgb4m(seg, c):
+        s = jax.ops.segment_sum(c, seg, num_segments=1 << 22)
+        cnt = jax.ops.segment_sum(jnp.ones_like(c), seg, num_segments=1 << 22)
+        ng = jnp.sum((cnt > 0).astype(jnp.int32))
+        return s, cnt, ng
+    def run2():
+        s, cnt, ng = hashgb4m(seg4m, C)
+        return int(ng)
+    t = timeit(run2)
+    log(f"2xsegsum into 4M + sync:       {t*1e3:8.2f} ms")
+
+    # 6. combined scatter: one segment_sum of (N,2) into (T,2)?
+    @jax.jit
+    def hashgb2(seg, c):
+        sc = jax.ops.segment_sum(jnp.stack([c, jnp.ones_like(c)], 1), seg, num_segments=1 << 22)
+        ng = jnp.sum((sc[:, 1] > 0).astype(jnp.int32))
+        return sc, ng
+    def run3():
+        sc, ng = hashgb2(seg4m, C)
+        return int(ng)
+    t = timeit(run3)
+    log(f"1xsegsum (N,2) into 4M + sync: {t*1e3:8.2f} ms")
+
+    # 7. f64 vs f32 segment sum cost
+    C32 = C.astype(jnp.float32)
+    @jax.jit
+    def hashgb32(seg, c):
+        sc = jax.ops.segment_sum(jnp.stack([c, jnp.ones_like(c)], 1), seg, num_segments=1 << 22)
+        ng = jnp.sum((sc[:, 1] > 0).astype(jnp.int32))
+        return sc, ng
+    def run4():
+        sc, ng = hashgb32(seg4m, C32)
+        return int(ng)
+    t = timeit(run4)
+    log(f"f32 segsum (N,2) into 4M:      {t*1e3:8.2f} ms")
+
+    # 8. scalar device_put cost (mins as scalars)
+    f_add = jax.jit(lambda x, s: x + s)
+    def runsc():
+        s = jnp.asarray(np.float32(rng.normal()))
+        return force(f_add(v, s))
+    t = timeit(runsc)
+    log(f"scalar device_put + add:       {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

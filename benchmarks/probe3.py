@@ -1,0 +1,154 @@
+"""Probe 3: costs for the code-sort groupby + fused join design."""
+from __future__ import annotations
+
+import time, sys
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+N = 1 << 21
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+def timeit(fn, reps=5):
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+def force(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+def main():
+    log(f"backend={jax.default_backend()} N={N}")
+    rng = np.random.default_rng(0)
+    k64 = jnp.asarray(rng.integers(0, 1 << 40, N).astype(np.uint64))
+    vf64 = jnp.asarray(rng.normal(size=N))
+    vf32 = vf64.astype(jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+    flag = jnp.asarray(rng.random(N) < 0.02)
+
+    # 1. flat u64 sort, single array (key<<21|rowid embedded)
+    f1 = jax.jit(lambda k: jax.lax.sort((k,), num_keys=1)[0])
+    t0 = time.perf_counter(); f1(k64).block_until_ready(); log(f"  [compile {time.perf_counter()-t0:.1f}s]")
+    t = timeit(lambda: force(f1(k64)))
+    log(f"flat u64 sort (no payload):    {t*1e3:8.2f} ms")
+
+    # 2. flat (u64,u32) num_keys=2
+    p32 = jnp.arange(N, dtype=jnp.uint32)
+    f2 = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=2)[1])
+    t0 = time.perf_counter(); f2(k64, p32).block_until_ready(); log(f"  [compile {time.perf_counter()-t0:.1f}s]")
+    t = timeit(lambda: force(f2(k64, p32)))
+    log(f"flat (u64,u32) sort:           {t*1e3:8.2f} ms")
+
+    # 3. f64 cumsum flat
+    f3 = jax.jit(jnp.cumsum)
+    t = timeit(lambda: force(f3(vf64)))
+    log(f"flat f64 cumsum:               {t*1e3:8.2f} ms")
+
+    # 4. segmented f64 scan (reset at flags) via associative_scan on (flag, val)
+    def seg_op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va + vb)
+    f4 = jax.jit(lambda fl, v: jax.lax.associative_scan(seg_op, (fl, v))[1])
+    t = timeit(lambda: force(f4(flag, vf64)))
+    log(f"segmented f64 sum scan:        {t*1e3:8.2f} ms")
+
+    # 5. segmented f64 min scan
+    def seg_min(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
+    f5 = jax.jit(lambda fl, v: jax.lax.associative_scan(seg_min, (fl, v))[1])
+    t = timeit(lambda: force(f5(flag, vf64)))
+    log(f"segmented f64 min scan:        {t*1e3:8.2f} ms")
+
+    # 6. i32 scatter 2M -> 2M (group starts)
+    f6 = jax.jit(lambda i, v: jnp.zeros((N,), jnp.int32).at[i].max(v))
+    iv = jnp.arange(N, dtype=jnp.int32)
+    t = timeit(lambda: force(f6(idx, iv)))
+    log(f"i32 scatter-max 2M->2M:        {t*1e3:8.2f} ms")
+
+    # 7. f64 gather 2M
+    f7 = jax.jit(lambda v, i: v[i])
+    t = timeit(lambda: force(f7(vf64, idx)))
+    log(f"f64 gather 2M:                 {t*1e3:8.2f} ms")
+    t = timeit(lambda: force(f7(vf32, idx)))
+    log(f"f32 gather 2M:                 {t*1e3:8.2f} ms")
+
+    # 8. row-gather (131072, 4) table by 2M idx
+    tab = jnp.asarray(rng.integers(0, 1 << 30, (1 << 17, 4)).astype(np.uint32))
+    idx_small = jnp.asarray(rng.integers(0, 1 << 17, N).astype(np.int32))
+    f8 = jax.jit(lambda tb, i: tb[i, :])
+    t = timeit(lambda: force(f8(tab, idx_small)))
+    log(f"row-gather (131k,4) by 2M:     {t*1e3:8.2f} ms")
+
+    # 9. full P1 pipeline sim: slot pack + sort + gather + scans + starts scatter
+    A = jnp.asarray(rng.integers(0, 1000, N).astype(np.float64))
+    B = jnp.asarray(rng.integers(0, 50, N).astype(np.int64))
+    C = jnp.asarray(rng.normal(size=N))
+
+    @jax.jit
+    def p1(a, b, c):
+        codeA = a.astype(jnp.int64)
+        codeB = b
+        slot = (codeA << 6) | codeB
+        key = (slot.astype(jnp.uint64) << jnp.uint64(21)) | jnp.arange(N, dtype=jnp.uint64)
+        skey = jax.lax.sort((key,), num_keys=1)[0]
+        pos = (skey & jnp.uint64((1 << 21) - 1)).astype(jnp.int32)
+        scode = (skey >> jnp.uint64(21)).astype(jnp.int32)
+        sv = c[pos]
+        newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_), scode[1:] != scode[:-1]])
+        segid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+        ng = segid[-1] + 1
+        cs = jnp.cumsum(sv)
+        cnt = jnp.cumsum(jnp.ones_like(sv))
+        starts = jnp.zeros((N,), jnp.int32).at[segid].max(
+            jnp.where(newgrp, jnp.arange(N, dtype=jnp.int32), 0))
+        return skey, cs, cnt, starts, ng
+    def run():
+        skey, cs, cnt, starts, ng = p1(A, B, C)
+        return int(ng)
+    t = timeit(run)
+    log(f"P1 groupby pipeline + sync:    {t*1e3:8.2f} ms")
+
+    # 10. join P1 sim: build small table + row-gather + cumsum + total
+    kR = jnp.arange(1 << 17, dtype=jnp.int64)
+    kL = jnp.asarray(rng.integers(0, 100_000, N).astype(np.int64))
+    @jax.jit
+    def jp1(kr, kl):
+        T = 1 << 17
+        slotR = kr.astype(jnp.int32)
+        cnt = jnp.zeros((T,), jnp.int32).at[slotR].add(1)
+        start = jnp.cumsum(cnt) - cnt
+        rep = jnp.full((T,), -1, jnp.int32).at[slotR].max(jnp.arange(T, dtype=jnp.int32))
+        tab = jnp.stack([cnt, start, rep], 1)
+        slotL = kl.astype(jnp.int32)
+        row = tab[slotL, :]
+        counts = row[:, 0]
+        total = jnp.sum(counts)
+        maxc = jnp.max(counts)
+        return row, jnp.stack([total.astype(jnp.int64), maxc.astype(jnp.int64)])
+    def runj():
+        row, meta = jp1(kR, kL)
+        m = jax.device_get(meta)
+        return int(m[0])
+    t = timeit(runj)
+    log(f"join P1 (direct) + sync:       {t*1e3:8.2f} ms")
+
+    # 11. join P2 all-match: gather right payload
+    w = jnp.asarray(rng.normal(size=1 << 17).astype(np.float32))
+    ridx = jnp.asarray(rng.integers(0, 1 << 17, N).astype(np.int32))
+    f11 = jax.jit(lambda w, i: w[i])
+    t = timeit(lambda: force(f11(w, ridx)))
+    log(f"join P2 right gather:          {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

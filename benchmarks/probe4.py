@@ -1,0 +1,144 @@
+"""Probe 4: payload sorts, f64 bitcast, searchsorted boundaries."""
+from __future__ import annotations
+
+import time, sys
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+N = 1 << 21
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+def timeit(fn, reps=5):
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+def force(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+def main():
+    log(f"backend={jax.default_backend()} N={N}")
+    rng = np.random.default_rng(0)
+    k64 = jnp.asarray(rng.integers(0, 1 << 40, N).astype(np.uint64))
+    vf64 = jnp.asarray(rng.normal(size=N))
+    vf32 = vf64.astype(jnp.float32)
+    vi64 = jnp.asarray(rng.integers(0, 1 << 40, N).astype(np.int64))
+    vb = jnp.asarray(rng.random(N) < 0.5)
+
+    # 1. sort with one f64 payload
+    f1 = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=False)[1])
+    t0 = time.perf_counter(); f1(k64, vf64).block_until_ready(); log(f"  [compile {time.perf_counter()-t0:.1f}s]")
+    t = timeit(lambda: force(f1(k64, vf64)))
+    log(f"sort u64 + f64 payload:        {t*1e3:8.2f} ms")
+
+    # 2. sort with 4 payloads (f64, f32, i64, bool)
+    f2 = jax.jit(lambda k, a, b, c, d: jax.lax.sort((k, a, b, c, d), num_keys=1, is_stable=False))
+    t0 = time.perf_counter(); jax.block_until_ready(f2(k64, vf64, vf32, vi64, vb)); log(f"  [compile {time.perf_counter()-t0:.1f}s]")
+    t = timeit(lambda: force(f2(k64, vf64, vf32, vi64, vb)[1]))
+    log(f"sort u64 + 4 payloads:         {t*1e3:8.2f} ms")
+
+    # 3. f64 bitcast to u32 pairs
+    try:
+        f3 = jax.jit(lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32))
+        r = f3(vf64)
+        log(f"f64 bitcast->u32 shape {r.shape} OK")
+    except Exception as e:
+        log(f"f64 bitcast FAILS: {type(e).__name__} {str(e)[:120]}")
+    try:
+        f3b = jax.jit(lambda v: jax.lax.bitcast_convert_type(v, jnp.uint64))
+        r = f3b(vf64)
+        t = timeit(lambda: force(f3b(vf64).astype(jnp.uint32)))
+        log(f"f64 bitcast->u64 OK:           {t*1e3:8.2f} ms")
+    except Exception as e:
+        log(f"f64 bitcast->u64 FAILS: {type(e).__name__} {str(e)[:120]}")
+
+    # 4. searchsorted boundaries: 65536 queries into sorted 2M i32
+    gid = jnp.sort(jnp.asarray(rng.integers(0, 65536, N).astype(np.int32)))
+    q = jnp.arange(65536, dtype=jnp.int32)
+    f4 = jax.jit(lambda g, q: jnp.searchsorted(g, q, side="right"))
+    t = timeit(lambda: force(f4(gid, q)))
+    log(f"searchsorted 64k into 2M:      {t*1e3:8.2f} ms")
+
+    # 5. two-scalar device_get (one round trip?)
+    f5 = jax.jit(lambda v: (jnp.sum(v), jnp.max(v)))
+    def run5():
+        a, b = jax.device_get(f5(vf64))
+        return float(a)
+    t = timeit(run5)
+    log(f"2-scalar device_get:           {t*1e3:8.2f} ms")
+
+    # 6. stacked i64 array device_get
+    f6 = jax.jit(lambda v: jnp.stack([jnp.sum(v).astype(jnp.int64), jnp.max(v).astype(jnp.int64)]))
+    def run6():
+        m = np.asarray(jax.device_get(f6(vi64)))
+        return int(m[0])
+    t = timeit(run6)
+    log(f"stacked 2-i64 device_get:      {t*1e3:8.2f} ms")
+
+    # 7. full drop_nulls sim: flag-sort carrying 3 payload cols + count
+    A = jnp.asarray(rng.normal(size=N))
+    Av = jnp.asarray(rng.random(N) < 0.99)
+    B = jnp.asarray(rng.integers(0, 50, N).astype(np.int64))
+    C = jnp.asarray(rng.normal(size=N))
+
+    @jax.jit
+    def dropna(a, av, b, c):
+        drop = ~av
+        key = (drop.astype(jnp.uint64) << jnp.uint64(21)) | jnp.arange(N, dtype=jnp.uint64)
+        _, a2, b2, c2 = jax.lax.sort((key, a, b, c), num_keys=1, is_stable=False)
+        n = jnp.sum(av.astype(jnp.int32))
+        return a2, b2, c2, n
+    def run7():
+        a2, b2, c2, n = dropna(A, Av, B, C)
+        return int(n)
+    t = timeit(run7)
+    log(f"drop_nulls flag-sort + sync:   {t*1e3:8.2f} ms")
+
+    # 8. groupby P1 with payload sort (no value gather)
+    Ai = jnp.asarray(rng.integers(0, 1000, N).astype(np.float64))
+    Bi = jnp.asarray(rng.integers(0, 50, N).astype(np.int64))
+
+    @jax.jit
+    def gb_p1(a, b, c):
+        slot = (a.astype(jnp.int64) << 6) | b
+        key = (slot.astype(jnp.uint64) << jnp.uint64(21)) | jnp.arange(N, dtype=jnp.uint64)
+        skey, sv = jax.lax.sort((key, c), num_keys=1, is_stable=False)
+        scode = (skey >> jnp.uint64(21)).astype(jnp.int32)
+        newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_), scode[1:] != scode[:-1]])
+        gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+        ng = gid[-1] + 1
+        cs = jnp.cumsum(sv)
+        cnt = jnp.arange(1, N + 1, dtype=jnp.int32)
+        return scode, gid, cs, cnt, ng
+    def run8():
+        scode, gid, cs, cnt, ng = gb_p1(Ai, Bi, C)
+        return int(ng)
+    t = timeit(run8)
+    log(f"groupby P1 payload-sort+sync:  {t*1e3:8.2f} ms")
+
+    # 9. groupby P2: searchsorted boundaries + finish
+    scode, gid, cs, cnt, ng_dev = gb_p1(Ai, Bi, C)
+    OUT = 65536
+    @jax.jit
+    def gb_p2(gid, cs, scode, ng):
+        q = jnp.arange(OUT, dtype=jnp.int32)
+        ends = jnp.searchsorted(gid, q, side="right") - 1
+        e = jnp.clip(ends, 0, N - 1)
+        sm = cs[e]
+        sm = sm - jnp.where(q > 0, cs[jnp.clip(ends[jnp.maximum(q - 1, 0)], 0, N - 1)], 0.0)
+        kcode = scode[e]
+        return sm, kcode
+    t = timeit(lambda: force(gb_p2(gid, cs, scode, ng_dev)[0]))
+    log(f"groupby P2 boundaries:         {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

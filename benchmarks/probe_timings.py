@@ -1,0 +1,173 @@
+"""Primitive-op timing probe on the real TPU chip (axon tunnel).
+
+Measures where join/groupby/sort wall-clock actually goes: dispatch+sync
+overhead, gathers, scatters, segment reductions, lax.sort tiles, bitonic
+merge rounds, cumsums. Run: JAX_PLATFORMS=axon python benchmarks/probe_timings.py
+"""
+from __future__ import annotations
+
+import time
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 1 << 21  # 2M
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, reps=5):
+    fn()  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def force(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def main():
+    log(f"backend={jax.default_backend()} N={N}")
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.integers(0, 100_000, N).astype(np.uint32))
+    v = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+    small_idx = jnp.asarray(rng.integers(0, N, 1 << 17).astype(np.int32))
+    seg1k = jnp.asarray(rng.integers(0, 1000, N).astype(np.int32))
+    seg4m = jnp.asarray(rng.integers(0, 1 << 22, N).astype(np.int32))
+
+    # 1. dispatch + sync overhead: trivial op
+    f_trivial = jax.jit(lambda x: x + 1.0)
+    f_trivial(v).block_until_ready()
+    t = timeit(lambda: force(f_trivial(v)))
+    log(f"trivial add + force-sync:      {t*1e3:8.2f} ms")
+
+    # block_until_ready vs sum-sync
+    t = timeit(lambda: f_trivial(v).block_until_ready())
+    log(f"trivial add + block_until:     {t*1e3:8.2f} ms")
+
+    # chain of 10 trivial dispatches then one sync
+    def chain10():
+        x = v
+        for _ in range(10):
+            x = f_trivial(x)
+        return force(x)
+    t = timeit(chain10)
+    log(f"10 dispatches + 1 sync:        {t*1e3:8.2f} ms")
+
+    # 2. big elementwise fused op (10 ops fused in one jit)
+    @jax.jit
+    def fused(x):
+        for _ in range(10):
+            x = x * 1.000001 + 0.5
+        return x
+    t = timeit(lambda: force(fused(v)))
+    log(f"fused 10 elementwise (1 jit):  {t*1e3:8.2f} ms")
+
+    # 3. random gather 2M
+    f_gather = jax.jit(lambda x, i: x[i])
+    t = timeit(lambda: force(f_gather(v, idx)))
+    log(f"random gather 2M:              {t*1e3:8.2f} ms")
+
+    # 4. scatter-add 2M into 4M
+    f_scat = jax.jit(lambda i, x: jnp.zeros((1 << 22,), jnp.float32).at[i].add(x))
+    t = timeit(lambda: force(f_scat(seg4m, v)))
+    log(f"scatter-add 2M into 4M:        {t*1e3:8.2f} ms")
+
+    # 5. scatter-add 2M into 1k
+    f_scat2 = jax.jit(lambda i, x: jnp.zeros((1024,), jnp.float32).at[i].add(x))
+    t = timeit(lambda: force(f_scat2(seg1k, v)))
+    log(f"scatter-add 2M into 1k:        {t*1e3:8.2f} ms")
+
+    # 6. segment_sum 2M into 4M
+    f_seg = jax.jit(lambda i, x: jax.ops.segment_sum(x, i, num_segments=1 << 22))
+    t = timeit(lambda: force(f_seg(seg4m, v)))
+    log(f"segment_sum 2M into 4M:        {t*1e3:8.2f} ms")
+
+    # 7. lax.sort over (8, 262144) tiles
+    k2 = k.reshape(8, N // 8)
+    f_sort = jax.jit(lambda x: jax.lax.sort((x,), dimension=1, num_keys=1, is_stable=True)[0])
+    t = timeit(lambda: force(f_sort(k2)))
+    log(f"lax.sort 8x262144 tiles u32:   {t*1e3:8.2f} ms")
+
+    # 7b. 3-operand tile sort (key + pos + perm, as _pass does)
+    p2 = jnp.broadcast_to(jnp.arange(N // 8, dtype=jnp.uint32), (8, N // 8))
+    f_sort3 = jax.jit(lambda x, p, m: jax.lax.sort((x, p, m), dimension=1, num_keys=1, is_stable=True)[2])
+    t = timeit(lambda: force(f_sort3(k2, p2, p2)))
+    log(f"lax.sort 3-op 8x262144:        {t*1e3:8.2f} ms")
+
+    # 7c. flat sort via one u64 key (pack key<<32 | pos) single tile count
+    kk = (k.astype(jnp.uint64) << jnp.uint64(32)) | jnp.arange(N, dtype=jnp.uint64)
+    f_sort64 = jax.jit(lambda x: jax.lax.sort((x.reshape(8, -1),), dimension=1, num_keys=1)[0])
+    t = timeit(lambda: force(f_sort64(kk).astype(jnp.uint32)))
+    log(f"lax.sort u64 8x262144:         {t*1e3:8.2f} ms")
+
+    # 7d. wider tiles: (2, 1M)
+    f_sortw = jax.jit(lambda x: jax.lax.sort((x.reshape(2, -1),), dimension=1, num_keys=1)[0])
+    t = timeit(lambda: force(f_sortw(k)))
+    log(f"lax.sort 2x1048576 u32:        {t*1e3:8.2f} ms")
+
+    # 8. full multisort_perm from sortprim
+    sys.path.insert(0, "/root/repo")
+    from cudf_tpu.ops.sortprim import multisort_perm, tiled_cumsum, tiled_cummax
+    t = timeit(lambda: force(multisort_perm([k])))
+    log(f"multisort_perm 1 key:          {t*1e3:8.2f} ms")
+
+    # 9. tiled_cumsum / cummax
+    ki = k.astype(jnp.int32)
+    f_cs = jax.jit(tiled_cumsum)
+    t = timeit(lambda: force(f_cs(ki)))
+    log(f"tiled_cumsum 2M:               {t*1e3:8.2f} ms")
+    f_cm = jax.jit(tiled_cummax)
+    t = timeit(lambda: force(f_cm(ki)))
+    log(f"tiled_cummax 2M:               {t*1e3:8.2f} ms")
+
+    # 10. flat cumsum
+    f_fc = jax.jit(jnp.cumsum)
+    t = timeit(lambda: force(f_fc(ki)))
+    log(f"flat cumsum 2M:                {t*1e3:8.2f} ms")
+
+    # 11. associative_scan max flat
+    f_as = jax.jit(lambda x: jax.lax.associative_scan(jnp.maximum, x))
+    t = timeit(lambda: force(f_as(ki)))
+    log(f"flat assoc-scan max 2M:        {t*1e3:8.2f} ms")
+
+    # 12. one bitonic merge round (from sortprim)
+    from cudf_tpu.ops.sortprim import _bitonic_merge_pairs
+    kk2 = k.reshape(8, N // 8)
+    f_bm = jax.jit(lambda a, b, c: _bitonic_merge_pairs(a, b, c)[0])
+    t = timeit(lambda: force(f_bm(kk2, p2, p2)))
+    log(f"bitonic merge round (8->4):    {t*1e3:8.2f} ms")
+
+    # 13. full hash-group build_probe path at 2^22 table
+    from cudf_tpu.ops import hashgroup
+    act = jnp.ones((N,), jnp.bool_)
+    f_bd = jax.jit(lambda w: hashgroup.build_direct((w,), act, 17))
+    t = timeit(lambda: force(f_bd(k)[0]))
+    log(f"hash build_direct 17b:         {t*1e3:8.2f} ms")
+
+    # 14. D2H transfer 8MB
+    t = timeit(lambda: np.asarray(jax.device_get(v)))
+    log(f"device_get 8MB:                {t*1e3:8.2f} ms")
+
+    # 15. H2D transfer 8MB
+    hv = np.asarray(rng.normal(size=N).astype(np.float32))
+    t = timeit(lambda: jax.device_put(hv).block_until_ready())
+    log(f"device_put 8MB:                {t*1e3:8.2f} ms")
+
+    # 16. scalar host sync (int())
+    s = jax.jit(lambda x: jnp.sum(x))(ki)
+    f_s = jax.jit(lambda x: jnp.sum(x))
+    t = timeit(lambda: int(f_s(ki)))
+    log(f"scalar reduce + int() sync:    {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,8 @@ def _slice_kernel(arr, offset, out_cap):
 class Column:
     """An immutable device column: padded data + validity + logical length."""
 
-    __slots__ = ("dtype", "data", "validity", "length", "dictionary", "_null_count")
+    __slots__ = ("dtype", "data", "validity", "length", "dictionary",
+                 "_null_count", "stats")
 
     def __init__(
         self,
@@ -101,6 +102,7 @@ class Column:
         self.length = length if isinstance(length, jax.core.Tracer) else int(length)
         self.dictionary = dictionary
         self._null_count = null_count
+        self.stats = None  # lazily-filled ColStats (core/stats.py)
         assert data.ndim == 1
         assert validity is None or validity.shape == data.shape
 
@@ -351,6 +353,7 @@ def _col_unflatten(aux, leaves):
     col.length = length
     col.dictionary = box.value
     col._null_count = None
+    col.stats = None
     return col
 
 

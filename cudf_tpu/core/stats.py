@@ -1,0 +1,147 @@
+"""Per-column statistics cache: the TPU analog of libcudf's preprocessed tables.
+
+Reference: cpp/src/row_operator/preprocessed_table.cuh (sort/join/groupby
+preprocess key columns once and reuse the result across operations) and the
+writer statistics kernels (cpp/src/io/statistics/). On the axon TPU stack a
+device->host scalar read costs ~25ms of tunnel latency, so every operator
+that needs key ranges (radix key compression, direct-address hash tables,
+partition planning) must NOT recompute them per call. Columns are immutable,
+so (min, max, integrality, nan/null presence) are computed once in ONE fused
+program + ONE host sync and memoized on the Column object.
+
+``ColStats`` values are host Python numbers. ``column_stats(col)`` returns
+None inside a trace (stats require a host sync); callers fall back to
+sync-free generic paths there.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .column import Column
+from .dtypes import Kind
+
+
+@dataclasses.dataclass(frozen=True)
+class ColStats:
+    vmin: float          # min over valid, non-NaN rows (0 if none)
+    vmax: float          # max over valid, non-NaN rows
+    integral: bool       # every valid non-NaN value is an exact integer
+    has_nan: bool        # any valid NaN value (floats)
+    has_null: bool       # any in-bounds null row
+    n_valid: int         # count of valid, non-NaN rows
+
+    @property
+    def value_range(self) -> int:
+        """Number of distinct integer codes vmin..vmax (if integral)."""
+        if not self.integral or self.n_valid == 0:
+            return 0
+        return int(self.vmax) - int(self.vmin) + 1
+
+    def code_width(self) -> Optional[int]:
+        """Bits needed for (value - vmin) codes + NaN/null sentinels, or None
+        if the column isn't integral-codeable (non-integral floats, huge
+        ranges). Codes are monotone in the column's sort order with
+        NaN > max value and null > NaN (nulls-last sort semantics)."""
+        if not self.integral:
+            return None
+        r = self.value_range + (1 if self.has_nan else 0) + (1 if self.has_null else 0)
+        r = max(r, 1)
+        if r > (1 << 40):
+            return None
+        return max(1, int(math.ceil(math.log2(r))) if r > 1 else 1)
+
+
+@jax.jit
+def _stats_kernel(data_f64, validf, isnan, inb):
+    """Fused stats over one column: (min, max, n_valid, any_nonint, any_nan,
+    any_null) with valid = inb & validf & ~isnan."""
+    ok = inb & validf & (~isnan)
+    big = jnp.float64(np.inf)
+    x = jnp.where(ok, data_f64, big)
+    vmin = jnp.min(x)
+    x2 = jnp.where(ok, data_f64, -big)
+    vmax = jnp.max(x2)
+    n_valid = jnp.sum(ok.astype(jnp.int64))
+    nonint = jnp.any(ok & (jnp.floor(data_f64) != data_f64))
+    anynan = jnp.any(inb & validf & isnan)
+    anynull = jnp.any(inb & ~validf)
+    return vmin, vmax, n_valid, nonint, anynan, anynull
+
+
+def compute_stats(col: Column) -> Optional[ColStats]:
+    """Compute (and cache) ColStats for a column. None for unsupported dtypes
+    or inside a trace."""
+    if isinstance(col.data, jax.core.Tracer) or isinstance(col.length, jax.core.Tracer):
+        return None
+    cached = getattr(col, "stats", None)
+    if cached is not None:
+        return cached
+    k = col.dtype.kind
+    if k in (Kind.STRING, Kind.DICTIONARY):
+        # dictionary codes: range is host metadata, no device work at all
+        nd = len(col.dictionary) if col.dictionary is not None else 0
+        st = ColStats(0.0, float(max(nd - 1, 0)), True, False,
+                      col.null_count > 0, col.length - col.null_count)
+        col.stats = st
+        return st
+    if k not in (Kind.BOOL, Kind.INT, Kind.UINT, Kind.FLOAT, Kind.TIMESTAMP,
+                 Kind.DURATION, Kind.DECIMAL):
+        return None
+    d = col.data.astype(jnp.float64)  # may round above 2^53 (guarded below)
+    isnan = jnp.isnan(col.data) if k == Kind.FLOAT else jnp.zeros(col.data.shape, jnp.bool_)
+    validf = col.validity if col.validity is not None else jnp.ones(col.data.shape, jnp.bool_)
+    inb = col.bounds_mask()
+    vmin, vmax, n_valid, nonint, anynan, anynull = jax.device_get(
+        _stats_kernel(d, validf, isnan, inb))
+    n_valid = int(n_valid)
+    if n_valid == 0:
+        st = ColStats(0.0, 0.0, True, bool(anynan), bool(anynull), 0)
+    else:
+        vmin_f, vmax_f = float(vmin), float(vmax)
+        integral = (not bool(nonint)) and abs(vmin_f) < 2**52 and abs(vmax_f) < 2**52
+        st = ColStats(vmin_f, vmax_f, integral, bool(anynan), bool(anynull), n_valid)
+    col.stats = st
+    return st
+
+
+def grouping_code(col: Column, st: ColStats):
+    """Single int32 code per row, monotone in sort order (values ascending,
+    then NaN, then null), for an integral-codeable column. Trace-safe given
+    host ``st``. Returns (code_i32, width_bits)."""
+    w = st.code_width()
+    assert w is not None
+    base = col.data.astype(jnp.float64) - jnp.float64(st.vmin)
+    code = base.astype(jnp.int32) if st.value_range <= (1 << 31) else base.astype(jnp.int64).astype(jnp.int32)
+    nan_code = jnp.int32(st.value_range)
+    null_code = jnp.int32(st.value_range + (1 if st.has_nan else 0))
+    if col.dtype.kind == Kind.FLOAT:
+        code = jnp.where(jnp.isnan(col.data), nan_code, code)
+    if col.validity is not None:
+        code = jnp.where(col.validity, code, null_code)
+    code = jnp.clip(code, 0, (1 << min(w, 30)) - 1)
+    return code, w
+
+
+def decode_group_code(code: jnp.ndarray, col: Column, st: ColStats):
+    """Inverse of grouping_code: (data, validity_or_None) in col's dtype."""
+    nan_code = st.value_range
+    null_code = st.value_range + (1 if st.has_nan else 0)
+    phys = col.dtype.physical
+    val = code.astype(jnp.float64) + jnp.float64(st.vmin)
+    if col.dtype.kind == Kind.FLOAT:
+        data = val.astype(phys)
+        if st.has_nan:
+            data = jnp.where(code == jnp.int32(nan_code), jnp.nan, data)
+    else:
+        data = val.astype(jnp.int64).astype(phys)
+    validity = None
+    if st.has_null:
+        validity = code != jnp.int32(null_code)
+        data = jnp.where(validity, data, jnp.zeros((), phys))
+    return data, validity

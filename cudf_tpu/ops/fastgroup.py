@@ -1,0 +1,416 @@
+"""Code-sort groupby: ONE payload-carrying flat sort + scan aggregation.
+
+The TPU rebuild of libcudf's hash groupby (cpp/src/groupby/groupby.cu:53-69,
+compute_groupby.cu:94, compute_single_pass_aggs.cuh:50-151). The reference's
+hash path exists to avoid a full row sort; on TPU the measured cost model
+(benchmarks/probe*.py) inverts the usual tradeoff — a flat u64 ``lax.sort``
+runs in ~2ms at 2M rows while every random scatter/gather pass costs
+15-40ms — so the "hash path" here is a *code sort*:
+
+  1. each key column reduces to a small integer code monotone in sort order
+     (core/stats.py: code = value - min, NaN/null above the range), computed
+     from CACHED column stats — no host syncs for key analysis;
+  2. codes pack lexicographically with the row id into ONE u64; value
+     columns ride the sort as payloads (no post-sort gathers at all);
+  3. groups are now contiguous AND in key-sorted order (pandas sort=True
+     comes free), so every aggregation is a prefix-scan / segmented-scan
+     over the sorted rows — no scatters (f64 scatter-add is ~10x slower
+     than f32 on TPU; scans are ~free);
+  4. ONE host sync reads the group count; a second tiny program extracts
+     per-group results at segment boundaries found by vectorized binary
+     search (searchsorted over the sorted group ids).
+
+Aggregations: sum/product/min/max/count/size/any/all/mean/var/std/m2/
+sum_of_squares/first/last/argmin/argmax/nth. nunique/median/quantile need
+per-group value ordering and stay on ops/groupby.py's sort engine.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core import stats as colstats
+from ..core.column import Column
+from ..core.dtypes import Kind
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+from .sortprim import tiled_cumsum, segmented_scan
+
+_SUPPORTED = {
+    "sum", "product", "min", "max", "count", "size", "any", "all", "mean",
+    "var", "std", "m2", "sum_of_squares", "first", "last", "argmin",
+    "argmax", "nth",
+}
+
+_I32MAX = np.int32(np.iinfo(np.int32).max)
+
+
+def _posbits(cap: int) -> int:
+    return max(1, (cap - 1).bit_length())
+
+
+def plan_codes(kcols: Sequence[Column], max_bits: int):
+    """Per-key (stats, width) when every key is integral-codeable and the
+    packed width fits; else None."""
+    plan = []
+    total = 0
+    for c in kcols:
+        st = colstats.compute_stats(c)
+        if st is None:
+            return None
+        w = st.code_width()
+        if w is None:
+            return None
+        plan.append((st, w))
+        total += w
+    if total > max_bits:
+        return None
+    return plan
+
+
+def _acc_dtype(dt) -> jnp.dtype:
+    if dt.is_floating:
+        return jnp.float32 if dt.bits <= 32 else jnp.float64
+    return jnp.int64
+
+
+@partial(jax.jit, static_argnames=("widths", "dropna", "nan_flags", "null_flags"))
+def _make_key(kcols, mins, widths, nan_flags, null_flags, ranges, dropna):
+    """u64 sort key: (packed key codes | inactive sentinel) << posbits | row."""
+    cap = kcols[0].capacity
+    pb = _posbits(cap)
+    slot = jnp.zeros((cap,), jnp.int64)
+    keyok = jnp.ones((cap,), jnp.bool_)
+    for c, vmin, w, has_nan, rng in zip(kcols, mins, widths, nan_flags, ranges):
+        base = c.data.astype(jnp.float64) - vmin
+        code = base.astype(jnp.int64)
+        if has_nan:
+            code = jnp.where(jnp.isnan(c.data), rng.astype(jnp.int64), code)
+        if c.validity is not None:
+            null_code = (rng + (jnp.int32(1) if has_nan else jnp.int32(0))).astype(jnp.int64)
+            code = jnp.where(c.validity, code, null_code)
+            if dropna:
+                keyok = keyok & c.validity
+        code = jnp.clip(code, 0, (1 << w) - 1)
+        slot = (slot << w) | code
+    tbits = sum(widths)
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(kcols[0].length, jnp.int32)
+    active = inb & keyok
+    sentinel = jnp.int64(1) << jnp.int64(tbits)
+    slotf = jnp.where(active, slot, sentinel)
+    key = (slotf.astype(jnp.uint64) << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+    return key, active
+
+
+@partial(jax.jit, static_argnames=("kinds", "tbits", "pb"))
+def _pass1(key, vdatas, vvalids, kinds, tbits, pb):
+    """Sort (key + payloads) and build full-capacity scan arrays per agg input.
+
+    Returns (scode, gid, pos, n_groups, per-column dict of scan arrays).
+    ``kinds``: tuple of frozensets — the agg kinds requested per value column.
+    """
+    cap = key.shape[0]
+    payloads = []
+    for d, v in zip(vdatas, vvalids):
+        payloads.append(d)
+        if v is not None:
+            payloads.append(v)
+    sorted_all = jax.lax.sort(tuple([key] + payloads), num_keys=1, is_stable=False)
+    skey = sorted_all[0]
+    svs: List[jnp.ndarray] = []
+    svalids: List[Optional[jnp.ndarray]] = []
+    i = 1
+    for d, v in zip(vdatas, vvalids):
+        svs.append(sorted_all[i]); i += 1
+        if v is not None:
+            svalids.append(sorted_all[i]); i += 1
+        else:
+            svalids.append(None)
+
+    pos = (skey & jnp.uint64((1 << pb) - 1)).astype(jnp.int32)
+    scode = (skey >> jnp.uint64(pb)).astype(jnp.int64)
+    sentinel = jnp.int64(1) << jnp.int64(tbits)
+    act = scode < sentinel
+    newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_), scode[1:] != scode[:-1]]) & act
+    gid = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
+    n_groups = jnp.sum(newgrp.astype(jnp.int32))
+    n_active = jnp.sum(act.astype(jnp.int32))
+    gid = jnp.where(act, gid, _I32MAX)  # keep sorted; inactive rows past all
+    rowpos = jnp.arange(cap, dtype=jnp.int32)
+    # per-group start positions (sorted-row index), scattered by group id:
+    # one i32 scatter beats binary search on this stack (probe4)
+    starts_full = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(newgrp, gid, cap - 1)].max(jnp.where(newgrp, rowpos, 0))
+
+    cols_out = []
+    for sv, svalid, kset in zip(svs, svalids, kinds):
+        valid = act if svalid is None else act & svalid
+        arrs: Dict[str, jnp.ndarray] = {}
+        arrs["sv"] = sv
+        arrs["cs_cnt"] = tiled_cumsum(valid.astype(jnp.int64))
+        needs_sum = kset & {"sum", "mean", "var", "std", "m2", "sum_of_squares"}
+        if needs_sum:
+            acc = _acc_dtype_from(sv)
+            x = jnp.where(valid, sv, jnp.zeros((), sv.dtype)).astype(acc)
+            arrs["cs_sum"] = tiled_cumsum(x)
+            if "sum_of_squares" in kset:
+                arrs["cs_sos"] = tiled_cumsum(x * x)
+        if "product" in kset:
+            acc = _acc_dtype_from(sv)
+            x = jnp.where(valid, sv, jnp.ones((), sv.dtype)).astype(acc)
+            arrs["prod"] = segmented_scan(x, newgrp, jnp.multiply)
+        if kset & {"min", "argmin"}:
+            big = _ident(sv.dtype, True)
+            x = jnp.where(valid, sv, big)
+            arrs["smin"] = segmented_scan(x, newgrp, jnp.minimum)
+        if kset & {"max", "argmax"}:
+            small = _ident(sv.dtype, False)
+            x = jnp.where(valid, sv, small)
+            arrs["smax"] = segmented_scan(x, newgrp, jnp.maximum)
+        if "any" in kset:
+            x = jnp.where(valid, sv.astype(jnp.int32), 0)
+            arrs["sany"] = segmented_scan(x, newgrp, jnp.maximum)
+        if "all" in kset:
+            x = jnp.where(valid, sv.astype(jnp.int32), 1)
+            arrs["sall"] = segmented_scan(x, newgrp, jnp.minimum)
+        if kset & {"first", "nth"}:
+            x = jnp.where(valid, rowpos, _I32MAX)
+            arrs["sfirst"] = segmented_scan(x, newgrp, jnp.minimum)
+        if "last" in kset:
+            x = jnp.where(valid, rowpos, jnp.int32(-1))
+            arrs["slast"] = segmented_scan(x, newgrp, jnp.maximum)
+        cols_out.append(arrs)
+    return scode, gid, pos, n_groups, n_active, starts_full, cols_out
+
+
+def _acc_dtype_from(sv: jnp.ndarray) -> jnp.dtype:
+    if jnp.issubdtype(sv.dtype, jnp.floating):
+        return jnp.float32 if sv.dtype == jnp.float32 else jnp.float64
+    return jnp.int64
+
+
+def _ident(dt, for_min: bool):
+    if jnp.issubdtype(dt, jnp.floating):
+        return jnp.asarray(jnp.inf if for_min else -jnp.inf, dt)
+    if dt == jnp.bool_:
+        return jnp.asarray(for_min, dt)
+    info = jnp.iinfo(dt)
+    return jnp.asarray(info.max if for_min else info.min, dt)
+
+
+def _boundaries(starts_full, n_groups, n_active, out_cap):
+    """Per-group (start, end) sorted-row indices from the P1 scatter."""
+    cap = starts_full.shape[0]
+    q = jnp.arange(out_cap, dtype=jnp.int32)
+    starts = jax.lax.slice(starts_full, (0,), (out_cap,))
+    nxt = jnp.concatenate([starts[1:], jnp.zeros((1,), jnp.int32)])
+    ends = jnp.where(q + 1 < n_groups, nxt - 1, n_active - 1)
+    ok = q < n_groups
+    starts = jnp.where(ok, starts, 0)
+    ends = jnp.clip(jnp.where(ok, ends, 0), 0, cap - 1)
+    return starts, ends, ok
+
+
+def _diff_at(cs, starts, ends):
+    lo = jnp.where(starts > 0, cs[jnp.maximum(starts - 1, 0)], jnp.zeros((), cs.dtype))
+    return cs[ends] - lo
+
+
+def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Optional[Table]:
+    """Code-sort groupby; None when this plan doesn't apply."""
+    from ..utils.jitutil import fix_lengths
+
+    if not all(s.kind in _SUPPORTED for s in aggs):
+        return None
+    kcols = tuple(tbl[k] for k in keys)
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+           for c in kcols):
+        return None
+    cap = kcols[0].capacity
+    pb = _posbits(cap)
+    plan = plan_codes(kcols, max_bits=62 - pb)
+    if plan is None:
+        return None
+    widths = tuple(w for _, w in plan)
+    tbits = sum(widths)
+    mins = tuple(jnp.float64(st.vmin) for st, _ in plan)
+    nan_flags = tuple(st.has_nan for st, _ in plan)
+    null_flags = tuple(st.has_null for st, _ in plan)
+    ranges = tuple(jnp.int32(st.value_range) for st, _ in plan)
+
+    key, active = _make_key(kcols, mins, widths, nan_flags, null_flags,
+                            ranges, dropna_keys)
+
+    # deduplicate value columns; collect agg kinds per column
+    vmap: Dict[str, int] = {}
+    vdatas: List[jnp.ndarray] = []
+    vvalids: List[Optional[jnp.ndarray]] = []
+    vcols: List[Column] = []
+    kinds: List[set] = []
+    for s in aggs:
+        cname = s.column if s.column else keys[0]
+        if cname not in vmap:
+            c = tbl[cname]
+            vmap[cname] = len(vdatas)
+            vdatas.append(c.data)
+            vvalids.append(c.validity)
+            vcols.append(c)
+            kinds.append(set())
+        kinds[vmap[cname]].add(s.kind)
+
+    scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col = _pass1(
+        key, tuple(vdatas), tuple(vvalids),
+        tuple(frozenset(k) for k in kinds), tbits, pb)
+    n_groups = int(ng_dev)  # the ONE host sync
+    out_cap = bucket_capacity(max(n_groups, 1))
+
+    agg_vidx = tuple(vmap[s.column if s.column else keys[0]] for s in aggs)
+    out_cols = _pass2(
+        scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col, tuple(aggs),
+        agg_vidx, tuple(vcols), kcols, tuple(keys), mins, widths, nan_flags,
+        null_flags, ranges, out_cap, tbits)
+    # dictionaries / lengths are host metadata: rebind outside jit (the
+    # _DictBox pytree aux is cached per-executable and may be stale)
+    out_cols = fix_lengths(out_cols, n_groups)
+    for i, k in enumerate(keys):
+        out_cols[k].dictionary = kcols[i].dictionary
+    for s in aggs:
+        c = out_cols[s.out_name]
+        if c.dtype.is_string or c.dtype.kind == Kind.DICTIONARY:
+            src = tbl[s.column] if s.column else kcols[0]
+            c.dictionary = src.dictionary
+    return Table({n: out_cols[n] for n in list(keys) + [s.out_name for s in aggs]})
+
+
+@partial(jax.jit, static_argnames=("aggs", "agg_vidx", "keynames", "widths",
+                                   "nan_flags", "null_flags", "out_cap", "tbits"))
+def _pass2(scode, gid, pos, n_groups, n_active, starts_full, arrs_by_col,
+           aggs, agg_vidx, vcols, kcols, keynames, mins, widths, nan_flags,
+           null_flags, ranges, out_cap, tbits):
+    cap = gid.shape[0]
+    starts, ends, ok = _boundaries(starts_full, n_groups, n_active, out_cap)
+    out: Dict[str, Column] = {}
+
+    # ---- key columns: decode codes at group starts -------------------------
+    kcode = scode[starts]
+    shift = tbits
+    for i, (c, vmin, w, has_nan, rng) in enumerate(
+            zip(kcols, mins, widths, nan_flags, ranges)):
+        shift -= w
+        code = ((kcode >> shift) & jnp.int64((1 << w) - 1)).astype(jnp.int32)
+        val = code.astype(jnp.float64) + vmin
+        phys = c.dtype.physical
+        if c.dtype.kind == Kind.FLOAT:
+            data = val.astype(phys)
+            if has_nan:
+                data = jnp.where(code == rng, jnp.asarray(jnp.nan, phys), data)
+        elif c.dtype.kind == Kind.BOOL:
+            data = code.astype(jnp.bool_)
+        else:
+            data = val.astype(jnp.int64).astype(phys)
+        validity = None
+        if c.validity is not None:
+            null_code = rng + (jnp.int32(1) if has_nan else jnp.int32(0))
+            validity = (code != null_code) & ok
+            data = jnp.where(validity, data, jnp.zeros((), phys))
+        out[keynames[i]] = Column(c.dtype, data, validity, n_groups, c.dictionary)
+
+    # ---- aggregations -------------------------------------------------------
+    for spec, vidx in zip(aggs, agg_vidx):
+        out[spec.out_name] = _finish_agg(
+            spec, arrs_by_col[vidx], vcols[vidx], starts, ends, ok, gid, pos,
+            n_groups, cap)
+    return out
+
+
+def _finish_agg(spec, arrs, vcol, starts, ends, ok, gid, pos, n_groups, cap):
+    kind = spec.kind
+    cnt = _diff_at(arrs["cs_cnt"], starts, ends)
+    size = (ends - starts + 1).astype(jnp.int64)
+    validity = (cnt > 0) & ok
+
+    if kind == "size":
+        return Column(dtypes.int64, jnp.where(ok, size, 0), None, n_groups)
+    if kind == "count":
+        return Column(dtypes.int64, jnp.where(ok, cnt, 0), None, n_groups)
+
+    if kind in ("sum", "mean", "var", "std", "m2", "sum_of_squares"):
+        if kind == "sum_of_squares":
+            s2 = _diff_at(arrs["cs_sos"], starts, ends)
+            return Column(dtypes.from_numpy(np.dtype(s2.dtype)), s2, validity, n_groups)
+        s = _diff_at(arrs["cs_sum"], starts, ends)
+        if kind == "sum":
+            return Column(dtypes.from_numpy(np.dtype(s.dtype)), s, validity, n_groups)
+        mean = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
+        if kind == "mean":
+            return Column(dtypes.float64, mean, validity, n_groups)
+        # two-pass M2 (reference: group_m2.cu): center by the group mean
+        sv = arrs["sv"]
+        act = gid < _I32MAX
+        g = jnp.clip(gid, 0, mean.shape[0] - 1)
+        centered = sv.astype(jnp.float64) - mean[g]
+        valid_rows = act
+        x = jnp.where(valid_rows, centered * centered, 0.0)
+        # rows with null values contributed 0 to cs_cnt; exclude them here too
+        csc = arrs["cs_cnt"]
+        rowvalid = jnp.concatenate([csc[:1] > 0, csc[1:] > csc[:-1]])
+        x = jnp.where(rowvalid, x, 0.0)
+        cs_m2 = tiled_cumsum(x)
+        m2 = _diff_at(cs_m2, starts, ends)
+        if kind == "m2":
+            return Column(dtypes.float64, m2, validity, n_groups)
+        ddof = int(spec.param) if spec.param else 1
+        denom = cnt - ddof
+        var = jnp.where(denom > 0, m2 / jnp.maximum(denom, 1), jnp.nan)
+        validity = validity & (denom > 0)
+        if kind == "var":
+            return Column(dtypes.float64, var, validity, n_groups)
+        return Column(dtypes.float64, jnp.sqrt(var), validity, n_groups)
+
+    if kind == "product":
+        p = arrs["prod"][ends]
+        return Column(dtypes.from_numpy(np.dtype(p.dtype)), p, validity, n_groups)
+
+    if kind in ("min", "max"):
+        r = arrs["smin" if kind == "min" else "smax"][ends]
+        return Column(vcol.dtype, r, validity, n_groups, vcol.dictionary)
+
+    if kind in ("any", "all"):
+        r = arrs["sany" if kind == "any" else "sall"][ends]
+        return Column(dtypes.bool_, r.astype(jnp.bool_), validity, n_groups)
+
+    if kind in ("first", "nth"):
+        fi = jnp.clip(arrs["sfirst"][ends], 0, cap - 1)
+        if kind == "nth":
+            fi = jnp.clip(fi + jnp.int32(int(spec.param)), 0, cap - 1)
+        sv = arrs["sv"]
+        data = sv[fi]
+        v = validity
+        return Column(vcol.dtype, data, v, n_groups, vcol.dictionary)
+
+    if kind == "last":
+        li = jnp.clip(arrs["slast"][ends], 0, cap - 1)
+        data = arrs["sv"][li]
+        return Column(vcol.dtype, data, validity, n_groups, vcol.dictionary)
+
+    if kind in ("argmin", "argmax"):
+        best = arrs["smin" if kind == "argmin" else "smax"][ends]
+        sv = arrs["sv"]
+        act = gid < _I32MAX
+        g = jnp.clip(gid, 0, best.shape[0] - 1)
+        csc = arrs["cs_cnt"]
+        rowvalid = jnp.concatenate([csc[:1] > 0, csc[1:] > csc[:-1]])
+        isbest = act & rowvalid & (sv == best[g])
+        cand = jnp.where(isbest, pos, _I32MAX)
+        sbest = segmented_scan(
+            cand, jnp.concatenate([jnp.ones((1,), jnp.bool_), g[1:] != g[:-1]]),
+            jnp.minimum)
+        r = sbest[ends]
+        return Column(dtypes.int64, r.astype(jnp.int64), validity, n_groups)
+
+    raise ValueError(f"unsupported fast agg {kind!r}")

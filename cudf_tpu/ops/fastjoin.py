@@ -1,0 +1,209 @@
+"""Direct-address equi-join fast path: the distinct/dimension-join hot lane.
+
+TPU rebuild of cpp/src/join/hash_join/hash_join.cu:61-142 (cuco build/probe)
+and distinct_hash_join.cu, shaped by the axon cost model: when both sides'
+keys are integral-codeable (cached column stats, core/stats.py) and the
+shared code range fits DIRECT_BITS, the packed key code IS the table slot —
+a perfect direct-address table:
+
+  build:  per-slot (count, group-start, representative-row) via three small
+          scatters over the BUILD side only, packed into a (T, 3) matrix;
+          rights grouped by slot with one embedded-rowid flat sort;
+  probe:  the probe side's slot is pure arithmetic; (count, lb, rep) is ONE
+          row-gather from the small table (~2ms for 2M probes);
+  size:   output size + max match count come back in ONE fused host sync;
+  retrieve: when every probe row matches exactly one build row (the
+          fact->dim case, cudf's distinct join), the left side passes
+          through ZERO-COPY and each right payload column is one gather.
+          Otherwise the generic expansion (ops/join.py:_expand) runs with a
+          right-sized output capacity.
+
+Null semantics: ``nulls_equal=False`` (pandas default) removes null-key rows
+from both sides' active sets; ``True`` gives nulls their own code so
+null==null matches. NaN keys always match NaN (cuco nan_equality::ALL_EQUAL).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core import stats as colstats
+from ..core.column import Column
+from ..core.dtypes import Kind
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+from .sortprim import tiled_cumsum
+
+DIRECT_BITS = 22  # 4M slots * 3 i32 = 48MB transient table, the upper bound
+
+
+@dataclasses.dataclass(frozen=True)
+class JointSpec:
+    vmin: float
+    value_range: int
+    has_nan: bool
+    has_null: bool
+    width: int
+
+
+def _joint_plan(lcols, rcols) -> Optional[List[JointSpec]]:
+    specs = []
+    total = 0
+    for lc, rc in zip(lcols, rcols):
+        sl = colstats.compute_stats(lc)
+        sr = colstats.compute_stats(rc)
+        if sl is None or sr is None or not (sl.integral and sr.integral):
+            return None
+        if sl.n_valid == 0 and sr.n_valid == 0:
+            vmin, vmax = 0.0, 0.0
+        elif sl.n_valid == 0:
+            vmin, vmax = sr.vmin, sr.vmax
+        elif sr.n_valid == 0:
+            vmin, vmax = sl.vmin, sl.vmax
+        else:
+            vmin, vmax = min(sl.vmin, sr.vmin), max(sl.vmax, sr.vmax)
+        rng = int(vmax) - int(vmin) + 1
+        if rng > (1 << 40):
+            return None
+        has_nan = sl.has_nan or sr.has_nan
+        has_null = sl.has_null or sr.has_null
+        n = rng + (1 if has_nan else 0) + (1 if has_null else 0)
+        width = max(1, (n - 1).bit_length() if n > 1 else 1)
+        specs.append(JointSpec(float(vmin), rng, has_nan, has_null, width))
+        total += width
+    if total > DIRECT_BITS:
+        return None
+    return specs
+
+
+def _codes(cols, specs, mins, ranges, nulls_equal):
+    """(slot_i32, active) for one side; inactive rows never match."""
+    cap = cols[0].capacity
+    slot = jnp.zeros((cap,), jnp.int32)
+    ok = jnp.ones((cap,), jnp.bool_)
+    for c, sp, vmin, rng in zip(cols, specs, mins, ranges):
+        base = c.data.astype(jnp.float64) - vmin
+        code = base.astype(jnp.int32)
+        if sp.has_nan:
+            code = jnp.where(jnp.isnan(c.data), rng, code)
+        if c.validity is not None:
+            null_code = rng + (jnp.int32(1) if sp.has_nan else jnp.int32(0))
+            code = jnp.where(c.validity, code, null_code)
+            if not nulls_equal:
+                ok = ok & c.validity
+        code = jnp.clip(code, 0, (1 << sp.width) - 1)
+        slot = (slot << sp.width) | code
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(cols[0].length, jnp.int32)
+    return slot, inb & ok
+
+
+@partial(jax.jit, static_argnames=("specs", "tbits", "how", "nulls_equal"))
+def _probe_direct(lcols, rcols, mins, ranges, specs, tbits, how, nulls_equal):
+    """Fused build + probe + size pass. Returns per-left-row match info and
+    a small i64 meta vector [total, max_count] for ONE host sync."""
+    T = 1 << tbits
+    capR = rcols[0].capacity
+    slotR, actR = _codes(rcols, specs, mins, ranges, nulls_equal)
+    slotR_s = jnp.where(actR, slotR, jnp.int32(T))
+    rowR = jnp.arange(capR, dtype=jnp.int32)
+    cnt = jnp.zeros((T + 1,), jnp.int32).at[slotR_s].add(1)[:T]
+    starts = tiled_cumsum(cnt) - cnt
+    rep = jnp.full((T + 1,), -1, jnp.int32).at[slotR_s].max(rowR)[:T]
+    # rights grouped by slot (rowid order within slot): embedded flat sort
+    pbR = max(1, (capR - 1).bit_length())
+    rkey = (slotR_s.astype(jnp.uint64) << jnp.uint64(pbR)) | rowR.astype(jnp.uint64)
+    r_perm = (jax.lax.sort((rkey,), num_keys=1, is_stable=False)[0]
+              & jnp.uint64((1 << pbR) - 1)).astype(jnp.int32)
+    tab = jnp.stack([cnt, starts, rep], axis=1)
+
+    slotL, actL = _codes(lcols, specs, mins, ranges, nulls_equal)
+    row = tab[jnp.clip(slotL, 0, T - 1), :]
+    counts = jnp.where(actL, row[:, 0], 0)
+    lb = row[:, 1]
+    rep_l = jnp.where(counts > 0, row[:, 2], -1)
+    capL = lcols[0].capacity
+    linb = jnp.arange(capL, dtype=jnp.int32) < jnp.asarray(lcols[0].length, jnp.int32)
+    if how == "left":
+        eff = jnp.where(linb, jnp.maximum(counts, 1), 0)
+    else:
+        eff = counts
+    meta = jnp.stack([jnp.sum(eff.astype(jnp.int64)),
+                      jnp.max(counts).astype(jnp.int64)])
+    return counts, lb, rep_l, r_perm, linb, meta
+
+
+@partial(jax.jit, static_argnames=("check",))
+def _gather_payload(col: Column, idx, check):
+    safe = jnp.clip(idx, 0, col.capacity - 1)
+    data = col.data[safe]
+    inb = (idx >= 0) & (idx < jnp.asarray(col.length, jnp.int32))
+    if col.validity is not None:
+        v = col.validity[safe] & inb
+    elif check:
+        v = inb
+    else:
+        v = None
+    return Column(col.dtype, data, v, col.length, col.dictionary)
+
+
+def try_fast_join(left: Table, right: Table, left_on: Sequence[str],
+                  right_on: Sequence[str], how: str, nulls_equal: bool,
+                  suffixes: Tuple[str, str]) -> Optional[Table]:
+    """Direct-address join; None when the plan doesn't apply."""
+    from .join import _promote_keys, _expand, _materialize
+    from .stream_compaction import apply_boolean_mask
+    from ..utils.jitutil import fix_lengths
+
+    if how not in ("inner", "left", "semi", "anti"):
+        return None
+    lcols, rcols = _promote_keys(left, left_on, right, right_on)
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+           for c in list(lcols) + list(rcols)):
+        return None
+    specs = _joint_plan(lcols, rcols)
+    if specs is None:
+        return None
+    tbits = sum(sp.width for sp in specs)
+    mins = tuple(jnp.float64(sp.vmin) for sp in specs)
+    ranges = tuple(jnp.int32(sp.value_range) for sp in specs)
+    probe_how = how if how in ("inner", "left") else "inner"
+    counts, lb, rep_l, r_perm, linb, meta = _probe_direct(
+        tuple(lcols), tuple(rcols), mins, ranges, tuple(specs), tbits,
+        probe_how, nulls_equal)
+
+    if how in ("semi", "anti"):
+        keep = (counts == 0) if how == "anti" else (counts > 0)
+        mask = Column(dtypes.bool_, keep, None, left.num_rows)
+        return apply_boolean_mask(left, mask)
+
+    total, maxcnt = (int(x) for x in np.asarray(jax.device_get(meta)))
+    n_out = total
+
+    if maxcnt <= 1 and total == left.num_rows:
+        # distinct-join fast lane: left passes through zero-copy
+        out: Dict[str, Column] = {}
+        rnames = set(right.names)
+        key_pairs = dict(zip(left_on, right_on))
+        for name in left.names:
+            cname = name if name not in rnames or name in key_pairs else name + suffixes[0]
+            out[cname] = left[name]
+        check = how == "left"
+        for name in right.names:
+            if name in key_pairs.values() and name in left_on:
+                continue
+            cname = name if name not in set(left.names) else name + suffixes[1]
+            out[cname] = fix_lengths(
+                _gather_payload(right[name], rep_l, check), n_out)
+            out[cname].dictionary = right[name].dictionary
+        return Table(out)
+
+    out_cap = bucket_capacity(max(n_out, 1))
+    left_idx, right_idx, _ = _expand(counts, lb, r_perm, linb, out_cap, how)
+    return _materialize(left, right, left_on, right_on, left_idx, right_idx,
+                        n_out, how, suffixes, lcols)

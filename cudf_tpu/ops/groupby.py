@@ -154,8 +154,19 @@ def groupby_aggregate(
     aggs: Sequence[AggSpec],
     dropna_keys: bool = True,
 ) -> Table:
-    """Grouped aggregation; output rows are in sorted key order."""
+    """Grouped aggregation; output rows are in sorted key order.
+
+    Dispatch mirrors cpp/src/groupby/groupby.cu:53-69: the code-sort fast
+    path (ops/fastgroup.py — one payload sort + scan aggregation) when the
+    keys are integral-codeable and every agg is supported there; this
+    full sort-based contiguous-group engine otherwise.
+    """
     from ..utils.jitutil import fix_lengths
+    from . import fastgroup
+
+    fast = fastgroup.fast_groupby(tbl, keys, aggs, dropna_keys)
+    if fast is not None:
+        return fast
 
     kcols = tuple(tbl[k] for k in keys)
     perm, seg, newgrp, inb_sorted, n_groups_dev = _grouping(kcols, dropna_keys)

@@ -385,8 +385,32 @@ def join(
     nulls_equal: bool = False,
     suffixes: Tuple[str, str] = ("_x", "_y"),
 ) -> Table:
-    """Equi-join two tables. how: inner/left/semi/anti/full."""
+    """Equi-join two tables. how: inner/left/right/semi/anti/full."""
     from .stream_compaction import apply_boolean_mask
+
+    if how == "right":
+        # pandas right join == swapped left join with the LEFT frame's column
+        # order restored (cpp/src/join/join.cu right_join swaps sides too)
+        sw = join(right, left, list(right_on), list(left_on), "left",
+                  nulls_equal, (suffixes[1], suffixes[0]))
+        rnames = set(right.names)
+        key_pairs = dict(zip(left_on, right_on))
+        order = []
+        for name in left.names:
+            order.append(name if name not in rnames or name in key_pairs
+                         else name + suffixes[0])
+        for name in right.names:
+            if name in key_pairs.values() and name in left_on:
+                continue
+            order.append(name if name not in set(left.names) else name + suffixes[1])
+        return Table({n: sw[n] for n in order})
+
+    from .fastjoin import try_fast_join
+
+    fast = try_fast_join(left, right, left_on, right_on, how, nulls_equal,
+                         suffixes)
+    if fast is not None:
+        return fast
 
     lcols, rcols = _promote_keys(left, left_on, right, right_on)
     counts, lb, r_perm, linb = _probe_auto(tuple(lcols), tuple(rcols), nulls_equal)

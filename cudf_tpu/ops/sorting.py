@@ -60,12 +60,130 @@ def _sorted_order_impl(keys, desc, nl):
     return out[-1]
 
 
+MAX_SORT_PAYLOADS = 12  # beyond this, perm + gather is cheaper than payload carry
+
+
+def _sort_code_plan(kcols, desc, nl):
+    """Per-key (stats, width) honoring descending / nulls placement, or None.
+
+    Codes are monotone in the REQUESTED order: value codes (complemented when
+    descending), NaN above values, nulls mapped first or last per flag.
+    """
+    from ..core import stats as colstats
+
+    plan = []
+    total = 0
+    for c in kcols:
+        st = colstats.compute_stats(c)
+        if st is None:
+            return None
+        w = st.code_width()
+        if w is None:
+            return None
+        plan.append((st, w))
+        total += w
+    return plan, total
+
+
+@partial(jax.jit, static_argnames=("widths", "desc", "nl", "nan_flags",
+                                   "null_flags", "pb"))
+def _fast_sort_impl(kcols, others, mins, ranges, widths, desc, nl, nan_flags,
+                    null_flags, pb):
+    """ONE flat sort: packed key codes + row id as the u64 key, every table
+    column (and validity) riding as payload — zero post-sort gathers."""
+    cap = kcols[0].capacity
+    key = jnp.zeros((cap,), jnp.int64)
+    for i, c in enumerate(kcols):
+        vmin, w, rng = mins[i], widths[i], ranges[i]
+        has_nan, d, nlast = nan_flags[i], desc[i], nl[i]
+        base = c.data.astype(jnp.float64) - vmin
+        code = base.astype(jnp.int64)
+        if has_nan:
+            code = jnp.where(jnp.isnan(c.data), rng.astype(jnp.int64), code)
+        R = (rng + (jnp.int32(1) if has_nan else jnp.int32(0))).astype(jnp.int64)
+        if d:
+            code = R - 1 - code
+        if c.validity is not None:
+            if nlast:
+                code = jnp.where(c.validity, code, R)
+            else:
+                code = jnp.where(c.validity, code + 1, 0)
+        code = jnp.clip(code, 0, (1 << w) - 1)
+        key = (key << w) | code
+    # padding rows sort last: one extra high bit
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(kcols[0].length, jnp.int32)
+    tbits = sum(widths)
+    key = jnp.where(inb, key, key | (jnp.int64(1) << jnp.int64(tbits)))
+    u = (key.astype(jnp.uint64) << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+    payloads = []
+    spec = []  # (col_index, is_validity)
+    all_cols = list(kcols) + list(others)
+    for i, c in enumerate(all_cols):
+        payloads.append(c.data)
+        spec.append((i, False))
+        if c.validity is not None:
+            payloads.append(c.validity)
+            spec.append((i, True))
+    sorted_all = jax.lax.sort(tuple([u] + payloads), num_keys=1, is_stable=False)
+    out_data = {}
+    out_valid = {}
+    for (i, isv), arr in zip(spec, sorted_all[1:]):
+        if isv:
+            out_valid[i] = arr
+        else:
+            out_data[i] = arr
+    outs = []
+    for i, c in enumerate(all_cols):
+        outs.append(Column(c.dtype, out_data[i], out_valid.get(i), c.length,
+                           c.dictionary))
+    return tuple(outs)
+
+
+def _fast_sort_by_key(tbl, keys, desc, nl):
+    from ..utils.jitutil import fix_lengths
+
+    kcols = [tbl[k] for k in keys]
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+           for c in kcols):
+        return None
+    cap = kcols[0].capacity
+    pb = max(1, (cap - 1).bit_length())
+    r = _sort_code_plan(kcols, desc, nl)
+    if r is None:
+        return None
+    plan, total = r
+    if total + 1 + pb > 64:
+        return None
+    n_payload = sum(1 + (tbl[n].validity is not None) for n in tbl.names)
+    if n_payload > MAX_SORT_PAYLOADS:
+        return None
+    others = [tbl[n] for n in tbl.names if n not in set(keys)]
+    widths = tuple(w for _, w in plan)
+    mins = tuple(jnp.float64(st.vmin) for st, _ in plan)
+    ranges = tuple(jnp.int32(st.value_range) for st, _ in plan)
+    nan_flags = tuple(st.has_nan for st, _ in plan)
+    null_flags = tuple(st.has_null for st, _ in plan)
+    outs = _fast_sort_impl(tuple(kcols), tuple(others), mins, ranges, widths,
+                           desc, nl, nan_flags, null_flags, pb)
+    outs = fix_lengths(list(outs), tbl.num_rows)
+    names = list(keys) + [n for n in tbl.names if n not in set(keys)]
+    for c, n in zip(outs, names):
+        c.dictionary = tbl[n].dictionary
+    by_name = dict(zip(names, outs))
+    return Table({n: by_name[n] for n in tbl.names})
+
+
 def sort_by_key(
     tbl: Table,
     keys: Sequence[str],
     descending: Union[bool, Sequence[bool]] = False,
     nulls_last: Union[bool, Sequence[bool]] = True,
 ) -> Table:
+    desc = tuple(_norm_flags(len(keys), descending))
+    nl = tuple(_norm_flags(len(keys), nulls_last))
+    fast = _fast_sort_by_key(tbl, keys, desc, nl)
+    if fast is not None:
+        return fast
     perm = sorted_order([tbl[k] for k in keys], descending, nulls_last)
     return gather_table(tbl, perm, tbl.num_rows)
 

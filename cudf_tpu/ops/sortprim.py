@@ -1,37 +1,36 @@
-"""Sort primitive: multi-key ordering via sequential stable 1-key passes.
+"""Sort primitive: stable lexicographic permutation via u64 radix-key passes.
 
-The TPU-native answer to libcudf's CUB radix sort (cpp/src/sort/
-sort_radix.cu), shaped by measured properties of the axon XLA stack:
+The TPU-native answer to libcudf's CUB radix sort (cpp/src/sort/sort_radix.cu),
+shaped by the measured axon cost model (benchmarks/probe*.py):
 
-1. sort-comparator compile time scales superlinearly with the number of
-   key operands (~15-25s/operand at 256k rows) — so multi-key orders run
-   as LSD radix passes over ONE cached single-key executable;
-2. flat sort compile time becomes intractable past ~1M rows (>45min at
-   2M), while a *batched* (tiles, width) sort compiles in tile-width time;
-3. binary-search (searchsorted) merging of sorted tiles is runtime-slow
-   (~20 sequential random-gather rounds ≈ 360ms per 2M-row search), while
-   **bitonic merge networks** are contiguous compare-exchange stages that
-   run at HBM bandwidth and compile cheaply.
+1. a FLAT single-array ``lax.sort`` of u64 keys runs at ~170 GB/s effective
+   and compiles in well under a minute (the round-1 blowups came from
+   multi-operand comparators, not from width);
+2. every extra sort pass costs a full pipeline (~40ms at 2M rows), so key
+   operands are range-compressed (one tiny min/max sync, or free when the
+   caller provides widths from cached column stats) and bit-packed into as
+   FEW u64 words as possible — most real key sets collapse to ONE pass;
+3. when total key bits + log2(capacity) <= 64, the row id embeds into the
+   key itself: the sort has NO payload operand at all, and stability is free
+   (the embedded position is the tiebreak).
 
-So each pass = tiled stable sort + log2(T) bitonic merge rounds. Stability
-across the non-stable bitonic network comes from carrying the pre-pass
-position as a tiebreak operand: comparing (key, pos) is a strict total
-order that reproduces stable-sort semantics. Capacities are powers of two
-(utils/padding.py) so every run length in the network is a power of two.
+Multi-word keys run as LSD passes: each pass is a flat stable
+``lax.sort((word, perm), num_keys=2)`` — comparing (word, previous-order)
+reproduces stable-sort semantics without a separate position operand.
 
-Every pass reuses one compiled executable per capacity bucket, shared by
-sort_by_key, groupby, distinct, and join builds.
+``tiled_cumsum``/``tiled_cummax``/... are batched prefix scans kept from
+round 1 (flat scans are cheap; the tiled form also bounds compile time).
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE = 262144  # max flat/tile sort width (compile-time sweet spot)
+TILE = 262144  # scan tile width (compile-time sweet spot)
 
 
 def _tiling(cap: int):
@@ -45,64 +44,13 @@ def _tiling(cap: int):
     return t, w
 
 
-def _bitonic_merge_pairs(k, pos, perm):
-    """One merge round: (R, L) sorted runs -> (R/2, 2L) sorted runs.
-
-    Inputs are ascending in the strict order (k, pos); pairs (2i, 2i+1)
-    merge via a bitonic network ([A, reverse(B)] is bitonic).
-    """
-    R, L = k.shape
-    ka = jnp.concatenate([k[0::2], k[1::2][:, ::-1]], axis=1)
-    pa = jnp.concatenate([pos[0::2], pos[1::2][:, ::-1]], axis=1)
-    ma = jnp.concatenate([perm[0::2], perm[1::2][:, ::-1]], axis=1)
-    n = 2 * L
-    s = L
-    while s >= 1:
-        blocks = n // (2 * s)
-        k4 = ka.reshape(R // 2, blocks, 2, s)
-        p4 = pa.reshape(R // 2, blocks, 2, s)
-        m4 = ma.reshape(R // 2, blocks, 2, s)
-        k0, k1 = k4[:, :, 0], k4[:, :, 1]
-        p0, p1 = p4[:, :, 0], p4[:, :, 1]
-        m0, m1 = m4[:, :, 0], m4[:, :, 1]
-        swap = (k0 > k1) | ((k0 == k1) & (p0 > p1))
-        klo = jnp.where(swap, k1, k0)
-        khi = jnp.where(swap, k0, k1)
-        plo = jnp.where(swap, p1, p0)
-        phi = jnp.where(swap, p0, p1)
-        mlo = jnp.where(swap, m1, m0)
-        mhi = jnp.where(swap, m0, m1)
-        ka = jnp.stack([klo, khi], axis=2).reshape(R // 2, n)
-        pa = jnp.stack([plo, phi], axis=2).reshape(R // 2, n)
-        ma = jnp.stack([mlo, mhi], axis=2).reshape(R // 2, n)
-        s //= 2
-    return ka, pa, ma
-
-
-def _pass_body(op: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
-    """One stable pass (traceable): reorder perm by op[perm] ascending."""
-    cap = op.shape[0]
-    k = op[perm]
-    T, W = _tiling(cap)
-    if T == 1:
-        _, out = jax.lax.sort((k, perm), num_keys=1, is_stable=True)
-        return out
-    pos = jnp.arange(cap, dtype=jnp.uint32)  # pre-pass position (stability)
-    k2 = k.reshape(T, W)
-    p2 = pos.reshape(T, W)
-    m2 = perm.reshape(T, W)
-    k2, p2, m2 = jax.lax.sort((k2, p2, m2), dimension=1, num_keys=1, is_stable=True)
-    while k2.shape[0] > 1:
-        k2, p2, m2 = _bitonic_merge_pairs(k2, p2, m2)
-    return m2.reshape(-1)
-
-
-_pass = jax.jit(_pass_body)
+def _posbits(cap: int) -> int:
+    return max(1, (cap - 1).bit_length())
 
 
 @jax.jit
 def _op_ranges(ops):
-    """Per-operand (min, max) — used to prune constant radix passes."""
+    """Per-operand (min, max) — prunes constant operands, sizes the packing."""
     return tuple((jnp.min(o), jnp.max(o)) for o in ops)
 
 
@@ -113,69 +61,116 @@ def _iota(cap: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("widths",))
-def _pack_words(ops, mins, widths):
-    """Range-compress and bit-pack operands into u32 words (lexicographic
-    order preserved: earlier operands land in higher bits of earlier words).
-    ``mins`` are dynamic scalars so distinct data ranges share one compile.
-    """
-    words = []
+def _pack_words64(ops, mins, widths):
+    """Range-compress and bit-pack u32 operands into u64 words (lexicographic
+    order preserved: earlier operands in higher bits of earlier words).
+    ``mins`` are dynamic scalars so distinct data ranges share one compile."""
+    words: List[jnp.ndarray] = []
     acc = None
     used = 0
     for op, lo, w in zip(ops, mins, widths):
-        v = op - lo.astype(jnp.uint32)
+        v = (op - lo.astype(jnp.uint32)).astype(jnp.uint64)
         while w > 0:
-            room = 32 - used
+            room = 64 - used
             take = min(w, room)
-            # take the TOP `take` bits of the remaining w bits of v
-            piece = (v >> jnp.uint32(w - take)) & jnp.uint32((1 << take) - 1)
-            acc = piece if acc is None else ((acc << jnp.uint32(take)) | piece)
+            piece = (v >> jnp.uint64(w - take)) & jnp.uint64((1 << take) - 1)
+            acc = piece if acc is None else ((acc << jnp.uint64(take)) | piece)
             used += take
             w -= take
-            if used == 32:
+            if used == 64:
                 words.append(acc)
                 acc = None
                 used = 0
     if acc is not None:
-        words.append(acc << jnp.uint32(32 - used))  # left-align final word
+        words.append(acc)
     return tuple(words)
 
 
-def multisort_perm(operands: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Stable lexicographic permutation over u32 operand list (LSD passes).
+@partial(jax.jit, static_argnames=("pb",))
+def _single_pass_embedded(word, pb):
+    """ONE flat sort of (key << posbits | rowid); returns the permutation."""
+    cap = word.shape[0]
+    key = (word << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+    skey = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
+    return (skey & jnp.uint64((1 << pb) - 1)).astype(jnp.int32)
 
-    All passes share ONE compiled executable per capacity bucket (a fused
-    multi-pass program would duplicate the pass body per operand — measured
-    565MB serialized at 2M rows). Outside a trace, radix-key compression
-    runs first: one tiny min/max sync per operand, constant operands are
-    dropped, and the remaining value ranges are bit-packed into as few u32
-    words as possible — most real key sets collapse to 1-2 passes (classic
-    radix key compression; libcudf gets the same effect from CUB's
-    begin_bit/end_bit trimming).
+
+@jax.jit
+def _pass64(word, perm):
+    """One stable LSD pass: reorder perm by word[perm].
+
+    Stability comes from a (key, current-position) comparator — strict total
+    order, so the faster non-stable sort reproduces stable semantics; perm
+    rides as payload.
+    """
+    k = word[perm]
+    pos = jnp.arange(perm.shape[0], dtype=jnp.uint32)
+    _, _, out = jax.lax.sort((k, pos, perm), num_keys=2, is_stable=False)
+    return out.astype(jnp.int32)
+
+
+def multisort_perm(
+    operands: Sequence[jnp.ndarray],
+    widths: Optional[Sequence[int]] = None,
+) -> jnp.ndarray:
+    """Stable lexicographic permutation over a u32 operand list.
+
+    ``widths``: optional per-operand bit widths (host ints). When given (the
+    caller compressed codes itself, e.g. from cached column stats), NO device
+    sync happens; operands are assumed already zero-based. Otherwise radix
+    key compression runs first: one tiny min/max sync per call, constant
+    operands dropped, remaining ranges bit-packed (libcudf gets the same
+    effect from CUB's begin_bit/end_bit trimming).
     """
     ops = list(operands)
     for op in ops:
         assert op.dtype == jnp.uint32, op.dtype
-    if not isinstance(ops[0], jax.core.Tracer):
-        ranges = _op_ranges(tuple(ops))
-        import numpy as _np
+    cap = ops[0].shape[0]
+    pb = _posbits(cap)
+    in_trace = any(isinstance(op, jax.core.Tracer) for op in ops)
 
-        flat = _np.asarray(jax.device_get(ranges), dtype=_np.uint64).reshape(len(ops), 2)
+    if widths is not None:
+        assert len(widths) == len(ops)
+        mins = tuple(jnp.uint32(0) for _ in ops)
+        words = list(_pack_words64(tuple(ops), mins, tuple(int(w) for w in widths)))
+        total = sum(widths)
+    elif not in_trace:
+        ranges = _op_ranges(tuple(ops))
+        flat = np.asarray(jax.device_get(ranges), dtype=np.uint64).reshape(len(ops), 2)
         kept = [(op, rng, int(lo), int(hi))
                 for op, rng, (lo, hi) in zip(ops, ranges, flat) if lo != hi]
         if not kept:
-            return _iota(operands[0].shape[0])
+            return _iota(cap)
         mins = tuple(rng[0] for _, rng, _, _ in kept)  # device scalars
-        widths = tuple(int(hi - lo).bit_length() for _, _, lo, hi in kept)
-        ops = list(_pack_words(tuple(op for op, _, _, _ in kept), mins, widths))
-    perm = _iota(ops[0].shape[0])
-    for op in reversed(ops):
-        perm = _pass_body(op, perm) if isinstance(op, jax.core.Tracer) or isinstance(perm, jax.core.Tracer) else _pass(op, perm)
+        ws = tuple(int(hi - lo).bit_length() for _, _, lo, hi in kept)
+        words = list(_pack_words64(tuple(op for op, _, _, _ in kept), mins, ws))
+        total = sum(ws)
+    else:
+        # in-trace: no compression possible; pair raw u32 operands into u64
+        # words (earlier operands more significant)
+        words = []
+        rem = list(ops)
+        if len(rem) % 2 == 1:
+            words.append(rem[0].astype(jnp.uint64))
+            rem = rem[1:]
+        for i in range(0, len(rem), 2):
+            words.append((rem[i].astype(jnp.uint64) << jnp.uint64(32))
+                         | rem[i + 1].astype(jnp.uint64))
+        total = 64 * len(words) if words else 0
+        if not words:
+            return _iota(cap)
+
+    if len(words) == 1 and total + pb <= 64:
+        return _single_pass_embedded(words[0], pb)
+    perm = _iota(cap)
+    for word in reversed(words):
+        perm = _pass64(word, perm)
     return perm
 
 
 def tiled_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """cumsum with tile-width compile cost (flat cumsum compiles in ~30s at
-    2M rows on the axon stack; the batched per-tile form is sub-second)."""
+    """cumsum with tile-width compile cost (flat cumsum compiles slowly at 2M
+    on the axon stack; the batched per-tile form is sub-second)."""
     cap = x.shape[0]
     T, W = _tiling(cap)
     if T == 1:
@@ -228,3 +223,19 @@ def tiled_cummin(x: jnp.ndarray) -> jnp.ndarray:
     out = jnp.minimum(pc, prev[:, None])
     out = out.at[0].set(pc[0])
     return out.reshape(-1)
+
+
+def segmented_scan(vals: jnp.ndarray, newseg: jnp.ndarray, combine) -> jnp.ndarray:
+    """Inclusive segmented scan: resets at rows where ``newseg`` is True.
+
+    ``combine(a, b)`` must be associative (add / min / max / ...). The
+    classic (flag, value) semigroup makes the pair associative, so one
+    ``associative_scan`` does the whole thing.
+    """
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, combine(va, vb))
+
+    _, out = jax.lax.associative_scan(op, (newseg, vals))
+    return out

@@ -40,10 +40,64 @@ def _mask_drop_key(mask: Column):
     return (~keep).astype(jnp.uint32), jnp.sum(keep.astype(jnp.int32))
 
 
+MAX_PAYLOADS = 12
+
+
+@partial(jax.jit, static_argnames=("pb",))
+def _flagsort(cols, drop_key, pb):
+    """ONE flat sort: (drop flag << posbits | rowid) key, every column riding
+    as payload — compaction with zero gathers (stable partition)."""
+    cap = drop_key.shape[0]
+    key = (drop_key.astype(jnp.uint64) << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+    payloads = []
+    spec = []
+    for i, c in enumerate(cols):
+        payloads.append(c.data)
+        spec.append((i, False))
+        if c.validity is not None:
+            payloads.append(c.validity)
+            spec.append((i, True))
+    sorted_all = jax.lax.sort(tuple([key] + payloads), num_keys=1, is_stable=False)
+    datas = {}
+    valids = {}
+    for (i, isv), arr in zip(spec, sorted_all[1:]):
+        if isv:
+            valids[i] = arr
+        else:
+            datas[i] = arr
+    return tuple(
+        Column(c.dtype, datas[i], valids.get(i), c.length, c.dictionary)
+        for i, c in enumerate(cols))
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def _slice_cols(cols, out_cap):
+    out = []
+    for c in cols:
+        d = jax.lax.slice(c.data, (0,), (out_cap,))
+        v = jax.lax.slice(c.validity, (0,), (out_cap,)) if c.validity is not None else None
+        out.append(Column(c.dtype, d, v, c.length, c.dictionary))
+    return tuple(out)
+
+
 def _compact(tbl: Table, drop_key, cnt) -> Table:
+    from ..utils.jitutil import fix_lengths
+
     n_out = int(cnt)  # host sync: the one dynamic size
-    perm = multisort_perm([drop_key])
     out_cap = bucket_capacity(n_out)
+    cols = tuple(tbl[n] for n in tbl.names)
+    n_payload = sum(1 + (c.validity is not None) for c in cols)
+    if n_payload <= MAX_PAYLOADS and not isinstance(drop_key, jax.core.Tracer):
+        cap = drop_key.shape[0]
+        pb = max(1, (cap - 1).bit_length())
+        sorted_cols = _flagsort(cols, drop_key, pb)
+        if out_cap < cap:
+            sorted_cols = _slice_cols(sorted_cols, out_cap)
+        sorted_cols = fix_lengths(list(sorted_cols), n_out)
+        for c, src in zip(sorted_cols, cols):
+            c.dictionary = src.dictionary
+        return Table(dict(zip(tbl.names, sorted_cols)))
+    perm = multisort_perm([drop_key], widths=[1])
     idx = _head(perm, out_cap) if out_cap <= perm.shape[0] else perm
     return gather_table(tbl, idx, n_out)
 
@@ -56,9 +110,8 @@ def apply_boolean_mask(tbl: Table, mask: Column) -> Table:
 
 def filter_column(col: Column, mask: Column) -> Column:
     drop_key, cnt = _mask_drop_key(mask)
-    n_out = int(cnt)
-    perm = multisort_perm([drop_key])
-    return gather(col, _head(perm, bucket_capacity(n_out)), n_out)
+    tbl = _compact(Table({"c": col}), drop_key, cnt)
+    return tbl["c"]
 
 
 @partial(jax.jit, static_argnames=("thresh",))

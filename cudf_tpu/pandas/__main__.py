@@ -1,9 +1,20 @@
 """python -m cudf_tpu.pandas <script.py> [args...] — run a pandas script
 with the TPU accelerator installed (cudf.pandas __main__ analog)."""
-import runpy
+import os
 import sys
 
-from . import install
+# Honor JAX_PLATFORMS before any jax use: some site configurations force a
+# platform list at interpreter start (overriding the env var), and a device
+# fetch from a half-initialized remote platform can deadlock. Re-assert the
+# user's choice first.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import runpy  # noqa: E402
+
+from . import install  # noqa: E402
 
 
 def main():

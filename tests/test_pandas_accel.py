@@ -91,7 +91,15 @@ def test_module_runner(tmp_path):
         "print('RUNNER', getattr(pd, '__cudf_tpu_accel__', False),"
         " list(df.sort_values('x').to_pandas()['x']))\n"
     )
+    import os
+
+    # scrub the axon TPU-tunnel registration from the child env: this test
+    # exercises the accelerator import hook on plain CPU jax; a half-switched
+    # remote platform (axon registered + jax_platforms flipped to cpu) can
+    # deadlock any device fetch
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, "-m", "cudf_tpu.pandas", str(script)],
                        capture_output=True, text=True, timeout=240,
-                       cwd="/root/repo")
+                       cwd="/root/repo", env=env)
     assert "RUNNER True [1, 2]" in r.stdout, (r.stdout, r.stderr[-2000:])
