@@ -128,7 +128,7 @@ def main():
     def run_join_filter():
         out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
         from cudf_tpu.ops.binaryop import binary_op
-        mask = binary_op(out["w"], ct.Column.from_scalar(0.0, out.num_rows), "gt")
+        mask = binary_op(out["w"], 0.0, "gt")
         kept = sc.apply_boolean_mask(out, mask)
         _force(kept["v"].data)
 

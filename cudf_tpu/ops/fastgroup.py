@@ -152,7 +152,7 @@ def _pass1(key, vdatas, vvalids, kinds, tbits, pb):
         valid = act if svalid is None else act & svalid
         arrs: Dict[str, jnp.ndarray] = {}
         arrs["sv"] = sv
-        arrs["cs_cnt"] = tiled_cumsum(valid.astype(jnp.int64))
+        arrs["cs_cnt"] = tiled_cumsum(valid.astype(jnp.int32))  # i32: native, not emulated
         needs_sum = kset & {"sum", "mean", "var", "std", "m2", "sum_of_squares"}
         if needs_sum:
             acc = _acc_dtype_from(sv)
@@ -337,7 +337,8 @@ def _finish_agg(spec, arrs, vcol, starts, ends, ok, gid, pos, n_groups, cap):
     if kind == "size":
         return Column(dtypes.int64, jnp.where(ok, size, 0), None, n_groups)
     if kind == "count":
-        return Column(dtypes.int64, jnp.where(ok, cnt, 0), None, n_groups)
+        return Column(dtypes.int64, jnp.where(ok, cnt.astype(jnp.int64), 0),
+                      None, n_groups)
 
     if kind in ("sum", "mean", "var", "std", "m2", "sum_of_squares"):
         if kind == "sum_of_squares":

@@ -64,12 +64,19 @@ MAX_SORT_PAYLOADS = 12  # beyond this, perm + gather is cheaper than payload car
 
 
 def _sort_code_plan(kcols, desc, nl):
-    """Per-key (stats, width) honoring descending / nulls placement, or None.
+    """Host-side per-key sort-code plan honoring descending / null placement.
 
-    Codes are monotone in the REQUESTED order: value codes (complemented when
-    descending), NaN above values, nulls mapped first or last per flag.
+    Each key yields a list of (kind, width) operand descriptors whose
+    concatenated u32 codes are monotone in the REQUESTED order:
+      ("code", w):  stats-compressed integer code (value - min; NaN and
+                    null mapped per flags) — the narrow fast case
+      ("f32",  33): null flag + exact IEEE-flip order code
+      ("i64",  65): null flag + (hi, lo) order codes for wide int64/temporal
+      ("f64",  68): null flag + exact (sgnexp, mant_hi, mant_lo) order codes
+    Returns (plan, total_bits) or None (in-trace / unsupported dtype).
     """
     from ..core import stats as colstats
+    from ..core.dtypes import Kind
 
     plan = []
     total = 0
@@ -78,29 +85,37 @@ def _sort_code_plan(kcols, desc, nl):
         if st is None:
             return None
         w = st.code_width()
-        if w is None:
+        if w is not None and w <= 40:
+            plan.append(("code", st, w))
+            total += w
+            continue
+        nf = 1 if c.validity is not None else 0
+        k = c.dtype.kind
+        if k == Kind.FLOAT and c.dtype.bits <= 32:
+            plan.append(("f32", st, nf + 32))
+            total += nf + 32
+        elif k in (Kind.INT, Kind.UINT, Kind.TIMESTAMP, Kind.DURATION,
+                   Kind.DECIMAL):
+            plan.append(("i64", st, nf + 64))
+            total += nf + 64
+        elif k == Kind.FLOAT:
+            plan.append(("f64", st, nf + 15 + 26 + 26))
+            total += nf + 15 + 26 + 26
+        else:
             return None
-        plan.append((st, w))
-        total += w
     return plan, total
 
 
-@partial(jax.jit, static_argnames=("widths", "desc", "nl", "nan_flags",
-                                   "null_flags", "pb"))
-def _fast_sort_impl(kcols, others, mins, ranges, widths, desc, nl, nan_flags,
-                    null_flags, pb):
-    """ONE flat sort: packed key codes + row id as the u64 key, every table
-    column (and validity) riding as payload — zero post-sort gathers."""
-    cap = kcols[0].capacity
-    key = jnp.zeros((cap,), jnp.int64)
-    for i, c in enumerate(kcols):
-        vmin, w, rng = mins[i], widths[i], ranges[i]
-        has_nan, d, nlast = nan_flags[i], desc[i], nl[i]
-        base = c.data.astype(jnp.float64) - vmin
-        code = base.astype(jnp.int64)
-        if has_nan:
-            code = jnp.where(jnp.isnan(c.data), rng.astype(jnp.int64), code)
-        R = (rng + (jnp.int32(1) if has_nan else jnp.int32(0))).astype(jnp.int64)
+def _order_ops(c: Column, kind: str, st, width: int, d: bool, nlast: bool):
+    """u32 (op, width) list for one key column, monotone in requested order."""
+    ops: List = []
+    if kind == "code":
+        rng = jnp.int32(st.value_range)
+        base = c.data.astype(jnp.float64) - jnp.float64(st.vmin)
+        code = base.astype(jnp.int32)
+        if st.has_nan:
+            code = jnp.where(jnp.isnan(c.data), rng, code)
+        R = rng + (jnp.int32(1) if st.has_nan else jnp.int32(0))
         if d:
             code = R - 1 - code
         if c.validity is not None:
@@ -108,13 +123,43 @@ def _fast_sort_impl(kcols, others, mins, ranges, widths, desc, nl, nan_flags,
                 code = jnp.where(c.validity, code, R)
             else:
                 code = jnp.where(c.validity, code + 1, 0)
-        code = jnp.clip(code, 0, (1 << w) - 1)
-        key = (key << w) | code
-    # padding rows sort last: one extra high bit
-    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(kcols[0].length, jnp.int32)
-    tbits = sum(widths)
-    key = jnp.where(inb, key, key | (jnp.int64(1) << jnp.int64(tbits)))
-    u = (key.astype(jnp.uint64) << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+        code = jnp.clip(code, 0, (1 << width) - 1)
+        return [(code.astype(jnp.uint32), width)]
+    # generic order codes: leading null flag (placement), complement for desc
+    if c.validity is not None:
+        nf = (~c.validity).astype(jnp.uint32)
+        if not nlast:
+            nf = jnp.uint32(1) - nf
+        ops.append((nf, 1))
+    if kind == "f32":
+        code = rowcodes._f32_code(c.data)
+        code = jnp.where(jnp.isnan(c.data), jnp.uint32(0xFFFFFFFF), code)
+        codes = [(code, 32)]
+    elif kind == "i64":
+        d64 = c.data.astype(jnp.int64)
+        hi = (d64 >> 32).astype(jnp.int32).view(jnp.uint32) ^ jnp.uint32(1 << 31)
+        lo = d64.astype(jnp.uint32)
+        codes = [(hi, 32), (lo, 32)]
+    else:  # f64
+        c1, mh, ml = rowcodes._f64_codes(c.data)
+        codes = [(c1, 15), (mh, 26), (ml, 26)]
+    if d:
+        codes = [((jnp.uint32((1 << w) - 1) - op) if w < 32 else ~op, w)
+                 for op, w in codes]
+    return ops + codes
+
+
+@partial(jax.jit, static_argnames=("plan_kinds", "widths", "desc", "nl",
+                                   "nan_flags", "null_flags", "pb"))
+def _fast_sort_impl(kcols, others, mins, ranges, plan_kinds, widths, desc, nl,
+                    nan_flags, null_flags, pb):
+    """Payload-carrying flat sort(s): packed key-code words as u64 keys,
+    every table column (and validity) riding as payload — zero post-sort
+    gathers. Single-word keys embed the row id (one pass, no position
+    operand); wider keys run LSD word passes with a position tiebreak."""
+    words, total = build_order_words(
+        list(kcols), plan_kinds, widths, mins, ranges, nan_flags, null_flags,
+        desc, nl, kcols[0].length)
     payloads = []
     spec = []  # (col_index, is_validity)
     all_cols = list(kcols) + list(others)
@@ -124,10 +169,10 @@ def _fast_sort_impl(kcols, others, mins, ranges, widths, desc, nl, nan_flags,
         if c.validity is not None:
             payloads.append(c.validity)
             spec.append((i, True))
-    sorted_all = jax.lax.sort(tuple([u] + payloads), num_keys=1, is_stable=False)
+    out_arrays = sort_payloads_by_words(words, payloads, pb, total)
     out_data = {}
     out_valid = {}
-    for (i, isv), arr in zip(spec, sorted_all[1:]):
+    for (i, isv), arr in zip(spec, out_arrays):
         if isv:
             out_valid[i] = arr
         else:
@@ -137,6 +182,62 @@ def _fast_sort_impl(kcols, others, mins, ranges, widths, desc, nl, nan_flags,
         outs.append(Column(c.dtype, out_data[i], out_valid.get(i), c.length,
                            c.dictionary))
     return tuple(outs)
+
+
+class _StatView:
+    """Minimal stats facade for _order_ops inside a trace (traced scalars)."""
+
+    __slots__ = ("vmin", "value_range", "has_nan", "has_null")
+
+    def __init__(self, vmin, value_range, has_nan, has_null):
+        self.vmin = vmin
+        self.value_range = value_range
+        self.has_nan = has_nan
+        self.has_null = has_null
+
+
+def build_order_words(kcols, plan_kinds, widths, mins, ranges, nan_flags,
+                      null_flags, desc, nl, length):
+    """Trace-safe: u64 key words (most-significant first) for the requested
+    order, with a leading oob flag so padding sorts last. Returns
+    (words, total_bits). Usable inside shard_map bodies (distributed sort)."""
+    from .sortprim import _pack_words64
+
+    cap = kcols[0].capacity
+    ops: List = []
+    for i, c in enumerate(kcols):
+        st = _StatView(mins[i], ranges[i], nan_flags[i], null_flags[i])
+        ops.extend(_order_ops(c, plan_kinds[i], st, widths[i], desc[i], nl[i]))
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(length, jnp.int32)
+    all_ops = [((~inb).astype(jnp.uint32), 1)] + ops
+    words = list(_pack_words64(
+        tuple(op for op, _ in all_ops),
+        tuple(jnp.uint32(0) for _ in all_ops),
+        tuple(w for _, w in all_ops)))
+    return words, sum(w for _, w in all_ops)
+
+
+def sort_payloads_by_words(words, payloads, pb: int, total: int):
+    """Trace-safe payload sort by pre-built u64 key words. Returns the
+    reordered payload list. Single-word keys embed the row id; wider keys
+    run LSD passes with a position tiebreak."""
+    cap = payloads[0].shape[0] if payloads else words[0].shape[0]
+    if len(words) == 1 and total + pb <= 64:
+        u = (words[0] << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+        res = jax.lax.sort(tuple([u] + list(payloads)), num_keys=1,
+                           is_stable=False)
+        return list(res[1:])
+    arrays = list(payloads)
+    words_cur = list(words)
+    for wi in range(len(words_cur) - 1, -1, -1):
+        pos = jnp.arange(cap, dtype=jnp.uint32)
+        carry = words_cur[:wi] if wi > 0 else []
+        res = jax.lax.sort(tuple([words_cur[wi], pos] + arrays + carry),
+                           num_keys=2, is_stable=False)
+        arrays = list(res[2:2 + len(arrays)])
+        if wi > 0:
+            words_cur = list(res[2 + len(arrays):]) + [None] * (len(words_cur) - wi)
+    return arrays
 
 
 def _fast_sort_by_key(tbl, keys, desc, nl):
@@ -152,19 +253,19 @@ def _fast_sort_by_key(tbl, keys, desc, nl):
     if r is None:
         return None
     plan, total = r
-    if total + 1 + pb > 64:
-        return None
     n_payload = sum(1 + (tbl[n].validity is not None) for n in tbl.names)
     if n_payload > MAX_SORT_PAYLOADS:
         return None
     others = [tbl[n] for n in tbl.names if n not in set(keys)]
-    widths = tuple(w for _, w in plan)
-    mins = tuple(jnp.float64(st.vmin) for st, _ in plan)
-    ranges = tuple(jnp.int32(st.value_range) for st, _ in plan)
-    nan_flags = tuple(st.has_nan for st, _ in plan)
-    null_flags = tuple(st.has_null for st, _ in plan)
-    outs = _fast_sort_impl(tuple(kcols), tuple(others), mins, ranges, widths,
-                           desc, nl, nan_flags, null_flags, pb)
+    plan_kinds = tuple(k for k, _, _ in plan)
+    widths = tuple(w for _, _, w in plan)
+    mins = tuple(jnp.float64(st.vmin) for _, st, _ in plan)
+    ranges = tuple(jnp.int32(st.value_range) for _, st, _ in plan)
+    nan_flags = tuple(st.has_nan for _, st, _ in plan)
+    null_flags = tuple(st.has_null for _, st, _ in plan)
+    outs = _fast_sort_impl(tuple(kcols), tuple(others), mins, ranges,
+                           plan_kinds, widths, desc, nl, nan_flags,
+                           null_flags, pb)
     outs = fix_lengths(list(outs), tbl.num_rows)
     names = list(keys) + [n for n in tbl.names if n not in set(keys)]
     for c, n in zip(outs, names):

@@ -221,15 +221,29 @@ def _compact_received(recv, recvv, rcounts, bucket: int):
 
 
 def shuffle_by_key(st: ShardedTable, keys: Sequence[str],
-                   bucket: Optional[int] = None) -> Tuple["ShardedTable", int]:
+                   bucket: Optional[int] = None,
+                   auto_retry: bool = True) -> Tuple["ShardedTable", int]:
     """Hash-shuffle rows so equal keys land on the same shard.
 
     Returns (shuffled ShardedTable, overflow_row_count). Overflow > 0 means
-    ``bucket`` was too small for a skewed partition — re-run with a larger
-    bucket (reference skew handling: partition splitting, SURVEY §2.7).
+    ``bucket`` was too small for a skewed partition; with ``auto_retry``
+    (default) the shuffle detects it and re-runs with a doubled bucket until
+    it fits — the reference's skew answer (LocalRepartitioner partition
+    splitting, actor_graph/collectives/shuffle.py:430) expressed as
+    receive-block resizing for the fixed-block all_to_all exchange.
     """
     n = st.n_shards
     B = bucket or max(64, (2 * st.cap) // n)
+    max_B = max(st.cap * n, B)
+    while True:
+        shuffled, overflow = _shuffle_once(st, keys, B)
+        if overflow == 0 or not auto_retry or B >= max_B:
+            return shuffled, overflow
+        B = min(2 * B, max_B)
+
+
+def _shuffle_once(st: ShardedTable, keys: Sequence[str], B: int):
+    n = st.n_shards
     axis = st.axis
 
     @partial(jax.jit, static_argnames=())
@@ -295,7 +309,7 @@ def dist_groupby(st: ShardedTable, keys: Sequence[str], aggs,
     from ..ops.groupby import AggSpec, _aggregate_impl, _grouping
 
     shuffled, overflow = shuffle_by_key(st, keys, bucket)
-    assert overflow == 0, f"shuffle bucket overflow: {overflow} rows; raise bucket"
+    assert overflow == 0, f"shuffle overflow after retries: {overflow} rows"
     axis = st.axis
     out_cap = shuffled.cap
     agg_names = [a.out_name for a in aggs]
@@ -378,23 +392,29 @@ def dist_groupby(st: ShardedTable, keys: Sequence[str], aggs,
 def dist_join(left: ShardedTable, right: ShardedTable,
               left_on: Sequence[str], right_on: Sequence[str],
               how: str = "inner", bucket: Optional[int] = None) -> ShardedTable:
-    """Shuffle-shuffle equi-join; output capacity assumes right keys are
-    unique per key (dimension-table pattern): out_cap == left shard cap."""
+    """Shuffle-shuffle equi-join with a distributed size pass.
+
+    Phase 1 (one shard_map program) co-partitions both sides and computes
+    per-left-row match (count, offset) plus each shard's exact output size;
+    ONE host sync reads the max and picks the output capacity bucket; phase 2
+    expands + gathers at that capacity. This is the distributed analog of
+    libcudf's join size-estimation kernel (inner_join_size.cu) and fixes 1:N
+    expansions past the left shard capacity (no silent truncation).
+    """
     from ..ops.join import _probe, _expand
 
     # co-partition both sides by key hash (identical hash -> same shard)
     sl, ovl = shuffle_by_key(left, left_on, bucket)
     sr, ovr = shuffle_by_key(right, right_on, bucket)
-    assert ovl == 0 and ovr == 0, "shuffle overflow; raise bucket"
+    assert ovl == 0 and ovr == 0, "shuffle overflow after retries"
     axis = left.axis
     capL, capR = sl.cap, sr.cap
-    out_cap = capL
 
     lnames = list(sl.names)
-    rnames = [n for n in sr.names if n not in set(left_on) or n not in set(right_on)]
     rpayload = [n for n in sr.names if n not in list(right_on)]
     out_names = lnames + [n if n not in set(lnames) else n + "_y" for n in rpayload]
 
+    # ---- phase 1: probe + size --------------------------------------------
     @jax.jit
     @partial(
         jax.shard_map,
@@ -407,20 +427,53 @@ def dist_join(left: ShardedTable, right: ShardedTable,
             {k: P(axis) for k, v in sr.validity.items() if v is not None},
             P(axis),
         ),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+    )
+    def size_step(larr, lval, llen, rarr, rval, rlen):
+        llen0 = llen[0]
+        rlen0 = rlen[0]
+        lcols = _local_cols_from(sl, sl.names, larr, lval, llen0)
+        rcols = _local_cols_from(sr, sr.names, rarr, rval, rlen0)
+        lk = tuple(lcols[k] for k in left_on)
+        rk = tuple(rcols[k] for k in right_on)
+        counts, lb, r_perm, linb = _probe(lk, rk, False)
+        if how == "left":
+            eff = jnp.where(linb, jnp.maximum(counts, 1), 0)
+        else:
+            eff = counts
+        total = jnp.sum(eff.astype(jnp.int64))
+        return counts, lb, r_perm, linb, total[None]
+
+    larrs = dict(sl.data)
+    lvals = {k: v for k, v in sl.validity.items() if v is not None}
+    rarrs = dict(sr.data)
+    rvals = {k: v for k, v in sr.validity.items() if v is not None}
+    counts, lb, r_perm, linb, totals = size_step(
+        larrs, lvals, sl.lengths, rarrs, rvals, sr.lengths)
+    max_total = int(jnp.max(totals))  # the one host sync
+    out_cap = bucket_capacity(max(max_total, 1))
+
+    # ---- phase 2: expand + materialize ------------------------------------
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=left.mesh,
+        in_specs=(
+            {k: P(axis) for k in sl.names},
+            {k: P(axis) for k, v in sl.validity.items() if v is not None},
+            {k: P(axis) for k in sr.names},
+            {k: P(axis) for k, v in sr.validity.items() if v is not None},
+            P(axis), P(axis), P(axis), P(axis),
+        ),
         out_specs=(
             {k: P(axis) for k in out_names},
             {k: P(axis) for k in out_names},
             P(axis),
         ),
     )
-    def step(larr, lval, llen, rarr, rval, rlen):
-        llen = llen[0]
-        rlen = rlen[0]
-        lcols = _local_cols_from(sl, sl.names, larr, lval, llen)
-        rcols = _local_cols_from(sr, sr.names, rarr, rval, rlen)
-        lk = tuple(lcols[k] for k in left_on)
-        rk = tuple(rcols[k] for k in right_on)
-        counts, lb, r_perm, linb = _probe(lk, rk, False)
+    def retrieve_step(larr, lval, rarr, rval, counts, lb, r_perm, linb):
+        lcols = _local_cols_from(sl, sl.names, larr, lval, jnp.int32(capL))
+        rcols = _local_cols_from(sr, sr.names, rarr, rval, jnp.int32(capR))
         left_idx, right_idx, total = _expand(counts, lb, r_perm, linb, out_cap, how)
         from ..ops.copying import gather
 
@@ -436,12 +489,8 @@ def dist_join(left: ShardedTable, right: ShardedTable,
             valid[out_n] = g.validity if g.validity is not None else jnp.ones((out_cap,), jnp.bool_)
         return data, valid, total.astype(jnp.int32)[None]
 
-    data, valid, lens = step(
-        dict(sl.data), {k: v for k, v in sl.validity.items() if v is not None},
-        sl.lengths,
-        dict(sr.data), {k: v for k, v in sr.validity.items() if v is not None},
-        sr.lengths,
-    )
+    data, valid, lens = retrieve_step(
+        larrs, lvals, rarrs, rvals, counts, lb, r_perm, linb)
     out_dtypes, out_dicts = {}, {}
     for n in lnames:
         out_dtypes[n] = sl.dtypes[n]
@@ -466,15 +515,36 @@ def broadcast_join(left: ShardedTable, right_small: Table,
     axis = left.axis
     capL = left.cap
     out_cap = capL
-    # replicate the small side to every device
+    # string key columns: unify the two sides' dictionaries BEFORE
+    # replication so codes compare in one shared code space (the analog of
+    # join.py:_promote_keys). Left codes remap inside the shard body via a
+    # tiny replicated old->new map; right codes remap host-side here.
+    l_remaps: Dict[str, jax.Array] = {}
+    new_left_dicts: Dict[str, np.ndarray] = {}
+    right_small = Table({n: right_small[n] for n in right_small.names})
     rsh = NamedSharding(left.mesh, P())  # fully replicated
+    for ln, rn in zip(left_on, right_on):
+        if left.dtypes[ln].is_string:
+            ld = left.dictionaries[ln] if left.dictionaries[ln] is not None else np.array([], str)
+            rc = right_small[rn]
+            rd = rc.dictionary if rc.dictionary is not None else np.array([], str)
+            merged = np.unique(np.concatenate([np.asarray(ld, str), np.asarray(rd, str)]))
+            l_map = np.searchsorted(merged, np.asarray(ld, str)).astype(np.int32)
+            r_map = np.searchsorted(merged, np.asarray(rd, str)).astype(np.int32)
+            l_remaps[ln] = jax.device_put(
+                np.pad(l_map, (0, 1)), rsh)  # +1 pad: safe gather for garbage codes
+            new_codes = r_map[np.clip(np.asarray(rc.data), 0, max(len(r_map) - 1, 0))] \
+                if len(r_map) else np.zeros(rc.capacity, np.int32)
+            right_small = Table({
+                **{n: right_small[n] for n in right_small.names if n != rn},
+                rn: Column(rc.dtype, jnp.asarray(new_codes.astype(np.int32)),
+                           rc.validity, rc.length, merged),
+            })
+            new_left_dicts[ln] = merged
     rnames = right_small.names
     rdata, rval, rdt, rdict = {}, {}, {}, {}
     for n in rnames:
         c = right_small[n]
-        if c.dtype.is_string and n in dict(zip(right_on, left_on)):
-            li = left_on[right_on.index(n)]
-            pass
         rdata[n] = jax.device_put(c.data, rsh)
         rval[n] = None if c.validity is None else jax.device_put(c.validity, rsh)
         rdt[n] = c.dtype
@@ -494,6 +564,7 @@ def broadcast_join(left: ShardedTable, right_small: Table,
             P(axis),
             {k: P() for k in rnames},
             {k: P() for k, v in rval.items() if v is not None},
+            {k: P() for k in l_remaps},
         ),
         out_specs=(
             {k: P(axis) for k in out_names},
@@ -501,9 +572,14 @@ def broadcast_join(left: ShardedTable, right_small: Table,
             P(axis),
         ),
     )
-    def step(larr, lval, llen, rarr, rvalid):
+    def step(larr, lval, llen, rarr, rvalid, remaps):
         llen = llen[0]
         lcols = _local_cols_from(left, left.names, larr, lval, llen)
+        for ln, rm in remaps.items():
+            old = lcols[ln]
+            new_codes = rm[jnp.clip(old.data, 0, rm.shape[0] - 1)]
+            lcols[ln] = Column(old.dtype, new_codes, old.validity, old.length,
+                               new_left_dicts[ln])
         rcols = {
             n: Column(rdt[n], rarr[n], rvalid.get(n), rlen, rdict[n]) for n in rnames
         }
@@ -526,11 +602,12 @@ def broadcast_join(left: ShardedTable, right_small: Table,
     data, valid, lens = step(
         dict(left.data), {k: v for k, v in left.validity.items() if v is not None},
         left.lengths, rdata, {k: v for k, v in rval.items() if v is not None},
+        dict(l_remaps),
     )
     out_dtypes, out_dicts = {}, {}
     for n in lnames:
         out_dtypes[n] = left.dtypes[n]
-        out_dicts[n] = left.dictionaries[n]
+        out_dicts[n] = new_left_dicts.get(n, left.dictionaries[n])
     for n in rpayload:
         out_n = n if n not in set(lnames) else n + "_y"
         out_dtypes[out_n] = rdt[n]
@@ -539,96 +616,192 @@ def broadcast_join(left: ShardedTable, right_small: Table,
                         out_dtypes, out_dicts, out_cap)
 
 
-def dist_sort_values(st: ShardedTable, keys: Sequence[str],
-                     descending=False) -> ShardedTable:
-    """Distributed sort: sample -> range partition -> all_to_all -> local sort
-    (reference: collectives/sort.py:150 _compute_sort_boundaries + :548)."""
+@jax.jit
+def _global_stats_kernel(data_f64, validf, isnan, inb):
+    ok = inb & validf & (~isnan)
+    big = jnp.float64(np.inf)
+    vmin = jnp.min(jnp.where(ok, data_f64, big))
+    vmax = jnp.max(jnp.where(ok, data_f64, -big))
+    n_valid = jnp.sum(ok.astype(jnp.int64))
+    nonint = jnp.any(ok & (jnp.floor(data_f64) != data_f64))
+    anynan = jnp.any(inb & validf & isnan)
+    anynull = jnp.any(inb & ~validf)
+    return vmin, vmax, n_valid, nonint, anynan, anynull
+
+
+def _global_key_stats(st: ShardedTable, name: str):
+    """ColStats over ALL shards of one column (one fused sync). The
+    distributed analog of core/stats.py:compute_stats."""
+    from ..core.stats import ColStats
+
+    d = st.data[name]
+    kd = st.dtypes[name]
+    if kd.is_string:
+        nd = len(st.dictionaries[name]) if st.dictionaries[name] is not None else 0
+        return ColStats(0.0, float(max(nd - 1, 0)), True, False,
+                        st.validity[name] is not None, 1)
+    inb = (
+        jax.lax.broadcasted_iota(jnp.int32, (st.n_shards, st.cap), 1).reshape(-1)
+        < jnp.repeat(st.lengths, st.cap)
+    )
+    validf = st.validity[name] if st.validity[name] is not None else jnp.ones(d.shape, jnp.bool_)
+    isnan = jnp.isnan(d) if kd.is_floating else jnp.zeros(d.shape, jnp.bool_)
+    vmin, vmax, n_valid, nonint, anynan, anynull = jax.device_get(
+        _global_stats_kernel(d.astype(jnp.float64), validf, isnan, inb))
+    n_valid = int(n_valid)
+    if n_valid == 0:
+        return ColStats(0.0, 0.0, True, bool(anynan), bool(anynull), 0)
+    vmin_f, vmax_f = float(vmin), float(vmax)
+    integral = (not bool(nonint)) and abs(vmin_f) < 2**52 and abs(vmax_f) < 2**52
+    return ColStats(vmin_f, vmax_f, integral, bool(anynan), bool(anynull), n_valid)
+
+
+def dist_sort_values(st: ShardedTable, keys: Sequence[str], descending=False,
+                     nulls_last=True, samples_per_shard: int = 128,
+                     bucket: Optional[int] = None) -> ShardedTable:
+    """Device-native distributed sort: ONE shard_map program does
+    sample -> all_gather splitters -> range bucketize -> all_to_all ->
+    in-shard payload sort. No host round-trips of table data.
+
+    Multi-key, asc/desc per key, nulls placement — all encoded in a single
+    u64 order word per row (ops/sorting.build_order_words over global column
+    stats); splitters are word-space quantiles of the gathered samples, so
+    range boundaries respect the FULL multi-key order prefix (up to the
+    first 63 word bits; ties share a shard and the local sort finishes the
+    order). Reference: collectives/sort.py:150 _compute_sort_boundaries,
+    :548 _global_sort.
+    """
+    from ..ops.sorting import build_order_words, sort_payloads_by_words
+
     n = st.n_shards
     axis = st.axis
-    desc = [descending] * len(keys) if isinstance(descending, bool) else list(descending)
+    desc = tuple([descending] * len(keys) if isinstance(descending, bool)
+                 else list(descending))
+    nl = tuple([nulls_last] * len(keys) if isinstance(nulls_last, bool)
+               else list(nulls_last))
 
-    # 1. sample key codes to pick n-1 splitters (host round-trip, tiny)
-    from ..ops.sorting import sorted_order
-    from ..ops import sortprim
+    # global per-key stats (cached on the ShardedTable)
+    cache = getattr(st, "_stats_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(st, "_stats_cache", cache)
+    kstats = []
+    for k in keys:
+        if k not in cache:
+            cache[k] = _global_key_stats(st, k)
+        kstats.append(cache[k])
 
-    tables = st.to_tables()  # small sample path; full impl later samples on device
-    import numpy as np_
-
-    sample_codes = []
-    for t in tables:
-        k = [t[x] for x in keys]
-        # only first key drives ranges in v1 (multi-key ranges: round 2)
-        first = k[0]
-        vals = first.to_numpy()
-        take = min(len(vals), 64)
-        if take:
-            idx = np_.linspace(0, len(vals) - 1, take).astype(int)
-            sample_codes.append(np_.asarray(vals, dtype=object)[idx])
-    allsamp = np_.concatenate(sample_codes) if sample_codes else np_.array([])
-    allsamp = np_.sort(allsamp[~np_.array([x is None for x in allsamp])].astype(
-        type(allsamp[0]) if len(allsamp) else float))
-    if descending:
-        allsamp = allsamp[::-1]
-    splitters = [allsamp[int(len(allsamp) * (i + 1) / n)] for i in range(n - 1)] if len(allsamp) else []
-
-    # 2. range-partition via per-shard comparison against splitters
-    first_key = keys[0]
-    kd = st.dtypes[first_key]
-    if kd.is_string:
-        d = st.dictionaries[first_key]
-        split_codes = np_.searchsorted(d, np_.asarray(splitters, dtype=str)) if len(splitters) else np_.array([], np_.int64)
-        split_dev = jnp.asarray(split_codes.astype(np_.int64))
-    else:
-        split_dev = jnp.asarray(np_.asarray(splitters, dtype=dt.to_numpy(kd)).view(
-            "int64") if kd.is_temporal else np_.asarray(splitters, dtype=dt.to_numpy(kd)))
-
-    B = max(64, (4 * st.cap) // n)
-
-    @jax.jit
-    @partial(
-        jax.shard_map,
-        mesh=st.mesh,
-        in_specs=(
-            {k: P(axis) for k in st.names},
-            {k: P(axis) for k, v in st.validity.items() if v is not None},
-            P(axis),
-        ),
-        out_specs=(
-            {k: P(axis) for k in st.names},
-            {k: P(axis) for k, v in st.validity.items() if v is not None},
-            P(axis),
-            P(axis),
-        ),
-    )
-    def step(arrays, valids, length):
-        length = length[0]
-        kcol = arrays[first_key]
-        if len(splitters):
-            pid = jnp.searchsorted(
-                split_dev.astype(kcol.dtype), kcol, side="right"
-            ).astype(jnp.int32)
-            if descending:
-                pid = jnp.int32(n - 1) - jnp.searchsorted(
-                    -split_dev.astype(kcol.dtype), -kcol, side="right"
-                ).astype(jnp.int32)
-                pid = jnp.clip(pid, 0, n - 1)
+    # plan order operands from the stats (host metadata only)
+    plan = []
+    from ..core.dtypes import Kind
+    for k, stt in zip(keys, kstats):
+        w = stt.code_width()
+        kd = st.dtypes[k]
+        if w is not None and w <= 40:
+            plan.append(("code", stt, w))
+        elif kd.kind == Kind.FLOAT and kd.bits <= 32:
+            plan.append(("f32", stt, (1 if st.validity[k] is not None else 0) + 32))
+        elif kd.kind in (Kind.INT, Kind.UINT, Kind.TIMESTAMP, Kind.DURATION,
+                         Kind.DECIMAL):
+            plan.append(("i64", stt, (1 if st.validity[k] is not None else 0) + 64))
+        elif kd.kind == Kind.FLOAT:
+            plan.append(("f64", stt, (1 if st.validity[k] is not None else 0) + 67))
         else:
-            pid = jnp.zeros(kcol.shape, jnp.int32)
-        send, sendv, sent, overflow = _bucketize(arrays, valids, pid, length, n, B)
-        recv, recvv, rcounts = _exchange(send, sendv, sent, axis)
-        out, outv, new_len = _compact_received(recv, recvv, rcounts, B)
-        return out, outv, new_len[None], overflow[None]
+            raise TypeError(f"cannot dist-sort dtype {kd}")
+    plan_kinds = tuple(p[0] for p in plan)
+    widths = tuple(p[2] for p in plan)
+    mins = tuple(jnp.float64(p[1].vmin) for p in plan)
+    ranges = tuple(jnp.int32(p[1].value_range) for p in plan)
+    nan_flags = tuple(p[1].has_nan for p in plan)
+    null_flags = tuple(p[1].has_null for p in plan)
+
+    B = bucket or max(64, (4 * st.cap) // n)
+    max_B = max(st.cap * n, B)
+    S = samples_per_shard
+
+    names = list(st.names)
+    vnames = [k for k, v in st.validity.items() if v is not None]
+
+    def _make_step(B):
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=st.mesh,
+            in_specs=(
+                {k: P(axis) for k in names},
+                {k: P(axis) for k in vnames},
+                P(axis),
+            ),
+            out_specs=(
+                {k: P(axis) for k in names},
+                {k: P(axis) for k in vnames},
+                P(axis),
+                P(axis),
+            ),
+        )
+        def step(arrays, valids, length):
+            length = length[0]
+            cap = st.cap
+            kcols = [
+                Column(st.dtypes[k], arrays[k], valids.get(k), length,
+                       st.dictionaries[k])
+                for k in keys
+            ]
+            words, total = build_order_words(
+                kcols, plan_kinds, widths, mins, ranges, nan_flags, null_flags,
+                desc, nl, length)
+            w0 = words[0]  # leading word (highest-order bits incl. oob flag)
+
+            # ---- sample local word quantiles, all_gather, pick splitters
+            sw = jax.lax.sort((w0,), num_keys=1)[0]
+            qpos = (jnp.arange(S, dtype=jnp.int32)
+                    * jnp.maximum(length, 1)) // jnp.int32(S)
+            samp = sw[jnp.clip(qpos, 0, cap - 1)]
+            # shards with few rows repeat values — harmless for quantiles
+            allsamp = jax.lax.all_gather(samp, axis).reshape(-1)
+            allsamp = jax.lax.sort((allsamp,), num_keys=1)[0]
+            spos = (jnp.arange(n - 1, dtype=jnp.int32) + 1) * (n * S) // n
+            splitters = allsamp[jnp.clip(spos, 0, n * S - 1)]
+
+            pid = jnp.searchsorted(splitters, w0, side="right").astype(jnp.int32)
+            # ship the order words alongside the columns: avoids rebuilding
+            # them post-exchange
+            arrays2 = dict(arrays)
+            for wi, w in enumerate(words):
+                arrays2[f"__w{wi}"] = w
+            send, sendv, sent, overflow = _bucketize(arrays2, valids, pid,
+                                                     length, n, B)
+            recv, recvv, rcounts = _exchange(send, sendv, sent, axis)
+            out, outv, new_len = _compact_received(recv, recvv, rcounts, B)
+
+            # ---- in-shard local payload sort by the exchanged words
+            new_cap = n * B
+            pb = max(1, (new_cap - 1).bit_length())
+            rwords = [out.pop(f"__w{wi}") for wi in range(len(words))]
+            # received rows beyond new_len carry stale words; force them last
+            inb2 = jnp.arange(new_cap, dtype=jnp.int32) < new_len
+            rwords[0] = jnp.where(inb2, rwords[0],
+                                  jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            payload_names = list(out.keys())
+            vpayload_names = list(outv.keys())
+            payloads = [out[k2] for k2 in payload_names] + [outv[k2] for k2 in vpayload_names]
+            sorted_p = sort_payloads_by_words(rwords, payloads, pb, 64 * len(rwords))
+            out2 = dict(zip(payload_names, sorted_p[: len(payload_names)]))
+            outv2 = dict(zip(vpayload_names, sorted_p[len(payload_names):]))
+            return out2, outv2, new_len[None], overflow[None]
+
+        return step
 
     arrays = dict(st.data)
     valids = {k: v for k, v in st.validity.items() if v is not None}
-    out, outv, new_lens, overflow = step(arrays, valids, st.lengths)
-    assert int(jnp.sum(overflow)) == 0, "range-partition bucket overflow"
-    ranged = ShardedTable(
+    while True:
+        out, outv, new_lens, overflow = _make_step(B)(arrays, valids, st.lengths)
+        ov = int(jnp.sum(overflow))
+        if ov == 0 or B >= max_B:
+            assert ov == 0, f"range-partition overflow after retries: {ov}"
+            break
+        B = min(2 * B, max_B)
+    return ShardedTable(
         st.mesh, st.axis, st.names, out, {k: outv.get(k) for k in st.names},
         new_lens, st.dtypes, st.dictionaries, n * B,
     )
-    # 3. local sorts per shard (host-driven loop over shards)
-    from ..ops.sorting import sort_by_key
-
-    locals_ = [sort_by_key(t, list(keys), desc) for t in ranged.to_tables()]
-    return ShardedTable.from_tables(locals_, st.mesh, st.axis)

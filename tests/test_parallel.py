@@ -118,3 +118,94 @@ class TestDistSort:
         res = out.concat_to_table().to_pandas()
         exp = df.sort_values("k", kind="stable").reset_index(drop=True)
         pd.testing.assert_frame_equal(res, exp)
+
+
+class TestDistJoinExpansion:
+    def test_one_to_many_expansion(self, mesh):
+        # each left key matches 5 right rows: output is 5x the left shard
+        # size — exercises the distributed size pass (no silent truncation)
+        rng = np.random.default_rng(8)
+        fact = pd.DataFrame({"k": rng.integers(0, 40, 1200), "v": rng.normal(size=1200)})
+        dim = pd.DataFrame({"k": np.repeat(np.arange(40), 5),
+                            "w": rng.normal(size=200)})
+        stf = spmd.ShardedTable.from_tables(split_df(fact, 8), mesh)
+        std = spmd.ShardedTable.from_tables(split_df(dim, 8), mesh)
+        out = spmd.dist_join(stf, std, ["k"], ["k"], "inner")
+        res = out.concat_to_table().to_pandas()
+        exp = fact.merge(dim, on="k")
+        assert len(res) == len(exp)
+        res = res.sort_values(["k", "v", "w"]).reset_index(drop=True)
+        exp = exp.sort_values(["k", "v", "w"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp, rtol=1e-12)
+
+
+class TestBroadcastJoinStrings:
+    def test_string_keys_distinct_dictionaries(self, mesh):
+        # left and right dictionaries differ: codes must unify pre-broadcast
+        rng = np.random.default_rng(9)
+        keys = np.array([f"key_{i:03d}" for i in range(60)])
+        fact = pd.DataFrame({"k": keys[rng.integers(0, 60, 1500)],
+                             "v": rng.normal(size=1500)})
+        dim = pd.DataFrame({"k": keys[10:50][::-1].copy(),
+                            "w": np.arange(40) * 2.0})
+        stf = spmd.ShardedTable.from_tables(split_df(fact, 8), mesh)
+        out = spmd.broadcast_join(stf, Table.from_pandas(dim), ["k"], ["k"])
+        res = out.concat_to_table().to_pandas()
+        exp = fact.merge(dim, on="k")
+        assert len(res) == len(exp)
+        res = res.sort_values(["k", "v"]).reset_index(drop=True)
+        exp = exp.sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp, rtol=1e-12)
+
+
+class TestSkewAutoRetry:
+    def test_shuffle_auto_retry_absorbs_skew(self, mesh):
+        # 95% of rows share one key and the default bucket is forced tiny:
+        # shuffle must detect overflow and retry with bigger blocks
+        rng = np.random.default_rng(10)
+        k = np.where(rng.random(2000) < 0.95, 3, rng.integers(0, 50, 2000))
+        df = pd.DataFrame({"k": k, "v": np.ones(2000)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        shuffled, overflow = spmd.shuffle_by_key(st, ["k"], bucket=8)
+        assert overflow == 0
+        out = shuffled.concat_to_table().to_pandas()
+        assert len(out) == len(df)
+        assert out["v"].sum() == df["v"].sum()
+
+    def test_dist_groupby_skew_default_bucket(self, mesh):
+        rng = np.random.default_rng(11)
+        k = np.where(rng.random(1000) < 0.9, 7, rng.integers(0, 50, 1000))
+        df = pd.DataFrame({"k": k, "v": np.ones(1000)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_groupby(st, ["k"], [AggSpec("v", "sum", "s")])  # no bucket hint
+        res = out.concat_to_table().to_pandas().sort_values("k").reset_index(drop=True)
+        exp = df.groupby("k", as_index=False).agg(s=("v", "sum"))
+        pd.testing.assert_frame_equal(res, exp, check_dtype=False)
+
+
+class TestDistSortMultiKey:
+    def test_multikey_asc_desc(self, mesh):
+        rng = np.random.default_rng(12)
+        df = pd.DataFrame({
+            "a": rng.integers(0, 25, 1700),
+            "b": rng.normal(size=1700).astype(np.float32),
+            "v": np.arange(1700),
+        })
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_sort_values(st, ["a", "b"], descending=[True, False])
+        res = out.concat_to_table().to_pandas()
+        exp = df.sort_values(["a", "b"], ascending=[False, True],
+                             kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp, check_dtype=False)
+
+    def test_sort_with_nulls_and_strings(self, mesh):
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "s": np.array(["aa", "zz", "mm", "bb"])[rng.integers(0, 4, 900)],
+            "x": rng.normal(size=900),
+        })
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_sort_values(st, ["s", "x"])
+        res = out.concat_to_table().to_pandas()
+        exp = df.sort_values(["s", "x"], kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp, check_dtype=False)
