@@ -1,0 +1,124 @@
+"""1 -> N process scaling-efficiency measurement (BASELINE >=0.8 target).
+
+Runs the same distributed groupby+join workload on a 1-process mesh and an
+N-process mesh (same TOTAL device count, CPU backend — the share-one-machine
+fixture the reference uses for multi-rank tests) and reports
+eff = t1 / tN (same total work, so perfect multi-controller overhead-free
+scaling gives eff == 1.0; the BASELINE bar is >= 0.8).
+
+On a real multi-host TPU pod the same worker runs once per host with
+CUDF_TPU_COORDINATOR / NUM_PROCESSES / PROCESS_ID set and the mesh spans
+ICI+DCN; nothing in the worker is CPU-specific.
+
+Usage: python benchmarks/scaling.py [rows_per_shard] [n_procs]
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+import time
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+NPROC = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+TOTAL_DEVICES = 8
+
+_WORKER = textwrap.dedent("""
+    import os, sys, time
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    nproc = int(sys.argv[2])
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={%d // nproc}"
+    os.environ["JAX_ENABLE_X64"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    pid = int(sys.argv[1]); port = sys.argv[3]; rows = int(sys.argv[4])
+    sys.path.insert(0, "/root/repo")
+    from cudf_tpu.parallel import multihost, spmd
+    if nproc > 1:
+        multihost.initialize(f"127.0.0.1:{port}", nproc, pid)
+    import numpy as np, pandas as pd
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.ops.groupby import AggSpec
+
+    mesh = multihost.global_mesh()
+    n_shards = %d
+    rng = np.random.default_rng(0)
+    local_shards = [s for s in range(n_shards)
+                    if mesh.devices.reshape(-1)[s].process_index == pid]
+    mine = []
+    for s in local_shards:
+        df = pd.DataFrame({
+            "k": rng.integers(0, 1000, rows),
+            "v": rng.normal(size=rows),
+        })
+        mine.append(Table.from_pandas(df))
+    from cudf_tpu.utils.padding import bucket_capacity
+    cap = bucket_capacity(rows)
+    st = spmd.ShardedTable.from_process_local(mine, mesh, cap=cap)
+
+    def work():
+        g = spmd.dist_groupby(st, ["k"], [AggSpec("v", "sum", "s"),
+                                           AggSpec("v", "mean", "m")])
+        jax.block_until_ready(g.data["s"])
+
+    work()  # compile
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter(); work(); reps.append(time.perf_counter() - t0)
+    if pid == 0:
+        print("WALL", min(reps), flush=True)
+""" % (TOTAL_DEVICES, TOTAL_DEVICES))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def run(nproc: int) -> float:
+    port = _free_port()
+    path = "/tmp/cudf_tpu_scaling_worker.py"
+    with open(path, "w") as f:
+        f.write(_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen([sys.executable, path, str(p), str(nproc), str(port),
+                          str(ROWS)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for p in range(nproc)
+    ]
+    wall = None
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(err[-3000:])
+        for line in out.splitlines():
+            if line.startswith("WALL"):
+                wall = float(line.split()[1])
+    assert wall is not None
+    return wall
+
+
+def main():
+    t1 = run(1)
+    tn = run(NPROC)
+    eff = t1 / tn
+    print(json.dumps({
+        "metric": f"scaling_efficiency_1_to_{NPROC}_procs",
+        "t1_s": round(t1, 4), f"t{NPROC}_s": round(tn, 4),
+        "value": round(eff, 3), "unit": "x", "target": 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,7 +128,7 @@ def pack_like(ops: Sequence[jnp.ndarray], mins_spec, widths_spec) -> List[jnp.nd
 # table build (insert all active rows, find slot per row)
 # --------------------------------------------------------------------------
 
-_BIG = jnp.int32(np.iinfo(np.int32).max)
+_BIG = np.int32(np.iinfo(np.int32).max)  # np scalar: import must not init the backend
 
 
 @partial(jax.jit, static_argnames=("tbits",))

@@ -12,13 +12,14 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import dtypes
 from ..core.column import Column
 from . import rowcodes
 
-_C1 = jnp.uint32(0xCC9E2D51)
-_C2 = jnp.uint32(0x1B873593)
+_C1 = np.uint32(0xCC9E2D51)  # np scalars: import must not init the jax backend
+_C2 = np.uint32(0x1B873593)
 
 
 def _rotl32(x, r):

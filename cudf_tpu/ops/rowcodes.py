@@ -32,11 +32,12 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.column import Column
 from ..core.dtypes import Kind
 
-_SIGN32 = jnp.uint32(1 << 31)
+_SIGN32 = np.uint32(1 << 31)  # np scalar: importing must not init the jax backend
 
 
 def _f32_code(data: jnp.ndarray) -> jnp.ndarray:

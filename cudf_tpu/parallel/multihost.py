@@ -1,0 +1,113 @@
+"""Multi-host bootstrap + cross-host (DCN) data exchange.
+
+The TPU-native replacement for the reference's UCXX bootstrap
+(cudf_polars/experimental engine/spmd.py:192,355-373 — `rrun` env bootstrap,
+Dask/Ray address exchange). On TPU pods the intra-slice path is ICI
+collectives inside shard_map programs (parallel/spmd.py — they are already
+multi-controller SPMD and run unchanged once `initialize()` has been
+called); this module provides:
+
+  * ``initialize()``      — jax.distributed bootstrap, env-driven
+                            (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID
+                            or the TPU-pod auto-detection built into jax)
+  * ``global_mesh()``     — a Mesh over every device in the job
+  * ``host_exchange``     — a pack/unpack DCN fallback: packed partition
+                            blobs exchanged across processes through the
+                            distributed KV service when a direct ICI
+                            all_to_all is not available (cross-slice);
+                            wire format = ops/pack.py (the contiguous_split
+                            analog, include/cudf/contiguous_split.hpp:93)
+
+Tested by tests/test_multihost.py: two CPU processes sharing one machine,
+the exact analog of the reference's two-ranks-one-GPU Ray fixture
+(tests/conftest.py:46-73).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+
+from ..core.table import Table
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Bootstrap the multi-process runtime (idempotent).
+
+    Resolution order: explicit args > CUDF_TPU_COORDINATOR /
+    CUDF_TPU_NUM_PROCESSES / CUDF_TPU_PROCESS_ID env vars > jax's own
+    auto-detection (TPU pod metadata).
+    """
+    # NOTE: jax.process_count() would itself initialise the backend, which
+    # forbids a later distributed.initialize — check the client directly
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    coordinator_address = coordinator_address or os.environ.get("CUDF_TPU_COORDINATOR")
+    if num_processes is None and os.environ.get("CUDF_TPU_NUM_PROCESSES"):
+        num_processes = int(os.environ["CUDF_TPU_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("CUDF_TPU_PROCESS_ID"):
+        process_id = int(os.environ["CUDF_TPU_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return  # single-process fallback (reference: spmd.py:216-218)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(axis: str = "shards"):
+    from .spmd import make_mesh
+
+    return make_mesh(axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# DCN host-exchange fallback: pack -> allgather across processes -> unpack.
+# Cross-slice TPU jobs have no ICI path between slices; packed partitions go
+# through host DCN. v1 transport is the process allgather built on the
+# distributed KV service (every process receives every blob and keeps its
+# own); a p2p transport can drop in behind the same API.
+# ---------------------------------------------------------------------------
+
+def host_exchange(partitions_by_dest: Sequence[Table]) -> List[Table]:
+    """Send partitions_by_dest[p] to process p; returns the Tables every
+    other process addressed to THIS process (in sender order)."""
+    from jax.experimental import multihost_utils
+    from ..ops.pack import pack, unpack
+
+    nproc = jax.process_count()
+    assert len(partitions_by_dest) == nproc, (len(partitions_by_dest), nproc)
+    me = jax.process_index()
+
+    def to_blob(t: Table) -> bytes:
+        p = pack(t)
+        return len(p.metadata).to_bytes(8, "little") + p.metadata + p.buffer
+
+    def from_blob(b: bytes) -> Table:
+        from ..ops.pack import PackedColumns
+
+        mlen = int.from_bytes(b[:8], "little")
+        return unpack(PackedColumns(b[8 : 8 + mlen], b[8 + mlen:]))
+
+    blobs = [to_blob(t) for t in partitions_by_dest]
+    # fixed-size exchange: allgather needs equal shapes — pad to the global
+    # max blob size with a length header
+    lens = np.array([len(b) for b in blobs], np.int64)
+    all_lens = np.asarray(multihost_utils.process_allgather(lens))  # (nproc, nproc)
+    maxlen = int(all_lens.max()) if all_lens.size else 0
+    buf = np.zeros((nproc, maxlen), np.uint8)
+    for p, b in enumerate(blobs):
+        buf[p, : len(b)] = np.frombuffer(b, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))  # (nproc, nproc, maxlen)
+    out = []
+    for src in range(nproc):
+        n = int(all_lens[src, me])
+        out.append(from_blob(bytes(gathered[src, me, :n].tobytes())))
+    return out

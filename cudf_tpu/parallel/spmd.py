@@ -114,6 +114,84 @@ class ShardedTable:
         )
         return cls(mesh, axis, list(names), data, validity, lengths, dts, dicts, cap)
 
+    @classmethod
+    def from_process_local(cls, tables: Sequence[Table], mesh: Mesh,
+                           axis: str = "shards", cap: Optional[int] = None):
+        """Multi-controller ingest: each PROCESS supplies Tables for its own
+        local shards only (len == local device count on the mesh axis).
+        Builds global arrays with jax.make_array_from_process_local_data —
+        the multi-host analog of from_tables. ``cap`` must be given (and
+        identical on every process) unless single-process."""
+        from ..ops.strings import unify_dictionaries
+
+        n_local = len([d for d in mesh.devices.reshape(-1)
+                       if d.process_index == jax.process_index()])
+        assert len(tables) == n_local, (len(tables), n_local)
+        names = tables[0].names
+        if cap is None:
+            assert jax.process_count() == 1, "multi-host ingest needs explicit cap"
+            cap = max(bucket_capacity(max(t.num_rows, 1)) for t in tables)
+        sh = NamedSharding(mesh, P(axis))
+        data, validity, dts, dicts = {}, {}, {}, {}
+        for name in names:
+            cols = [t[name] for t in tables]
+            if cols[0].dtype.is_string:
+                # NOTE: dictionaries unify only within this process; use
+                # pre-shared dictionaries (or numeric keys) across hosts
+                cols = unify_dictionaries(list(cols))
+            host = np.concatenate([
+                np.pad(np.asarray(c.data)[: c.length],
+                       (0, cap - c.length)).astype(np.asarray(c.data).dtype)
+                for c in cols
+            ])
+            data[name] = jax.make_array_from_process_local_data(sh, host)
+            if any(c.validity is not None for c in cols):
+                vhost = np.concatenate([
+                    np.pad(
+                        np.asarray(c.validity)[: c.length]
+                        if c.validity is not None
+                        else np.ones(c.length, bool),
+                        (0, cap - c.length),
+                    )
+                    for c in cols
+                ])
+                validity[name] = jax.make_array_from_process_local_data(sh, vhost)
+            else:
+                validity[name] = None
+            dts[name] = cols[0].dtype
+            dicts[name] = cols[0].dictionary
+        lengths = jax.make_array_from_process_local_data(
+            sh, np.array([t.num_rows for t in tables], np.int32))
+        return cls(mesh, axis, list(names), data, validity, lengths, dts,
+                   dicts, cap)
+
+    def local_tables(self) -> List[Table]:
+        """Materialize THIS process's shards (multi-controller-safe)."""
+        def by_start(arr):
+            return {(sh.index[0].start or 0): np.asarray(sh.data)
+                    for sh in arr.addressable_shards}
+
+        lens = by_start(self.lengths)
+        cols_by_start = {name: by_start(self.data[name]) for name in self.names}
+        valid_by_start = {
+            name: by_start(v) for name, v in self.validity.items() if v is not None
+        }
+        out = []
+        for start in sorted(cols_by_start[self.names[0]]):
+            s = start // self.cap
+            n = int(lens[s][0])
+            capb = bucket_capacity(max(n, 1))
+            cols = {}
+            for name in self.names:
+                d = cols_by_start[name][start]
+                vv = valid_by_start.get(name, {}).get(start)
+                cols[name] = Column(
+                    self.dtypes[name], _pad_to(d[:n], capb),
+                    None if vv is None else _pad_to(vv[:n], capb, False),
+                    n, self.dictionaries[name])
+            out.append(Table(cols))
+        return out
+
     def to_tables(self) -> List[Table]:
         """Materialize per-shard Tables on host."""
         lens = np.asarray(self.lengths)
@@ -259,7 +337,7 @@ def _shuffle_once(st: ShardedTable, keys: Sequence[str], B: int):
             {k: P(axis) for k in st.names},
             {k: P(axis) for k, v in st.validity.items() if v is not None},
             P(axis),
-            P(axis),
+            P(),
         ),
     )
     def step(arrays, valids, length):
@@ -272,7 +350,9 @@ def _shuffle_once(st: ShardedTable, keys: Sequence[str], B: int):
         send, sendv, sent, overflow = _bucketize(arrays, valids, pid, length, n, B)
         recv, recvv, rcounts = _exchange(send, sendv, sent, axis)
         out, outv, new_len = _compact_received(recv, recvv, rcounts, B)
-        return out, outv, new_len[None], overflow[None]
+        # overflow comes back REPLICATED (psum) so the host-side int() works
+        # in multi-controller runs (per-shard outputs aren't addressable)
+        return out, outv, new_len[None], jax.lax.psum(overflow, axis)[None]
 
     arrays = dict(st.data)
     valids = {k: v for k, v in st.validity.items() if v is not None}
@@ -283,7 +363,7 @@ def _shuffle_once(st: ShardedTable, keys: Sequence[str], B: int):
         {k: outv.get(k) for k in st.names},
         new_lens, st.dtypes, st.dictionaries, new_cap,
     )
-    return shuffled, int(jnp.sum(overflow))
+    return shuffled, int(overflow[0])
 
 
 # ---------------------------------------------------------------------------
@@ -427,7 +507,7 @@ def dist_join(left: ShardedTable, right: ShardedTable,
             {k: P(axis) for k, v in sr.validity.items() if v is not None},
             P(axis),
         ),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
     )
     def size_step(larr, lval, llen, rarr, rval, rlen):
         llen0 = llen[0]
@@ -442,15 +522,16 @@ def dist_join(left: ShardedTable, right: ShardedTable,
         else:
             eff = counts
         total = jnp.sum(eff.astype(jnp.int64))
-        return counts, lb, r_perm, linb, total[None]
+        # replicated max: addressable on every process in multi-controller
+        return counts, lb, r_perm, linb, jax.lax.pmax(total, axis)[None]
 
     larrs = dict(sl.data)
     lvals = {k: v for k, v in sl.validity.items() if v is not None}
     rarrs = dict(sr.data)
     rvals = {k: v for k, v in sr.validity.items() if v is not None}
-    counts, lb, r_perm, linb, totals = size_step(
+    counts, lb, r_perm, linb, maxtot = size_step(
         larrs, lvals, sl.lengths, rarrs, rvals, sr.lengths)
-    max_total = int(jnp.max(totals))  # the one host sync
+    max_total = int(maxtot[0])  # the one host sync
     out_cap = bucket_capacity(max(max_total, 1))
 
     # ---- phase 2: expand + materialize ------------------------------------
@@ -736,7 +817,7 @@ def dist_sort_values(st: ShardedTable, keys: Sequence[str], descending=False,
                 {k: P(axis) for k in names},
                 {k: P(axis) for k in vnames},
                 P(axis),
-                P(axis),
+                P(),
             ),
         )
         def step(arrays, valids, length):
@@ -788,7 +869,7 @@ def dist_sort_values(st: ShardedTable, keys: Sequence[str], descending=False,
             sorted_p = sort_payloads_by_words(rwords, payloads, pb, 64 * len(rwords))
             out2 = dict(zip(payload_names, sorted_p[: len(payload_names)]))
             outv2 = dict(zip(vpayload_names, sorted_p[len(payload_names):]))
-            return out2, outv2, new_len[None], overflow[None]
+            return out2, outv2, new_len[None], jax.lax.psum(overflow, axis)[None]
 
         return step
 
@@ -796,7 +877,7 @@ def dist_sort_values(st: ShardedTable, keys: Sequence[str], descending=False,
     valids = {k: v for k, v in st.validity.items() if v is not None}
     while True:
         out, outv, new_lens, overflow = _make_step(B)(arrays, valids, st.lengths)
-        ov = int(jnp.sum(overflow))
+        ov = int(overflow[0])
         if ov == 0 or B >= max_B:
             assert ov == 0, f"range-partition overflow after retries: {ov}"
             break

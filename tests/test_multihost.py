@@ -1,0 +1,112 @@
+"""Two-process multi-controller tests: the reference's two-ranks-one-GPU
+fixture analog (cudf_polars tests/conftest.py:46-73 shares one GPU across
+Ray ranks; here two CPU processes share one machine via jax.distributed +
+gloo collectives)."""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_ENABLE_X64"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+
+    from cudf_tpu.parallel import multihost, spmd
+    multihost.initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 4 * nproc
+
+    import numpy as np, pandas as pd
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.ops.groupby import AggSpec
+
+    mesh = multihost.global_mesh()
+    rng = np.random.default_rng(0)
+    N = 4000  # global rows
+    df = pd.DataFrame({"k": rng.integers(0, 37, N), "v": rng.normal(size=N)})
+    # every process ingests ITS quarter-rows (4 local shards each)
+    n_shards = 4 * nproc
+    parts = np.array_split(np.arange(N), n_shards)
+    mine = [Table.from_pandas(df.iloc[parts[s]].reset_index(drop=True))
+            for s in range(n_shards)
+            if mesh.devices.reshape(-1)[s].process_index == pid]
+    cap = 1024
+    st = spmd.ShardedTable.from_process_local(mine, mesh, cap=cap)
+
+    # distributed groupby across processes
+    out = spmd.dist_groupby(st, ["k"], [AggSpec("v", "sum", "s"),
+                                         AggSpec("v", "mean", "m")])
+    got = pd.concat([t.to_pandas() for t in out.local_tables()])
+    # each process holds a subset of groups; allgather them for the check
+    from jax.experimental import multihost_utils
+    import pickle
+    blob = pickle.dumps(got)
+    pad = 200000
+    arr = np.zeros(pad, np.uint8)
+    arr[:len(blob)] = np.frombuffer(blob, np.uint8)
+    lens = multihost_utils.process_allgather(np.array([len(blob)]))
+    alls = multihost_utils.process_allgather(arr)
+    frames = [pickle.loads(bytes(np.asarray(alls)[p, :int(np.asarray(lens)[p, 0])].tobytes()))
+              for p in range(nproc)]
+    got_all = pd.concat(frames).sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", as_index=False).agg(s=("v", "sum"), m=("v", "mean"))
+    pd.testing.assert_frame_equal(got_all, want, check_dtype=False)
+    print(f"PROC{pid} GROUPBY OK", flush=True)
+
+    # host_exchange (DCN fallback): send one partition to each process
+    parts2 = [Table.from_pandas(pd.DataFrame({
+        "x": np.arange(5) + 100 * pid + 10 * dest})) for dest in range(nproc)]
+    received = multihost.host_exchange(parts2)
+    for src, t in enumerate(received):
+        x = t.to_pandas()["x"].to_numpy()
+        assert (x == np.arange(5) + 100 * src + 10 * pid).all(), (src, x)
+    print(f"PROC{pid} EXCHANGE OK", flush=True)
+""")
+
+
+def test_two_process_dist_groupby(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(p), "2", str(port)],
+                         cwd="/root/repo", env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, (rc, out[-2000:], err[-4000:])
+        assert "GROUPBY OK" in out, out
+        assert "EXCHANGE OK" in out, out
