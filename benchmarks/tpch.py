@@ -220,6 +220,10 @@ def main(argv=None):
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--queries", default="q1,q3,q5,q6")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--engine", default="memory",
+                    choices=["memory", "streaming", "spmd"],
+                    help="one IR, three executors (lowered plan for "
+                         "streaming/spmd; reference cudf-polars executors)")
     args = ap.parse_args(argv)
 
     import jax
@@ -234,31 +238,47 @@ def main(argv=None):
     def T(name):
         return IR.DataFrameScan(dev[name])
 
+    def run_plan(plan):
+        if args.engine == "memory":
+            return IR.execute(plan)
+        if args.engine == "streaming":
+            from cudf_tpu.parallel.plan_executor import execute_partitioned
+
+            return execute_partitioned(plan)
+        from cudf_tpu.parallel.plan_executor import execute_spmd
+
+        return execute_spmd(plan)
+
     results = {}
     for q in args.queries.split(","):
         build, oracle = QUERIES[q]
         plan = build(T, E, IR, col)
         t0 = time.perf_counter()
-        out = IR.execute(plan)
+        out = run_plan(plan)
         outp = out.to_pandas()
         cold = time.perf_counter() - t0
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            out = IR.execute(plan)
+            out = run_plan(plan)
             # force completion
             float(jnp.sum(out.columns[-1].data.astype(jnp.float32)))
             best = min(best, time.perf_counter() - t0)
         t0 = time.perf_counter()
         exp = oracle(host)
         pdt = time.perf_counter() - t0
+        if args.engine != "memory":
+            # row order is engine-defined off the in-memory path
+            sort_cols = [c for c in exp.columns]
+            outp = outp[exp.columns].sort_values(sort_cols).reset_index(drop=True)
+            exp = exp.sort_values(sort_cols).reset_index(drop=True)
         try:
             pd.testing.assert_frame_equal(outp[exp.columns], exp, rtol=1e-6,
                                           check_dtype=False)
             ok = "MATCH"
         except AssertionError as e:
             ok = f"MISMATCH ({str(e).splitlines()[0][:60]})"
-        print(f"{q}: tpu_warm={best*1e3:8.1f}ms cold={cold:6.1f}s "
+        print(f"{q}[{args.engine}]: tpu_warm={best*1e3:8.1f}ms cold={cold:6.1f}s "
               f"pandas={pdt*1e3:8.1f}ms speedup={pdt/best:5.2f}x  {ok}", flush=True)
         results[q] = (best, pdt, ok)
     return results

@@ -24,6 +24,15 @@ class IR(Node):
     """Base logical plan node."""
 
 
+def _pack_exprs(exprs):
+    """(name, expr) pairs from NamedExprs OR already-packed pairs — keeps
+    Node.reconstruct (which replays raw args) working."""
+    return tuple(
+        (e.name, e.expr) if isinstance(e, NamedExpr) else (e[0], e[1])
+        for e in exprs
+    )
+
+
 class DataFrameScan(IR):
     """Wrap an in-memory Table."""
 
@@ -47,7 +56,7 @@ class Scan(IR):
 
 class Select(IR):
     def __init__(self, exprs: Tuple[NamedExpr, ...], children=()):
-        super().__init__(tuple((e.name, e.expr) for e in exprs), children=children)
+        super().__init__(_pack_exprs(exprs), children=children)
 
     @property
     def exprs(self):
@@ -58,7 +67,7 @@ class HStack(IR):
     """with_columns: add/replace columns."""
 
     def __init__(self, exprs: Tuple[NamedExpr, ...], children=()):
-        super().__init__(tuple((e.name, e.expr) for e in exprs), children=children)
+        super().__init__(_pack_exprs(exprs), children=children)
 
     @property
     def exprs(self):
@@ -76,8 +85,7 @@ class Filter(IR):
 
 class GroupBy(IR):
     def __init__(self, keys: tuple, aggs: Tuple[NamedExpr, ...], children=()):
-        super().__init__(tuple(keys), tuple((e.name, e.expr) for e in aggs),
-                         children=children)
+        super().__init__(tuple(keys), _pack_exprs(aggs), children=children)
 
     @property
     def keys(self):
@@ -142,6 +150,74 @@ class Sink(IR):
 class Cache(IR):
     def __init__(self, key: int, children=()):
         super().__init__(key, children=children)
+
+
+class Reduce(IR):
+    """Whole-frame reductions -> 1-row table (reference dsl/ir.py:1552)."""
+
+    def __init__(self, exprs: Tuple[NamedExpr, ...], children=()):
+        super().__init__(_pack_exprs(exprs), children=children)
+
+    @property
+    def exprs(self):
+        return [NamedExpr(n, e) for n, e in self.args[0]]
+
+
+class Rolling(IR):
+    """Rolling-window aggregation over an orderby column (reference
+    dsl/ir.py:1589). aggs: (out_name, value_col, kind) triples; window is a
+    row count (int) or a range width on the orderby values."""
+
+    def __init__(self, orderby: str, window, aggs: tuple, range_based: bool = False,
+                 children=()):
+        super().__init__(orderby, window, tuple(aggs), range_based,
+                         children=children)
+
+
+class ConditionalJoin(IR):
+    """Join on an arbitrary row-pair predicate (reference dsl/ir.py:2093).
+
+    predicate: an Expr over the cross-product frame (left columns keep their
+    names, right columns suffixed when clashing)."""
+
+    def __init__(self, predicate: Expr, how: str = "inner", children=()):
+        super().__init__(predicate, how, children=children)
+
+
+class MergeSorted(IR):
+    """k-way merge of already-sorted inputs on a key (reference
+    dsl/ir.py:2948)."""
+
+    def __init__(self, key: str, children=()):
+        super().__init__(key, children=children)
+
+
+class MapFunction(IR):
+    """Named whole-table transform (reference dsl/ir.py:2999): rename,
+    explode, row_index, ..."""
+
+    def __init__(self, name: str, options: tuple = (), children=()):
+        super().__init__(name, tuple(options), children=children)
+
+
+class Shuffle(IR):
+    """Hash-repartition rows by key columns (reference streaming/shuffle.py:25).
+    Inserted by lowering; a no-op for the in-memory executor."""
+
+    def __init__(self, keys: tuple, count: int, children=()):
+        super().__init__(tuple(keys), count, children=children)
+
+    @property
+    def keys(self):
+        return list(self.args[0])
+
+
+class Repartition(IR):
+    """Change partition count without a key (reference streaming
+    Repartition)."""
+
+    def __init__(self, count: int, children=()):
+        super().__init__(count, children=children)
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +320,67 @@ def execute(node: IR) -> Table:
             io_write(child, n.args[0], n.args[1])
             return child
         if isinstance(n, Cache):
+            return visitor(n.children[0])
+        if isinstance(n, Reduce):
+            child = visitor(n.children[0])
+            return Table({ne.name: evaluate(ne.expr, child) for ne in n.exprs})
+        if isinstance(n, Rolling):
+            child = visitor(n.children[0])
+            orderby, window, aggs, range_based = n.args
+            from ..ops import rolling as rolling_ops
+
+            out = sorting.sort_by_key(child, [orderby])
+            cols = {name: c for name, c in out}
+            for out_name, vname, kind in aggs:
+                if range_based:
+                    cols[out_name] = rolling_ops.rolling_range(
+                        out[vname], out[orderby], window, kind)
+                else:
+                    cols[out_name] = rolling_ops.rolling(out[vname], window, kind)
+            return Table(cols)
+        if isinstance(n, ConditionalJoin):
+            left = visitor(n.children[0])
+            right = visitor(n.children[1])
+            predicate, how = n.args
+            return join_ops.conditional_join(
+                left, right, lambda pairs: evaluate(predicate, pairs), how)
+        if isinstance(n, MergeSorted):
+            from ..ops.merge import merge_sorted
+
+            tables = [visitor(c) for c in n.children]
+            return merge_sorted(tables, [n.args[0]])
+        if isinstance(n, MapFunction):
+            child = visitor(n.children[0])
+            name, options = n.args
+            if name == "rename":
+                mapping = dict(options)
+                return Table({mapping.get(cn, cn): c for cn, c in child})
+            if name == "row_index":
+                (out_name,) = options or ("index",)
+                from ..ops.filling import sequence
+
+                return Table({out_name: sequence(child.num_rows, 0, 1),
+                              **{cn: c for cn, c in child}})
+            if name == "explode":
+                (col_name,) = options
+                from ..core.lists import ListColumn
+                from ..ops.copying import gather
+
+                lc = child[col_name]
+                assert isinstance(lc, ListColumn), "explode needs a list column"
+                parent, flat = lc.explode()
+                cols = {}
+                for cn, c in child:
+                    if cn == col_name:
+                        cols[cn] = flat
+                    else:
+                        cols[cn] = gather(c, parent.data, flat.length)
+                return Table(cols)
+            raise ValueError(f"unknown MapFunction {name!r}")
+        if isinstance(n, Shuffle):
+            # single-partition in-memory execution: shuffling is a no-op
+            return visitor(n.children[0])
+        if isinstance(n, Repartition):
             return visitor(n.children[0])
         raise TypeError(f"cannot execute {type(n).__name__}")
 

@@ -491,7 +491,10 @@ def dist_join(left: ShardedTable, right: ShardedTable,
     capL, capR = sl.cap, sr.cap
 
     lnames = list(sl.names)
-    rpayload = [n for n in sr.names if n not in list(right_on)]
+    # drop a right key column only when its left counterpart shares the name
+    # (ops/join.py _materialize semantics)
+    _same = {rn for ln, rn in zip(left_on, right_on) if ln == rn}
+    rpayload = [n for n in sr.names if n not in _same]
     out_names = lnames + [n if n not in set(lnames) else n + "_y" for n in rpayload]
 
     # ---- phase 1: probe + size --------------------------------------------
@@ -631,10 +634,23 @@ def broadcast_join(left: ShardedTable, right_small: Table,
         rdt[n] = c.dtype
         rdict[n] = c.dictionary
     rlen = right_small.num_rows
-    rpayload = [n for n in rnames if n not in list(right_on)]
+    _same = {rn for ln, rn in zip(left_on, right_on) if ln == rn}
+    rpayload = [n for n in rnames if n not in _same]
     lnames = list(left.names)
     out_names = lnames + [n if n not in set(lnames) else n + "_y" for n in rpayload]
 
+    def _remap_and_probe(larr, lval, llen):
+        lcols = _local_cols_from(left, left.names, larr, lval, llen)
+        for ln, rm in _remaps_ref[0].items():
+            old = lcols[ln]
+            new_codes = rm[jnp.clip(old.data, 0, rm.shape[0] - 1)]
+            lcols[ln] = Column(old.dtype, new_codes, old.validity, old.length,
+                               new_left_dicts[ln])
+        return lcols
+
+    _remaps_ref = [{}]
+
+    # ---- phase 1: probe + size (1:N expansion needs a real output cap) ----
     @jax.jit
     @partial(
         jax.shard_map,
@@ -647,26 +663,59 @@ def broadcast_join(left: ShardedTable, right_small: Table,
             {k: P() for k, v in rval.items() if v is not None},
             {k: P() for k in l_remaps},
         ),
-        out_specs=(
-            {k: P(axis) for k in out_names},
-            {k: P(axis) for k in out_names},
-            P(axis),
-        ),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
     )
-    def step(larr, lval, llen, rarr, rvalid, remaps):
-        llen = llen[0]
-        lcols = _local_cols_from(left, left.names, larr, lval, llen)
-        for ln, rm in remaps.items():
-            old = lcols[ln]
-            new_codes = rm[jnp.clip(old.data, 0, rm.shape[0] - 1)]
-            lcols[ln] = Column(old.dtype, new_codes, old.validity, old.length,
-                               new_left_dicts[ln])
+    def size_step(larr, lval, llen, rarr, rvalid, remaps):
+        _remaps_ref[0] = remaps
+        llen0 = llen[0]
+        lcols = _remap_and_probe(larr, lval, llen0)
         rcols = {
             n: Column(rdt[n], rarr[n], rvalid.get(n), rlen, rdict[n]) for n in rnames
         }
         lk = tuple(lcols[k] for k in left_on)
         rk = tuple(rcols[k] for k in right_on)
         counts, lb, r_perm, linb = _probe(lk, rk, False)
+        if how == "left":
+            eff = jnp.where(linb, jnp.maximum(counts, 1), 0)
+        else:
+            eff = counts
+        total = jnp.sum(eff.astype(jnp.int64))
+        return counts, lb, r_perm, linb, jax.lax.pmax(total, axis)[None]
+
+    larrs = dict(left.data)
+    lvals = {k: v for k, v in left.validity.items() if v is not None}
+    rvals_nn = {k: v for k, v in rval.items() if v is not None}
+    counts, lb, r_perm, linb, maxtot = size_step(
+        larrs, lvals, left.lengths, rdata, rvals_nn, dict(l_remaps))
+    out_cap = bucket_capacity(max(int(maxtot[0]), 1))  # the one host sync
+
+    # ---- phase 2: expand + materialize ------------------------------------
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=left.mesh,
+        in_specs=(
+            {k: P(axis) for k in left.names},
+            {k: P(axis) for k, v in left.validity.items() if v is not None},
+            P(axis),
+            {k: P() for k in rnames},
+            {k: P() for k, v in rval.items() if v is not None},
+            {k: P() for k in l_remaps},
+            P(axis), P(axis), P(axis), P(axis),
+        ),
+        out_specs=(
+            {k: P(axis) for k in out_names},
+            {k: P(axis) for k in out_names},
+            P(axis),
+        ),
+    )
+    def step(larr, lval, llen, rarr, rvalid, remaps, counts, lb, r_perm, linb):
+        _remaps_ref[0] = remaps
+        llen0 = llen[0]
+        lcols = _remap_and_probe(larr, lval, llen0)
+        rcols = {
+            n: Column(rdt[n], rarr[n], rvalid.get(n), rlen, rdict[n]) for n in rnames
+        }
         left_idx, right_idx, total = _expand(counts, lb, r_perm, linb, out_cap, how)
         data, valid = {}, {}
         for n in lnames:
@@ -681,9 +730,8 @@ def broadcast_join(left: ShardedTable, right_small: Table,
         return data, valid, total.astype(jnp.int32)[None]
 
     data, valid, lens = step(
-        dict(left.data), {k: v for k, v in left.validity.items() if v is not None},
-        left.lengths, rdata, {k: v for k, v in rval.items() if v is not None},
-        dict(l_remaps),
+        larrs, lvals, left.lengths, rdata, rvals_nn, dict(l_remaps),
+        counts, lb, r_perm, linb,
     )
     out_dtypes, out_dicts = {}, {}
     for n in lnames:

@@ -1,0 +1,178 @@
+"""Plan lowering + multi-engine execution + new IR nodes vs pandas."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.core.table import Table
+from cudf_tpu.expr import ir as IRM
+from cudf_tpu.expr.expressions import Agg, NamedExpr, col, lit
+from cudf_tpu.expr.lowering import LoweringConfig, PartitionInfo, lower_ir_graph
+from cudf_tpu.parallel.plan_executor import execute_partitioned, execute_spmd
+
+
+def _df(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 50, n),
+        "g": rng.integers(0, 7, n),
+        "v": rng.normal(size=n),
+        "w": rng.uniform(1, 2, n),
+    })
+
+
+def _scan(df):
+    return IRM.DataFrameScan(Table.from_pandas(df))
+
+
+SMALL = LoweringConfig(target_partition_bytes=20_000, broadcast_limit_bytes=2_000)
+
+
+# ------------------------------------------------------------- lowering shape
+def test_lowering_inserts_shuffle_for_groupby():
+    df = _df()
+    plan = IRM.GroupBy(("k",), (NamedExpr("s", Agg("sum", children=(col("v"),))),),
+                       children=(_scan(df),))
+    lowered, info = lower_ir_graph(plan, SMALL)
+    kinds = [type(x).__name__ for x in _walk(lowered)]
+    assert "Shuffle" in kinds
+    assert info[lowered].partitioned_on == ("k",)
+    assert info[lowered].count > 1
+
+
+def test_lowering_broadcast_join_no_shuffle():
+    big = _df(5000)
+    small = pd.DataFrame({"k": np.arange(50), "t": np.arange(50) * 2.0})
+    plan = IRM.Join(("k",), ("k",), "inner",
+                    children=(_scan(big), _scan(small)))
+    lowered, info = lower_ir_graph(plan, SMALL)
+    kinds = [type(x).__name__ for x in _walk(lowered)]
+    assert "Shuffle" not in kinds  # small side under the broadcast budget
+
+
+def test_lowering_shuffle_join_when_both_big():
+    a, b = _df(4000, 1), _df(4000, 2)
+    plan = IRM.Join(("k",), ("k",), "inner", children=(_scan(a), _scan(b)))
+    cfg = LoweringConfig(target_partition_bytes=20_000, broadcast_limit_bytes=10)
+    lowered, info = lower_ir_graph(plan, cfg)
+    kinds = [type(x).__name__ for x in _walk(lowered)]
+    assert kinds.count("Shuffle") == 2
+
+
+def _walk(node):
+    from cudf_tpu.expr.nodebase import traversal
+
+    return list(traversal(node))
+
+
+# ------------------------------------------------- one plan, three engines
+def _q(df_big, df_dim):
+    """filter -> join -> groupby -> sort, the TPC-H-ish shape."""
+    scan = _scan(df_big)
+    filt = IRM.Filter(col("v") > lit(0.0), children=(scan,))
+    join = IRM.Join(("k",), ("k",), "inner",
+                    children=(filt, _scan(df_dim)))
+    gb = IRM.GroupBy(("g",), (NamedExpr("s", Agg("sum", children=(col("w"),))),
+                              NamedExpr("m", Agg("mean", children=(col("v"),)))),
+                     children=(join,))
+    return IRM.Sort(("g",), (False,), (True,), children=(gb,))
+
+
+def _expected(df_big, df_dim):
+    f = df_big[df_big["v"] > 0.0]
+    j = f.merge(df_dim, on="k")
+    return (j.groupby("g", as_index=False)
+             .agg(s=("w", "sum"), m=("v", "mean"))
+             .sort_values("g").reset_index(drop=True))
+
+
+@pytest.fixture(scope="module")
+def qdata():
+    df = _df(6000, 3)
+    dim = pd.DataFrame({"k": np.arange(50), "t": np.arange(50) * 1.5})
+    return df, dim
+
+
+def test_engine_inmemory(qdata):
+    df, dim = qdata
+    got = IRM.execute(_q(df, dim)).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _expected(df, dim), check_dtype=False)
+
+
+def test_engine_partitioned(qdata):
+    df, dim = qdata
+    got = execute_partitioned(_q(df, dim), SMALL).to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _expected(df, dim), check_dtype=False)
+
+
+def test_engine_partitioned_shuffle_join(qdata):
+    df, _ = qdata
+    other = _df(6000, 4)[["k", "w"]].rename(columns={"w": "w2"})
+    plan = IRM.Join(("k",), ("k",), "inner",
+                    children=(_scan(df), _scan(other)))
+    cfg = LoweringConfig(target_partition_bytes=30_000, broadcast_limit_bytes=10)
+    got = execute_partitioned(plan, cfg).to_pandas()
+    want = df.merge(other, on="k")
+    assert len(got) == len(want)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    want = want.sort_values(list(got.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_engine_spmd(qdata):
+    df, dim = qdata
+    got = execute_spmd(_q(df, dim)).to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _expected(df, dim), check_dtype=False)
+
+
+# --------------------------------------------------------------- new IR nodes
+def test_reduce_node():
+    df = _df(1000, 5)
+    plan = IRM.Reduce((NamedExpr("s", Agg("sum", children=(col("v"),))),
+                       NamedExpr("mx", Agg("max", children=(col("w"),)))),
+                      children=(_scan(df),))
+    got = IRM.execute(plan).to_pandas()
+    assert got["s"][0] == pytest.approx(df["v"].sum())
+    assert got["mx"][0] == pytest.approx(df["w"].max())
+
+
+def test_rolling_node():
+    df = pd.DataFrame({"t": np.arange(20), "x": np.arange(20.0) ** 1.5})
+    plan = IRM.Rolling("t", 5, (("r", "x", "sum"),), children=(_scan(df),))
+    got = IRM.execute(plan).to_pandas()
+    want = df.sort_values("t")["x"].rolling(5).sum()
+    np.testing.assert_allclose(got["r"], want)
+
+
+def test_conditional_join_node():
+    rng = np.random.default_rng(6)
+    l = pd.DataFrame({"a": rng.integers(0, 10, 60)})
+    r = pd.DataFrame({"b": rng.integers(0, 10, 40)})
+    plan = IRM.ConditionalJoin(col("a") < col("b"), "inner",
+                               children=(_scan(l), _scan(r)))
+    got = IRM.execute(plan).to_pandas()
+    want = l.merge(r, how="cross")
+    want = want[want["a"] < want["b"]]
+    assert len(got) == len(want)
+    assert (got["a"] < got["b"]).all()
+
+
+def test_merge_sorted_node():
+    a = pd.DataFrame({"k": [1, 3, 5, 9], "v": [1., 2, 3, 4]})
+    b = pd.DataFrame({"k": [2, 3, 8], "v": [5., 6, 7]})
+    plan = IRM.MergeSorted("k", children=(_scan(a), _scan(b)))
+    got = IRM.execute(plan).to_pandas()
+    want = pd.concat([a, b]).sort_values("k", kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mapfunction_rename_rowindex():
+    df = pd.DataFrame({"x": [3, 1, 2]})
+    plan = IRM.MapFunction("rename", (("x", "y"),), children=(_scan(df),))
+    got = IRM.execute(plan).to_pandas()
+    assert list(got.columns) == ["y"]
+    plan2 = IRM.MapFunction("row_index", ("idx",), children=(_scan(df),))
+    got2 = IRM.execute(plan2).to_pandas()
+    np.testing.assert_array_equal(got2["idx"], [0, 1, 2])
