@@ -80,6 +80,11 @@ def main():
     gb_df.loc[rng.choice(N, N // 100, replace=False), "A"] = np.nan
     # string-key groupby
     gb_str_df = pd.DataFrame({"k": s_keys, "C": rng.normal(size=N)})
+    # high-cardinality strings: ~1M UNIQUE keys (VERDICT: the degenerate case
+    # for dictionary designs; ours keeps device work integer-coded)
+    hc_pool = np.array([f"url/{i:09x}/page" for i in range(max(N // 2, 1))])
+    gb_hc_df = pd.DataFrame({"k": hc_pool[rng.integers(0, len(hc_pool), N)],
+                             "C": rng.normal(size=N)})
     # config 3: orders x lineitem shaped join (+ filter + count)
     n_dim = max(N // 20, 1)
     join_left = pd.DataFrame({
@@ -96,6 +101,7 @@ def main():
     t_gb = ct.Table.from_pandas(gb_df)
     t_gb = ct.Table({"A": nans_to_nulls(t_gb["A"]), "B": t_gb["B"], "C": t_gb["C"]})
     t_gb_str = ct.Table.from_pandas(gb_str_df)
+    t_gb_hc = ct.Table.from_pandas(gb_hc_df)
     t_jl = ct.Table.from_pandas(join_left)
     t_jr = ct.Table.from_pandas(join_right)
 
@@ -121,6 +127,10 @@ def main():
         g = groupby_aggregate(t_gb_str, ["k"], [AggSpec("C", "mean", "C")])
         _force(g["C"].data)
 
+    def run_groupby_str_hc():
+        g = groupby_aggregate(t_gb_hc, ["k"], [AggSpec("C", "mean", "C")])
+        _force(g["C"].data)
+
     def run_join():
         out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
         _force(out["w"].data)
@@ -135,6 +145,7 @@ def main():
     workloads = [
         ("sort", run_sort), ("sort_str", run_sort_str),
         ("groupby", run_groupby), ("groupby_str", run_groupby_str),
+        ("groupby_str_hc", run_groupby_str_hc),
         ("join", run_join), ("join_filter", run_join_filter),
     ]
 
@@ -160,6 +171,8 @@ def main():
         lambda: gb_df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean")), 3)
     pd_results["groupby_str"] = timeit(
         lambda: gb_str_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
+    pd_results["groupby_str_hc"] = timeit(
+        lambda: gb_hc_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
     pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), 3)
 
     def pd_join_filter():
@@ -177,6 +190,7 @@ def main():
         "sort_str": 2 * (4 + 4),        # dict codes + f32
         "groupby": 2 * (8 + 8 + 8),
         "groupby_str": 2 * (4 + 8),
+        "groupby_str_hc": 2 * (4 + 8),
         "join": 2 * (8 + 4) + 4,        # left read+write + probe reads
         "join_filter": 2 * (8 + 4) + 4 + 8,
     }

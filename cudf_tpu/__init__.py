@@ -48,6 +48,14 @@ def read_orc(path, columns=None) -> "DataFrame":
     return DataFrame._from_table(_io.read_orc(path, columns))
 
 
+def prewarm(n_rows, background: bool = True):
+    """Pre-specialize hot per-capacity executables (JIT-cache preload analog,
+    cpp/src/jit/cache.cpp); see utils/prewarm.py."""
+    from .utils.prewarm import prewarm as _pw
+
+    return _pw(n_rows, background)
+
+
 def from_pandas(obj):
     import pandas as pd
 

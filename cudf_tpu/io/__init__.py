@@ -27,12 +27,26 @@ def _expand_paths(paths) -> List[str]:
 
 
 def read_parquet(paths, columns: Optional[Sequence[str]] = None,
-                 filters=None) -> Table:
-    """cudf::io::read_parquet analog (cpp/src/io/functions.cpp:631)."""
+                 filters=None, predicates=None) -> Table:
+    """cudf::io::read_parquet analog (cpp/src/io/functions.cpp:631).
+
+    ``predicates``: (col, op, literal) conjunction evaluated by OUR
+    stats-based row-group pruning (io/parquet_ext.py — the
+    predicate_pushdown.cpp analog) with datasource-driven range reads;
+    supports http(s):// URLs. ``filters`` stays pyarrow-native.
+    """
+    expanded = _expand_paths(paths)
+    if predicates is not None or any(
+            str(p).startswith(("http://", "https://")) for p in expanded):
+        from .parquet_ext import read_parquet_pruned
+        from ..ops.copying import concatenate_tables
+
+        tbls = [read_parquet_pruned(p, columns, predicates) for p in expanded]
+        return concatenate_tables(tbls) if len(tbls) > 1 else tbls[0]
     import pyarrow.parquet as pq
 
     tbls = []
-    for p in _expand_paths(paths):
+    for p in expanded:
         tbls.append(pq.read_table(p, columns=list(columns) if columns else None,
                                   filters=filters))
     import pyarrow as pa

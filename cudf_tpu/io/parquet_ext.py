@@ -1,0 +1,174 @@
+"""Parquet extensions: own row-group pruning + chunked writer + datasources.
+
+Reference analogs:
+  * predicate pushdown on row-group statistics —
+    cpp/src/io/parquet/predicate_pushdown.cpp (stats-based row-group
+    filtering BEFORE any data pages are read);
+  * chunked writer — cpp/src/io/parquet/writer_impl.cu chunked API
+    (write_parquet_chunked);
+  * datasource-driven reads — readers pull byte ranges through
+    io/datasource.py, so remote sources only fetch surviving row groups.
+
+The decode itself stays host-side pyarrow (SURVEY §7: no device
+decompressor exists on TPU); what this module owns is the PLANNING — which
+row groups to touch — and the incremental writer machinery.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core.table import Table
+from .datasource import Datasource
+
+# predicate: (column, op, literal) with op in {==,!=,<,<=,>,>=,in}
+Pred = Tuple[str, str, object]
+
+
+def _rg_survives(meta_rg, schema_names, conjunction: Sequence[Pred]) -> bool:
+    """Can this row group contain rows satisfying ALL predicates?"""
+    for colname, op, lit in conjunction:
+        try:
+            ci = schema_names.index(colname)
+        except ValueError:
+            continue
+        col = meta_rg.column(ci)
+        st = col.statistics
+        if st is None or not st.has_min_max:
+            continue  # no stats: cannot prune
+        lo, hi = st.min, st.max
+        try:
+            if op == "==" and (lit < lo or lit > hi):
+                return False
+            if op == "<" and not (lo < lit):
+                return False
+            if op == "<=" and not (lo <= lit):
+                return False
+            if op == ">" and not (hi > lit):
+                return False
+            if op == ">=" and not (hi >= lit):
+                return False
+            if op == "in" and all(x < lo or x > hi for x in lit):
+                return False
+        except TypeError:
+            continue  # incomparable types: keep the group
+    return True
+
+
+def prune_row_groups(path_or_ds: Union[str, Datasource],
+                     predicates: Optional[Sequence[Pred]]) -> Tuple[List[int], int]:
+    """(surviving row-group indices, total row groups) by stats only."""
+    import pyarrow.parquet as pq
+
+    ds = Datasource.open(path_or_ds)
+    pf = pq.ParquetFile(ds.as_file())
+    md = pf.metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    total = md.num_row_groups
+    if not predicates:
+        return list(range(total)), total
+    keep = [i for i in range(total)
+            if _rg_survives(md.row_group(i), names, predicates)]
+    return keep, total
+
+
+def read_parquet_pruned(path_or_ds: Union[str, Datasource],
+                        columns: Optional[Sequence[str]] = None,
+                        predicates: Optional[Sequence[Pred]] = None,
+                        exact: bool = True) -> Table:
+    """Read with OWN stats-based row-group pruning (not pyarrow's filters).
+
+    ``exact``: additionally apply the predicates row-wise after the pruned
+    read (stats pruning alone is only a superset guarantee).
+    """
+    import pyarrow.parquet as pq
+
+    ds = Datasource.open(path_or_ds)
+    pf = pq.ParquetFile(ds.as_file())
+    keep, total = prune_row_groups(ds, predicates)
+    if not keep:
+        empty = pf.schema_arrow.empty_table()
+        t = Table.from_arrow(empty if columns is None else empty.select(list(columns)))
+        return t
+    at = pf.read_row_groups(keep, columns=list(columns) if columns else None)
+    t = Table.from_arrow(at)
+    if exact and predicates:
+        t = _apply_predicates(t, predicates)
+    return t
+
+
+def _apply_predicates(t: Table, predicates: Sequence[Pred]) -> Table:
+    from ..ops import binaryop
+    from ..ops.stream_compaction import apply_boolean_mask
+    from ..ops.search import contains as isin_op
+
+    mask = None
+    opmap = {"==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+    for colname, op, lit in predicates:
+        if colname not in t.names:
+            continue
+        c = t[colname]
+        if op == "in":
+            from ..core.column import Column
+
+            m = isin_op(Column.from_numpy(np.asarray(list(lit))), c)  # isin
+        else:
+            if isinstance(lit, (np.datetime64,)) or str(type(lit)).endswith("Timestamp'>"):
+                lit = np.datetime64(lit)
+                from ..core.column import Column
+
+                litcol = Column.from_numpy(np.full((t.num_rows,), lit))
+                m = binaryop.binary_op(c, litcol, opmap[op])
+            else:
+                m = binaryop.binary_op(c, lit, opmap[op])
+        mask = m if mask is None else binaryop.binary_op(mask, m, "and")
+    if mask is None:
+        return t
+    return apply_boolean_mask(t, mask)
+
+
+class ParquetChunkedWriter:
+    """Incremental parquet writer (cudf chunked_parquet_writer analog).
+
+    Each ``write(table)`` appends one (or more) row groups; stats and
+    dictionary encoding come from the arrow writer. Use as a context
+    manager for sink atomicity (close on success only — SURVEY §5
+    checkpoint/resume: sink atomicity is the durability contract).
+    """
+
+    def __init__(self, path: str, row_group_rows: int = 1 << 20, **writer_kwargs):
+        self.path = path
+        self.row_group_rows = row_group_rows
+        self._writer = None
+        self._kwargs = writer_kwargs
+
+    def write(self, tbl: Table) -> None:
+        import pyarrow.parquet as pq
+
+        at = tbl.to_arrow()
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(self.path, at.schema, **self._kwargs)
+        self._writer.write_table(at, row_group_size=self.row_group_rows)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        elif self._writer is not None:  # failed write: drop the partial sink
+            import os
+
+            self._writer.close()
+            self._writer = None
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+        return False

@@ -67,43 +67,75 @@ def encode_scalar(col: Column, value: str) -> Tuple[int, Column]:
 
 
 # ---- value-level ops (computed on the dictionary, host-side numpy) ---------
+def _dict_values(col: Column) -> np.ndarray:
+    return (col.dictionary if col.dictionary is not None
+            else np.array([], dtype=str)).astype(str)
+
+
+def _from_new_values(col: Column, new_vals: np.ndarray) -> Column:
+    """Rebuild a string column whose dictionary values were transformed."""
+    new_vals = np.asarray(new_vals).astype(str)
+    uniq, inv = (np.unique(new_vals, return_inverse=True) if len(new_vals)
+                 else (new_vals, np.array([], np.int64)))
+    return _remap_codes(col, inv.astype(np.int32), uniq)
+
+
 def _dict_map(col: Column, fn) -> Column:
-    """Apply a host fn over dictionary values, producing a new string column."""
-    d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
-    new_vals = np.array([fn(x) for x in d.astype(str)], dtype=object).astype(str)
-    uniq, inv = np.unique(new_vals, return_inverse=True) if len(new_vals) else (new_vals, np.array([], np.int64))
-    remap = inv.astype(np.int32)
-    return _remap_codes(col, remap, uniq)
+    """Host fn over dictionary values (the per-value fallback; prefer the
+    np.char vectorized paths below — amortizes over the dictionary, and the
+    dictionary work itself runs in numpy C loops, not Python)."""
+    new_vals = np.array([fn(x) for x in _dict_values(col)], dtype=object)
+    return _from_new_values(col, new_vals)
+
+
+def _dict_map_vec(col: Column, vec_fn) -> Column:
+    """Vectorized (np.char / pandas.str) transform over dictionary values."""
+    d = _dict_values(col)
+    return _from_new_values(col, vec_fn(d) if len(d) else d)
 
 
 def lower(col: Column) -> Column:
-    return _dict_map(col, str.lower)
+    return _dict_map_vec(col, np.char.lower)
 
 
 def upper(col: Column) -> Column:
-    return _dict_map(col, str.upper)
+    return _dict_map_vec(col, np.char.upper)
 
 
 def capitalize(col: Column) -> Column:
-    return _dict_map(col, str.capitalize)
+    return _dict_map_vec(col, np.char.capitalize)
 
 
 def strip(col: Column) -> Column:
-    return _dict_map(col, str.strip)
+    return _dict_map_vec(col, np.char.strip)
 
 
 def slice_strings(col: Column, start=None, stop=None, step=None) -> Column:
-    return _dict_map(col, lambda s: s[start:stop:step])
+    from ..utils.real_pandas import pd
+
+    return _dict_map_vec(
+        col, lambda d: pd.Series(d).str.slice(start, stop, step).to_numpy())
 
 
 def _dict_predicate(col: Column, fn) -> Column:
-    """Predicate over dictionary values → bool column via code gather."""
-    d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
-    flags = np.array([bool(fn(x)) for x in d.astype(str)], dtype=bool)
+    """Per-value predicate fallback -> bool column via code gather."""
+    d = _dict_values(col)
+    flags = np.array([bool(fn(x)) for x in d], dtype=bool)
+    return _dict_flags(col, flags)
+
+
+def _dict_flags(col: Column, flags: np.ndarray) -> Column:
     if not len(flags):
         flags = np.zeros((1,), bool)
     out = _table_gather(jnp.asarray(flags), col.data)
     return Column(dtypes.bool_, out, col.validity, col.length)
+
+
+def _dict_predicate_vec(col: Column, vec_fn) -> Column:
+    """Vectorized (np.char) predicate over dictionary values."""
+    d = _dict_values(col)
+    flags = np.asarray(vec_fn(d), bool) if len(d) else np.zeros((0,), bool)
+    return _dict_flags(col, flags)
 
 
 def contains(col: Column, pat: str, regex: bool = True) -> Column:
@@ -112,15 +144,15 @@ def contains(col: Column, pat: str, regex: bool = True) -> Column:
 
         rx = re.compile(pat)
         return _dict_predicate(col, lambda s: rx.search(s) is not None)
-    return _dict_predicate(col, lambda s: pat in s)
+    return _dict_predicate_vec(col, lambda d: np.char.find(d, pat) >= 0)
 
 
 def startswith(col: Column, pat: str) -> Column:
-    return _dict_predicate(col, lambda s: s.startswith(pat))
+    return _dict_predicate_vec(col, lambda d: np.char.startswith(d, pat))
 
 
 def endswith(col: Column, pat: str) -> Column:
-    return _dict_predicate(col, lambda s: s.endswith(pat))
+    return _dict_predicate_vec(col, lambda d: np.char.endswith(d, pat))
 
 
 def match_like(col: Column, pattern: str) -> Column:
@@ -139,7 +171,7 @@ def match_like(col: Column, pattern: str) -> Column:
 
 def len_strings(col: Column) -> Column:
     d = col.dictionary if col.dictionary is not None else np.array([], dtype=str)
-    lens = np.array([len(x) for x in d.astype(str)], dtype=np.int32)
+    lens = np.char.str_len(d.astype(str)).astype(np.int32) if len(d) else np.array([], np.int32)
     if not len(lens):
         lens = np.zeros((1,), np.int32)
     out = _table_gather(jnp.asarray(lens), col.data)
@@ -171,11 +203,11 @@ def pad(col: Column, width: int, side: str = "left", fillchar: str = " ") -> Col
 
 
 def zfill(col: Column, width: int) -> Column:
-    return _dict_map(col, lambda s: s.zfill(width))
+    return _dict_map_vec(col, lambda d: np.char.zfill(d, width))
 
 
 def repeat_strings(col: Column, repeats: int) -> Column:
-    return _dict_map(col, lambda s: s * repeats)
+    return _dict_map_vec(col, lambda d: np.char.multiply(d, repeats))
 
 
 def translate(col: Column, table: dict) -> Column:
@@ -190,11 +222,11 @@ def wrap(col: Column, width: int) -> Column:
 
 
 def title(col: Column) -> Column:
-    return _dict_map(col, str.title)
+    return _dict_map_vec(col, np.char.title)
 
 
 def swapcase(col: Column) -> Column:
-    return _dict_map(col, str.swapcase)
+    return _dict_map_vec(col, np.char.swapcase)
 
 
 def replace_str(col: Column, pat: str, repl: str, regex: bool = False,
@@ -204,12 +236,13 @@ def replace_str(col: Column, pat: str, repl: str, regex: bool = False,
 
         rx = re.compile(pat)
         return _dict_map(col, lambda s: rx.sub(repl, s, 0 if n < 0 else n))
-    return _dict_map(col, lambda s: s.replace(pat, repl, n if n >= 0 else -1))
+    return _dict_map_vec(col, lambda d: np.char.replace(d, pat, repl, n if n >= 0 else -1))
 
 
 def find(col: Column, sub: str) -> Column:
     d = col.dictionary if col.dictionary is not None else np.array([], str)
-    vals = np.array([s.find(sub) for s in d.astype(str)], np.int32)
+    vals = (np.char.find(d.astype(str), sub).astype(np.int32)
+            if len(d) else np.array([], np.int32))
     if not len(vals):
         vals = np.zeros((1,), np.int32)
     out = _table_gather(jnp.asarray(vals), col.data)
@@ -218,7 +251,8 @@ def find(col: Column, sub: str) -> Column:
 
 def rfind(col: Column, sub: str) -> Column:
     d = col.dictionary if col.dictionary is not None else np.array([], str)
-    vals = np.array([s.rfind(sub) for s in d.astype(str)], np.int32)
+    vals = (np.char.rfind(d.astype(str), sub).astype(np.int32)
+            if len(d) else np.array([], np.int32))
     if not len(vals):
         vals = np.zeros((1,), np.int32)
     out = _table_gather(jnp.asarray(vals), col.data)

@@ -1,0 +1,89 @@
+"""Background pre-specialization of hot executables per capacity bucket.
+
+The analog of libcudf's JIT-cache preload (cpp/src/jit/cache.cpp:26-50 +
+cudf::initialize(INIT_JIT_CACHE)): on the axon TPU stack a cold compile of a
+2M-row sort program costs minutes, so
+
+  1. every compile >0.5s lands in the on-disk persistent cache
+     (cudf_tpu/__init__.py sets jax_compilation_cache_dir) — any later
+     process pays a ~1-3s cache LOAD instead of the compile;
+  2. ``prewarm(n_rows)`` compiles the shared sort/scan primitives for the
+     relevant capacity buckets in a BACKGROUND thread, so a pipeline's
+     first queries overlap user code with specialization instead of
+     blocking on it.
+
+Composite operator programs (groupby pass-1, join probe) are shaped by key
+widths/dtypes and cannot be enumerated ahead of data; their first run still
+compiles once per shape — but their inner sort/scan/cumsum executables are
+exactly the ones prewarmed here, which is where the minutes go.
+"""
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Sequence
+
+_started: set = set()
+
+
+def _targets(cap: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.sortprim import _single_pass_embedded, _pass64, tiled_cumsum
+    from ..ops import sortprim
+
+    pb = max(1, (cap - 1).bit_length())
+    k = jnp.zeros((cap,), jnp.uint64)
+    perm = jnp.zeros((cap,), jnp.int32)
+    f64 = jnp.zeros((cap,), jnp.float64)
+    i32 = jnp.zeros((cap,), jnp.int32)
+
+    yield lambda: _single_pass_embedded(k, pb)
+    yield lambda: _pass64(k, perm)
+    yield lambda: jax.jit(tiled_cumsum)(i32)
+    yield lambda: jax.jit(tiled_cumsum)(f64)
+    # payload flag-sort shapes (drop_nulls / sort_by_key common cases)
+    yield lambda: jax.lax.sort((k, f64), num_keys=1, is_stable=False)
+    yield lambda: jax.lax.sort((k, f64, i32), num_keys=1, is_stable=False)
+
+
+def prewarm(n_rows: Sequence[int] | int, background: bool = True,
+            extra_buckets: int = 1) -> Optional[threading.Thread]:
+    """Compile core per-bucket executables for the given row counts.
+
+    Returns the background thread (or None when run inline). Idempotent per
+    capacity bucket within a process; results persist in the on-disk cache
+    for every later process.
+    """
+    from .padding import bucket_capacity
+
+    if isinstance(n_rows, int):
+        n_rows = [n_rows]
+    caps: List[int] = []
+    for n in n_rows:
+        c = bucket_capacity(max(int(n), 1))
+        for _ in range(extra_buckets + 1):
+            if c not in _started:
+                _started.add(c)
+                caps.append(c)
+            c *= 2
+    if not caps:
+        return None
+
+    def run():
+        import jax
+
+        for cap in caps:
+            for t in _targets(cap):
+                try:
+                    jax.block_until_ready(t())
+                except Exception:  # pragma: no cover — best-effort warmup
+                    pass
+
+    if background:
+        th = threading.Thread(target=run, name="cudf-tpu-prewarm", daemon=True)
+        th.start()
+        return th
+    run()
+    return None

@@ -1,0 +1,124 @@
+"""I/O hardening tests: own row-group pruning, chunked writer, datasources."""
+import threading
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.io.datasource import BytesDatasource, Datasource, HTTPDatasource
+from cudf_tpu.io.parquet_ext import (ParquetChunkedWriter, prune_row_groups,
+                                     read_parquet_pruned)
+
+
+@pytest.fixture()
+def pq_file(tmp_path):
+    # 4 row groups with disjoint key ranges -> prunable
+    path = str(tmp_path / "t.parquet")
+    frames = []
+    for g in range(4):
+        frames.append(pd.DataFrame({
+            "k": np.arange(g * 100, (g + 1) * 100),
+            "v": np.arange(100) * 1.0 + g,
+        }))
+    with ParquetChunkedWriter(path, row_group_rows=100) as w:
+        for f in frames:
+            w.write(Table.from_pandas(f))
+    return path, pd.concat(frames, ignore_index=True)
+
+
+def test_prune_row_groups_stats(pq_file):
+    path, df = pq_file
+    keep, total = prune_row_groups(path, [("k", ">=", 250)])
+    assert total == 4
+    assert keep == [2, 3]
+    keep, _ = prune_row_groups(path, [("k", "==", 150)])
+    assert keep == [1]
+    keep, _ = prune_row_groups(path, [("k", ">", 1000)])
+    assert keep == []
+
+
+def test_read_parquet_pruned_exact(pq_file):
+    path, df = pq_file
+    got = read_parquet_pruned(path, predicates=[("k", ">=", 250), ("k", "<", 320)])
+    want = df[(df.k >= 250) & (df.k < 320)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.to_pandas(), want, check_dtype=False)
+    # empty survivor set
+    got0 = read_parquet_pruned(path, predicates=[("k", ">", 10_000)])
+    assert got0.num_rows == 0
+
+
+def test_chunked_writer_roundtrip(pq_file, tmp_path):
+    path, df = pq_file
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups == 4
+    back = pq.read_table(path).to_pandas()
+    pd.testing.assert_frame_equal(back, df, check_dtype=False)
+
+
+def test_chunked_writer_atomic_on_error(tmp_path):
+    path = str(tmp_path / "bad.parquet")
+    with pytest.raises(RuntimeError):
+        with ParquetChunkedWriter(path) as w:
+            w.write(Table.from_pandas(pd.DataFrame({"x": [1, 2]})))
+            raise RuntimeError("boom")
+    import os
+
+    assert not os.path.exists(path)  # partial sink dropped
+
+
+def test_bytes_datasource_roundtrip(pq_file):
+    path, df = pq_file
+    blob = open(path, "rb").read()
+    got = read_parquet_pruned(BytesDatasource(blob), predicates=[("k", "<", 100)])
+    want = df[df.k < 100].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.to_pandas(), want, check_dtype=False)
+
+
+def test_http_datasource_range_reads(pq_file):
+    path, df = pq_file
+    import functools
+    import http.server
+    import socketserver
+
+    blob = open(path, "rb").read()
+    ranges = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if rng:
+                ranges.append(rng)
+                lo, hi = rng.split("=")[1].split("-")
+                lo, hi = int(lo), int(hi)
+                body = blob[lo : hi + 1]
+                self.send_response(206)
+            else:
+                body = blob
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        try:
+            ds = HTTPDatasource(f"http://127.0.0.1:{port}/t.parquet")
+            got = read_parquet_pruned(ds, predicates=[("k", ">=", 300)])
+            want = df[df.k >= 300].reset_index(drop=True)
+            pd.testing.assert_frame_equal(got.to_pandas(), want, check_dtype=False)
+            assert ranges, "no Range requests made"
+        finally:
+            srv.shutdown()
