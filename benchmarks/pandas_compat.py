@@ -1,0 +1,185 @@
+"""pandas-API compatibility battery for the accelerator.
+
+The measurable stand-in for the reference's "run the upstream pandas test
+suite under cudf.pandas" CI job (ci/cudf_pandas_scripts/pandas-tests): a
+battery of common pandas operations runs through the accelerator proxy
+module and every result is compared against real pandas on the same data.
+Reported: pass rate (correctness incl. transparent fallback) and fast rate
+(fraction that stayed on the TPU engine, no fallback recorded).
+
+    python benchmarks/pandas_compat.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+import numpy as np
+import pandas as real_pd
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    n = 2000
+    df = real_pd.DataFrame({
+        "a": rng.integers(0, 20, n),
+        "b": rng.normal(size=n),
+        "c": rng.choice(["x", "y", "zz", "w"], n),
+        "d": real_pd.to_datetime("2020-01-01") + real_pd.to_timedelta(
+            rng.integers(0, 365, n), unit="D"),
+    })
+    df.loc[rng.choice(n, 40, replace=False), "b"] = np.nan
+    other = real_pd.DataFrame({"a": np.arange(20), "e": np.arange(20) * 1.5})
+    return df, other
+
+
+CASES = []
+
+
+def case(name):
+    def deco(fn):
+        CASES.append((name, fn))
+        return fn
+    return deco
+
+
+# --- construction / basics ---------------------------------------------------
+case("head")(lambda P, df, o: P.DataFrame(df)[["a", "b"]].head(5))
+case("shape-len")(lambda P, df, o: len(P.DataFrame(df)))
+case("getitem-col")(lambda P, df, o: P.DataFrame(df)["b"])
+case("getitem-list")(lambda P, df, o: P.DataFrame(df)[["a", "c"]])
+case("mask-filter")(lambda P, df, o: (lambda x: x[x["b"] > 0])(P.DataFrame(df)))
+case("setitem")(lambda P, df, o: (lambda x: (x.__setitem__("f", x["b"]), x)[1])(P.DataFrame(df)))
+
+# --- arithmetic / reductions -------------------------------------------------
+case("add")(lambda P, df, o: P.DataFrame(df)["b"] + 1.0)
+case("mul-series")(lambda P, df, o: P.DataFrame(df)["b"] * P.DataFrame(df)["a"])
+case("sum")(lambda P, df, o: P.DataFrame(df)["b"].sum())
+case("mean")(lambda P, df, o: P.DataFrame(df)["b"].mean())
+case("min-max")(lambda P, df, o: (P.DataFrame(df)["a"].min(), P.DataFrame(df)["a"].max()))
+case("describe")(lambda P, df, o: P.DataFrame(df)[["a", "b"]].describe())
+case("abs")(lambda P, df, o: P.DataFrame(df)["b"].abs())
+case("round")(lambda P, df, o: P.DataFrame(df)["b"].round(2))
+case("clip")(lambda P, df, o: P.DataFrame(df)["b"].clip(-1, 1))
+case("cumsum")(lambda P, df, o: P.DataFrame(df)["a"].cumsum())
+case("value_counts")(lambda P, df, o: P.DataFrame(df)["c"].value_counts())
+case("nunique")(lambda P, df, o: P.DataFrame(df)["a"].nunique())
+case("quantile")(lambda P, df, o: P.DataFrame(df)["b"].quantile(0.75))
+case("corr")(lambda P, df, o: P.DataFrame(df)[["a", "b"]].corr())
+
+# --- missing data --------------------------------------------------------------
+case("isna")(lambda P, df, o: P.DataFrame(df)["b"].isna())
+case("dropna")(lambda P, df, o: P.DataFrame(df).dropna())
+case("fillna")(lambda P, df, o: P.DataFrame(df)["b"].fillna(0.0))
+
+# --- sorting / dedup ---------------------------------------------------------
+case("sort_values")(lambda P, df, o: P.DataFrame(df).sort_values(["a", "b"]))
+case("sort-desc")(lambda P, df, o: P.DataFrame(df).sort_values("b", ascending=False))
+case("drop_duplicates")(lambda P, df, o: P.DataFrame(df).drop_duplicates(["a"]))
+case("nlargest")(lambda P, df, o: P.DataFrame(df).nlargest(5, "b"))
+
+# --- groupby -------------------------------------------------------------------
+case("groupby-sum")(lambda P, df, o: P.DataFrame(df).groupby("a", as_index=False).agg(s=("b", "sum")))
+case("groupby-multi")(lambda P, df, o: P.DataFrame(df).groupby(["a", "c"], as_index=False).agg(m=("b", "mean"), n=("b", "count")))
+case("groupby-size")(lambda P, df, o: P.DataFrame(df).groupby("c", as_index=False).size())
+case("groupby-str-key")(lambda P, df, o: P.DataFrame(df).groupby("c", as_index=False).agg(v=("b", "var")))
+
+# --- merge / concat ------------------------------------------------------------
+case("merge-inner")(lambda P, df, o: P.DataFrame(df).merge(P.DataFrame(o), on="a"))
+case("merge-left")(lambda P, df, o: P.DataFrame(df).merge(P.DataFrame(o), on="a", how="left"))
+case("concat")(lambda P, df, o: P.concat([P.DataFrame(df), P.DataFrame(df)]))
+
+# --- str / dt accessors ---------------------------------------------------------
+case("str-upper")(lambda P, df, o: P.DataFrame(df)["c"].str.upper())
+case("str-contains")(lambda P, df, o: P.DataFrame(df)["c"].str.contains("z"))
+case("str-len")(lambda P, df, o: P.DataFrame(df)["c"].str.len())
+case("dt-year")(lambda P, df, o: P.DataFrame(df)["d"].dt.year)
+case("dt-month")(lambda P, df, o: P.DataFrame(df)["d"].dt.month)
+
+# --- reshaping / window ----------------------------------------------------------
+case("rename")(lambda P, df, o: P.DataFrame(df).rename(columns={"a": "A"}))
+case("astype")(lambda P, df, o: P.DataFrame(df)["a"].astype("float64"))
+case("shift")(lambda P, df, o: P.DataFrame(df)["b"].shift(2))
+case("diff")(lambda P, df, o: P.DataFrame(df)["b"].diff())
+case("rolling-mean")(lambda P, df, o: P.DataFrame(df)["b"].rolling(5).mean())
+case("isin")(lambda P, df, o: P.DataFrame(df)["a"].isin([1, 2, 3]))
+case("where-mask")(lambda P, df, o: P.DataFrame(df)["b"].where(P.DataFrame(df)["b"] > 0, 0.0))
+case("query")(lambda P, df, o: P.DataFrame(df).query("a > 10"))
+case("pivot_table")(lambda P, df, o: P.DataFrame(df).pivot_table(index="a", values="b", aggfunc="mean"))
+case("crosstab-fallback")(lambda P, df, o: P.DataFrame(df).groupby(["a"]).apply(lambda g: len(g), include_groups=False))
+
+
+def _materialize(x):
+    to_pd = getattr(x, "to_pandas", None) or getattr(x, "_to_slow", None)
+    if to_pd is not None:
+        return to_pd()
+    if isinstance(x, tuple):
+        return tuple(_materialize(v) for v in x)
+    return x
+
+
+def _compare(got, want) -> bool:
+    got = _materialize(got)
+    if isinstance(want, real_pd.DataFrame):
+        got = got.reset_index(drop=True) if isinstance(got, real_pd.DataFrame) else got
+        want2 = want.reset_index(drop=True)
+        real_pd.testing.assert_frame_equal(
+            real_pd.DataFrame(got)[want2.columns].reset_index(drop=True), want2,
+            check_dtype=False, rtol=1e-6, check_index_type=False,
+            check_names=False)
+        return True
+    if isinstance(want, real_pd.Series):
+        g = real_pd.Series(got).reset_index(drop=True)
+        real_pd.testing.assert_series_equal(
+            g, want.reset_index(drop=True), check_dtype=False, rtol=1e-6,
+            check_names=False, check_index_type=False)
+        return True
+    if isinstance(want, tuple):
+        return all(_compare(g, w) for g, w in zip(got, want))
+    if isinstance(want, float):
+        return abs(got - want) <= 1e-6 * max(1.0, abs(want))
+    return got == want
+
+
+def main():
+    from cudf_tpu import pandas_accel
+
+    P = pandas_accel.install()
+    df, other = _data()
+
+    passed, failed, fast = 0, 0, 0
+    failures = []
+    for name, fn in CASES:
+        before = dict(pandas_accel.fallback_stats())
+        try:
+            got = fn(P, df, other)
+            want = fn(real_pd, df.copy(), other.copy())
+            ok = _compare(got, want)
+        except Exception:
+            ok = False
+            failures.append((name, traceback.format_exc(limit=2).splitlines()[-1]))
+        after = pandas_accel.fallback_stats()
+        no_fallback = sum(after.values()) == sum(before.values())
+        if ok:
+            passed += 1
+            if no_fallback:
+                fast += 1
+        else:
+            failed += 1
+    for name, err in failures:
+        print(f"FAIL {name}: {err}", file=sys.stderr)
+    total = passed + failed
+    print(json.dumps({
+        "metric": "pandas_compat_battery",
+        "cases": total,
+        "passed": passed,
+        "pass_rate": round(passed / total, 3),
+        "fast_rate": round(fast / total, 3),
+    }))
+    pandas_accel.uninstall()
+    return passed, total
+
+
+if __name__ == "__main__":
+    main()

@@ -220,20 +220,33 @@ class DataFrame:
         idx = self._index.slice(off, len(self) - off) if self._index is not None else None
         return DataFrame._from_table(self._tbl.slice(off), idx)
 
+    def _nan_keys_to_nulls(self, tbl, by):
+        """pandas na_position treats NaN keys as MISSING, not IEEE values."""
+        from ..core.table import Table
+        from ..ops.unaryop import nans_to_nulls
+
+        if not any(tbl[k].dtype.is_floating for k in by):
+            return tbl
+        return Table({n: (nans_to_nulls(c) if n in set(by) and c.dtype.is_floating
+                          else c) for n, c in tbl})
+
     def sort_values(self, by, ascending=True, na_position="last", kind=None):
         by = [by] if isinstance(by, str) else list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         desc = [not a for a in asc]
-        out = sorting.sort_by_key(self._embed_index(), by, desc, na_position == "last")
+        tbl = self._nan_keys_to_nulls(self._embed_index(), by)
+        out = sorting.sort_by_key(tbl, by, desc, na_position == "last")
         return self._unembed_index(out)
 
     def nlargest(self, n, columns):
         cols = [columns] if isinstance(columns, str) else list(columns)
-        return self._unembed_index(sorting.top_k(self._embed_index(), n, cols, largest=True))
+        tbl = self._nan_keys_to_nulls(self._embed_index(), cols)
+        return self._unembed_index(sorting.top_k(tbl, n, cols, largest=True))
 
     def nsmallest(self, n, columns):
         cols = [columns] if isinstance(columns, str) else list(columns)
-        return self._unembed_index(sorting.top_k(self._embed_index(), n, cols, largest=False))
+        tbl = self._nan_keys_to_nulls(self._embed_index(), cols)
+        return self._unembed_index(sorting.top_k(tbl, n, cols, largest=False))
 
     def dropna(self, subset=None, how="any", thresh=None):
         tbl = self._embed_index()
@@ -415,7 +428,8 @@ class DataFrame:
         return pd.DataFrame({n: [rows[s][n] for s in order] for n, _ in num}, index=order)
 
     def corr(self):
-        """Pearson correlation matrix (pairwise complete obs not supported)."""
+        """Pearson correlation matrix over PAIRWISE complete observations
+        (pandas semantics: NaN/null rows drop per column pair)."""
         from ..utils.real_pandas import pd
         import jax.numpy as jnp
         import jax as _jax
@@ -426,17 +440,27 @@ class DataFrame:
         @_jax.jit
         def impl(cols):
             xs = [c.data.astype(jnp.float64) for c in cols]
-            m = jnp.asarray(cols[0].length, jnp.float64)
             inb = cols[0].bounds_mask()
-            xs = [jnp.where(inb, x, 0.0) for x in xs]
-            mus = [jnp.sum(x) / m for x in xs]
-            cs = [jnp.where(inb, x - mu, 0.0) for x, mu in zip(xs, mus)]
+            oks = []
+            for c, x in zip(cols, xs):
+                ok = inb & ~jnp.isnan(x)
+                if c.validity is not None:
+                    ok = ok & c.validity
+                oks.append(ok)
             out = []
-            for i in range(len(cs)):
+            for i in range(len(xs)):
                 row = []
-                for j in range(len(cs)):
-                    cov = jnp.sum(cs[i] * cs[j])
-                    row.append(cov / jnp.sqrt(jnp.sum(cs[i] ** 2) * jnp.sum(cs[j] ** 2)))
+                for j in range(len(xs)):
+                    ok = oks[i] & oks[j]
+                    m = jnp.maximum(jnp.sum(ok.astype(jnp.float64)), 1.0)
+                    xi = jnp.where(ok, xs[i], 0.0)
+                    xj = jnp.where(ok, xs[j], 0.0)
+                    mi = jnp.sum(xi) / m
+                    mj = jnp.sum(xj) / m
+                    ci = jnp.where(ok, xs[i] - mi, 0.0)
+                    cj = jnp.where(ok, xs[j] - mj, 0.0)
+                    cov = jnp.sum(ci * cj)
+                    row.append(cov / jnp.sqrt(jnp.sum(ci ** 2) * jnp.sum(cj ** 2)))
                 out.append(jnp.stack(row))
             return jnp.stack(out)
 

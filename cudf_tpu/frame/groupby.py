@@ -38,8 +38,19 @@ class DataFrameGroupBy:
 
     def _run(self, specs):
         from .dataframe import DataFrame
+        from ..core.table import Table
+        from ..ops.unaryop import nans_to_nulls
 
-        out = groupby_aggregate(self._df._tbl, self._keys, specs, self._dropna)
+        # pandas semantics: NaN aggregation values are MISSING (skipna), not
+        # IEEE values — convert float value columns to null-masked form
+        # (cudf mode.pandas_compatible behaviour)
+        tbl = self._df._tbl
+        vnames = {s.column for s in specs
+                  if s.column and tbl[s.column].dtype.is_floating}
+        if vnames:
+            tbl = Table({n: (nans_to_nulls(c) if n in vnames else c)
+                         for n, c in tbl})
+        out = groupby_aggregate(tbl, self._keys, specs, self._dropna)
         df = DataFrame._from_table(out)
         if self._as_index:
             return df.set_index(self._keys if len(self._keys) > 1 else self._keys[0])

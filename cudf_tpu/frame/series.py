@@ -292,14 +292,17 @@ class Series:
         return unique_count([c], c.length)
 
     def value_counts(self, ascending=False):
+        """pandas semantics: a count Series indexed by the values."""
         from ..core.table import Table
         from ..ops.groupby import AggSpec, groupby_aggregate
         from ..ops.sorting import sort_by_key
+        from .index import Index
 
         t = Table({"v": self._col})
         g = groupby_aggregate(t, ["v"], [AggSpec("", "size", "count")])
         g = sort_by_key(g, ["count"], descending=not ascending)
-        return DataFrameProxy(g)
+        return Series(column=g["count"], name="count",
+                      index=Index(g["v"], self.name))
 
     def cumsum(self):
         return Series(column=reductions.scan(self._col, "cumsum"), name=self.name)

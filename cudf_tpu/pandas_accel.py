@@ -43,12 +43,42 @@ def fallback_stats() -> dict:
 
 def _wrap(obj: Any):
     if isinstance(obj, _pd.DataFrame):
-        return XDataFrame._from_fast(_FastDF.from_pandas(obj.reset_index(drop=True))
-                                     if obj.index.equals(_pd.RangeIndex(len(obj)))
-                                     else None, slow=obj)
+        try:
+            return XDataFrame._from_fast(_FastDF.from_pandas(obj), slow=obj)
+        except Exception:
+            _record_fallback("wrap.DataFrame")
+            return XDataFrame._from_fast(None, slow=obj)
     if isinstance(obj, _pd.Series):
-        return XSeries._from_fast(None, slow=obj)
+        try:
+            return XSeries._from_fast(_FastSeries(obj), slow=obj)
+        except Exception:
+            _record_fallback("wrap.Series")
+            return XSeries._from_fast(None, slow=obj)
     return obj
+
+
+def _unproxy_fast(a):
+    """Device-side view of an argument tree (proxies -> fast objects)."""
+    if isinstance(a, _ProxyBase):
+        return a._fast if a._fast is not None else a._to_slow()
+    if isinstance(a, (list, tuple)):
+        return type(a)(_unproxy_fast(x) for x in a)
+    if isinstance(a, dict):
+        return {k: _unproxy_fast(v) for k, v in a.items()}
+    return a
+
+
+def _unproxy_slow(a):
+    """Host-side view of an argument tree (proxies -> real pandas objects).
+    The cudf.pandas _transform_arg analog (fast_slow_proxy.py:1380) for
+    nested containers."""
+    if isinstance(a, _ProxyBase):
+        return a._to_slow()
+    if isinstance(a, (list, tuple)):
+        return type(a)(_unproxy_slow(x) for x in a)
+    if isinstance(a, dict):
+        return {k: _unproxy_slow(v) for k, v in a.items()}
+    return a
 
 
 class _ProxyBase:
@@ -86,25 +116,25 @@ class _ProxyBase:
 
             def method(*args, **kwargs):
                 try:
-                    uargs = [a._fast if isinstance(a, _ProxyBase) and a._fast is not None
-                             else (a._to_slow() if isinstance(a, _ProxyBase) else a)
-                             for a in args]
-                    out = attr(*uargs, **kwargs)
+                    out = attr(*[_unproxy_fast(a) for a in args],
+                               **{k: _unproxy_fast(v) for k, v in kwargs.items()})
                     return self._rewrap_fast(out)
                 except Exception:
                     _record_fallback(name)
                     slow_attr = getattr(self._to_slow(), name)
-                    sargs = [a._to_slow() if isinstance(a, _ProxyBase) else a for a in args]
-                    return self._rewrap(slow_attr(*sargs, **kwargs))
+                    return self._rewrap(slow_attr(
+                        *[_unproxy_slow(a) for a in args],
+                        **{k: _unproxy_slow(v) for k, v in kwargs.items()}))
 
             return method
         # 2) pandas fallback
         _record_fallback(name)
         attr = getattr(self._to_slow(), name)
-        if callable(attr):
+        if callable(attr) and not isinstance(attr, type):
             def slow_method(*args, **kwargs):
-                sargs = [a._to_slow() if isinstance(a, _ProxyBase) else a for a in args]
-                return self._rewrap(attr(*sargs, **kwargs))
+                return self._rewrap(attr(
+                    *[_unproxy_slow(a) for a in args],
+                    **{k: _unproxy_slow(v) for k, v in kwargs.items()}))
 
             return slow_method
         return self._rewrap(attr)
@@ -118,6 +148,12 @@ class _ProxyBase:
 
         if isinstance(out, DataFrameGroupBy):
             return _GroupByProxy(out, self)
+        from .frame import index as _index_mod
+
+        if isinstance(out, getattr(_index_mod, "Index", ())):
+            return XIndex(out)
+        if isinstance(out, (list, tuple)):
+            return type(out)(self._rewrap_fast(x) for x in out)
         return out
 
     def __repr__(self):
@@ -127,7 +163,30 @@ class _ProxyBase:
         return len(self._fast) if self._fast is not None else len(self._to_slow())
 
 
-class XDataFrame(_ProxyBase):
+class _XMeta(type):
+    """isinstance(real_pandas_obj, ProxyClass) -> True (fast_slow_proxy's
+    metaclass trick): user code that type-checks against pd.DataFrame keeps
+    working when pd.DataFrame is the proxy class."""
+
+    _real: type = object
+
+    def __instancecheck__(cls, obj):
+        return type.__instancecheck__(cls, obj) or isinstance(obj, cls._real)
+
+    def __subclasscheck__(cls, sub):
+        return type.__subclasscheck__(cls, sub) or (
+            isinstance(sub, type) and issubclass(sub, cls._real))
+
+
+class _DFMeta(_XMeta):
+    _real = _pd.DataFrame
+
+
+class _SeriesMeta(_XMeta):
+    _real = _pd.Series
+
+
+class XDataFrame(_ProxyBase, metaclass=_DFMeta):
     def __init__(self, *args, **kwargs):
         try:
             self._fast = _FastDF(*args, **kwargs)
@@ -164,7 +223,7 @@ class XDataFrame(_ProxyBase):
         return self._to_slow()
 
 
-class XSeries(_ProxyBase):
+class XSeries(_ProxyBase, metaclass=_SeriesMeta):
     def __init__(self, *args, **kwargs):
         try:
             self._fast = _FastSeries(*args, **kwargs)
@@ -215,6 +274,33 @@ class XSeries(_ProxyBase):
         raise TypeError("unhashable")
 
 
+class XIndex:
+    """Generic namespace proxy for fast Index objects: try the fast engine,
+    fall back to the equivalent real pandas Index (the reference's generic
+    fast/slow proxy idea over non-frame namespaces)."""
+
+    def __init__(self, fast):
+        self._fast = fast
+        self._slow = None
+
+    def _to_slow(self):
+        if self._slow is None:
+            self._slow = self._fast.to_pandas()
+        return self._slow
+
+    def __getattr__(self, name):
+        if hasattr(self._fast, name):
+            return getattr(self._fast, name)
+        _record_fallback(f"index.{name}")
+        return getattr(self._to_slow(), name)
+
+    def __len__(self):
+        return len(self._fast)
+
+    def __repr__(self):
+        return repr(self._to_slow())
+
+
 class _GroupByProxy:
     def __init__(self, gb, parent):
         self._gb = gb
@@ -246,24 +332,55 @@ class _GroupByProxy:
         return self._parent._rewrap(getattr(slow, name)(*a, **k))
 
 
+def _accel_concat(objs, **kw):
+    objs = list(objs)
+    if all(isinstance(o, _ProxyBase) and o._fast is not None for o in objs) and not kw:
+        return XDataFrame._from_fast(_fast_concat([o._fast for o in objs]))
+    return _wrap(_pd.concat([_unproxy_slow(o) for o in objs], **kw))
+
+
+def _fast_overrides() -> dict:
+    from . import read_parquet as _rp, read_csv as _rc, read_json as _rj
+
+    return {
+        "DataFrame": XDataFrame,
+        "Series": XSeries,
+        "concat": _accel_concat,
+        "read_parquet": lambda p, **kw: XDataFrame._from_fast(_rp(p, **kw)),
+        "read_csv": lambda p, **kw: XDataFrame._from_fast(_rc(p, **kw)),
+        "read_json": lambda p, **kw: XDataFrame._from_fast(_rj(p, **kw)),
+    }
+
+
+class _AccelModule(types.ModuleType):
+    """Caller-sensitive pandas facade (module_accelerator.py:366 analog).
+
+    pandas-INTERNAL code (lazily imported submodules doing
+    ``from pandas import DataFrame``, accessor machinery constructing
+    Series) must see the REAL types or pandas' own internals break;
+    USER code sees the accelerated proxies. Resolution inspects the
+    calling module's __name__."""
+
+    def __getattribute__(self, name):
+        over = types.ModuleType.__getattribute__(self, "_overrides")
+        if name in over:
+            try:
+                caller = sys._getframe(1).f_globals.get("__name__", "")
+            except ValueError:  # no caller frame (C API)
+                caller = ""
+            if caller == "pandas" or caller.startswith("pandas."):
+                return getattr(_pd, name)
+            return over[name]
+        return types.ModuleType.__getattribute__(self, name)
+
+
 def _make_module() -> types.ModuleType:
-    m = types.ModuleType("pandas")
+    m = _AccelModule("pandas")
     m.__cudf_tpu_accel__ = True
     # ride the real package's __path__ so `import pandas.anything` loads the
     # genuine submodule files (they bind to the real pandas internally)
     m.__path__ = list(getattr(_pd, "__path__", []))
-    m.DataFrame = XDataFrame
-    m.Series = XSeries
-    m.concat = lambda objs, **kw: (
-        XDataFrame._from_fast(_fast_concat([o._fast for o in objs]))
-        if all(isinstance(o, _ProxyBase) and o._fast is not None for o in objs)
-        else _pd.concat([o._to_slow() if isinstance(o, _ProxyBase) else o for o in objs], **kw)
-    )
-    from . import read_parquet as _rp, read_csv as _rc, read_json as _rj
-
-    m.read_parquet = lambda p, **kw: XDataFrame._from_fast(_rp(p, **kw))
-    m.read_csv = lambda p, **kw: XDataFrame._from_fast(_rc(p, **kw))
-    m.read_json = lambda p, **kw: XDataFrame._from_fast(_rj(p, **kw))
+    m._overrides = _fast_overrides()
     # everything else: real pandas
     for name in dir(_pd):
         if not hasattr(m, name):
@@ -282,19 +399,7 @@ class _AccelFinder:
     module's ``__path__`` to the real pandas files, so the whole
     transitive ``pandas.*`` namespace keeps working."""
 
-    def find_module(self, fullname, path=None):
-        return self if fullname == "pandas" else None
-
-    def load_module(self, fullname):
-        if "pandas" in sys.modules and getattr(
-            sys.modules["pandas"], "__cudf_tpu_accel__", False
-        ):
-            return sys.modules["pandas"]
-        m = _make_module()
-        sys.modules["pandas"] = m
-        return m
-
-    # PEP 451 interface
+    # PEP 451 interface (the legacy find_module/load_module API is gone)
     def find_spec(self, fullname, path=None, target=None):
         if fullname != "pandas":
             return None

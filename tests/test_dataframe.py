@@ -70,8 +70,9 @@ class TestSeriesOps:
 
     def test_value_counts(self):
         s = ct.Series([1, 2, 2, 3, 3, 3])
-        out = s.value_counts().to_pandas()
-        assert list(out["count"]) == [3, 2, 1]
+        out = s.value_counts().to_pandas()  # pandas: count Series by value
+        assert list(out) == [3, 2, 1]
+        assert list(out.index) == [3, 2, 1]
 
     def test_cumsum(self):
         s = ct.Series([1, 2, 3])

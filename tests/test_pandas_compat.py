@@ -1,0 +1,20 @@
+"""The accelerator compatibility battery as a regression gate
+(the reference runs the upstream pandas suite under cudf.pandas and tracks
+the pass rate; benchmarks/pandas_compat.py is our measured equivalent)."""
+import subprocess
+import sys
+import json
+import os
+
+
+def test_compat_battery_pass_rate():
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "benchmarks/pandas_compat.py"], cwd="/root/repo",
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["pass_rate"] >= 0.95, res
+    assert res["fast_rate"] >= 0.8, res
