@@ -243,6 +243,21 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
     null_flags = tuple(st.has_null for st, _ in plan)
     ranges = tuple(jnp.int32(st.value_range) for st, _ in plan)
 
+    # Pallas MXU lane (opt-in, CUDF_TPU_PALLAS=1): low-cardinality f32
+    # sum/mean/count rides the one-hot matmul accumulator — the VMEM analog
+    # of compute_single_pass_aggs.cuh's shared-memory single pass
+    from ..kernels import pallas_enabled
+
+    vnames = {s.column for s in aggs if s.column}
+    if (pallas_enabled() and tbits <= 11
+            and all(s.kind in ("sum", "mean", "count", "size") for s in aggs)
+            and len(vnames) <= 1
+            and all(tbl[n].dtype.physical == jnp.float32 and
+                    tbl[n].validity is None for n in vnames)):
+        out = _pallas_onehot_groupby(tbl, keys, aggs, dropna_keys, plan, tbits)
+        if out is not None:
+            return out
+
     key, active = _make_key(kcols, mins, widths, nan_flags, null_flags,
                             ranges, dropna_keys)
 
@@ -415,3 +430,90 @@ def _finish_agg(spec, arrs, vcol, starts, ends, ok, gid, pos, n_groups, cap):
         return Column(dtypes.int64, r.astype(jnp.int64), validity, n_groups)
 
     raise ValueError(f"unsupported fast agg {kind!r}")
+
+
+def _pallas_onehot_groupby(tbl, keys, aggs, dropna_keys, plan, tbits):
+    """MXU one-hot accumulation for <=2048 groups (kernels/onehot_groupby.py):
+    one pass computes per-slot weighted sums + counts on the systolic array;
+    a tiny second program compacts + decodes. f32 values only (MXU has no
+    f64 path — wider dtypes stay on the scan engine)."""
+    from ..kernels.onehot_groupby import groupby_sum_count
+    from ..utils.jitutil import fix_lengths
+
+    kcols = tuple(tbl[k] for k in keys)
+    widths = tuple(w for _, w in plan)
+    mins = tuple(jnp.float64(st.vmin) for st, _ in plan)
+    nan_flags = tuple(st.has_nan for st, _ in plan)
+    null_flags = tuple(st.has_null for st, _ in plan)
+    ranges = tuple(jnp.int32(st.value_range) for st, _ in plan)
+    T = 1 << tbits
+
+    key, active = _make_key(kcols, mins, widths, nan_flags, null_flags,
+                            ranges, dropna_keys)
+    cap = kcols[0].capacity
+    pb = _posbits(cap)
+    slot = (key >> jnp.uint64(pb)).astype(jnp.int32)
+    slot = jnp.where(active, jnp.clip(slot, 0, T - 1), 0)
+
+    vname = next((s.column for s in aggs if s.column), None)
+    vals = tbl[vname].data if vname is not None else jnp.zeros((cap,), jnp.float32)
+    out = groupby_sum_count(slot, vals[:, None].astype(jnp.float32),
+                            active.astype(jnp.float32), T)
+    sums = out[:, 0]
+    cnt = out[:, 1]
+    occupied = cnt > 0.5
+    n_groups = int(jnp.sum(occupied.astype(jnp.int32)))  # host sync
+    out_cap = bucket_capacity(max(n_groups, 1))
+
+    @partial(jax.jit, static_argnames=("out_cap", "widths", "nan_flags",
+                                       "null_flags"))
+    def compact(sums, cnt, occupied, mins, ranges, out_cap, widths, nan_flags,
+                null_flags):
+        rank = tiled_cumsum(occupied.astype(jnp.int32)) - 1
+        tgt = jnp.where(occupied, jnp.minimum(rank, out_cap), out_cap)
+        grp_slot = jnp.zeros((out_cap + 1,), jnp.int32).at[tgt].max(
+            jnp.arange(T, dtype=jnp.int32) * occupied.astype(jnp.int32))[:out_cap]
+        cols = {}
+        shift = sum(widths)
+        for i, (c, vmin, w, has_nan, rng) in enumerate(
+                zip(kcols, mins, widths, nan_flags, ranges)):
+            shift -= w
+            code = (grp_slot >> shift) & jnp.int32((1 << w) - 1)
+            val = code.astype(jnp.float64) + vmin
+            phys = c.dtype.physical
+            if c.dtype.kind == Kind.FLOAT:
+                data = val.astype(phys)
+                if has_nan:
+                    data = jnp.where(code == rng, jnp.asarray(jnp.nan, phys), data)
+            elif c.dtype.kind == Kind.BOOL:
+                data = code.astype(jnp.bool_)
+            else:
+                data = val.astype(jnp.int64).astype(phys)
+            validity = None
+            if c.validity is not None:
+                null_code = rng + (jnp.int32(1) if has_nan else jnp.int32(0))
+                validity = code != null_code
+                data = jnp.where(validity, data, jnp.zeros((), phys))
+            cols[keys[i]] = Column(c.dtype, data, validity, n_groups,
+                                   c.dictionary)
+        s = sums[grp_slot]
+        n = cnt[grp_slot]
+        for spec in aggs:
+            if spec.kind == "sum":
+                cols[spec.out_name] = Column(dtypes.float32, s.astype(jnp.float32),
+                                             None, n_groups)
+            elif spec.kind == "mean":
+                cols[spec.out_name] = Column(
+                    dtypes.float64,
+                    s.astype(jnp.float64) / jnp.maximum(n, 1.0), None, n_groups)
+            elif spec.kind in ("count", "size"):
+                cols[spec.out_name] = Column(dtypes.int64, n.astype(jnp.int64),
+                                             None, n_groups)
+        return cols
+
+    cols = compact(sums, cnt, occupied, mins, ranges, out_cap, widths,
+                   nan_flags, null_flags)
+    cols = fix_lengths(cols, n_groups)
+    for i, k in enumerate(keys):
+        cols[k].dictionary = kcols[i].dictionary
+    return Table({n: cols[n] for n in list(keys) + [s.out_name for s in aggs]})

@@ -183,7 +183,50 @@ def _first_occurrence_finish(keys, perm):
     return keep_mask, drop_key, jnp.sum(keep_mask.astype(jnp.int32))
 
 
+def _distinct_pallas(kcols):
+    """keep="first" distinct via the Pallas VMEM hash table
+    (kernels/hashtable.py — the cuco::static_set lane,
+    cpp/src/stream_compaction/distinct.cu). Build inserts every row keyed by
+    its packed equality words keeping the SMALLEST row id per key — exactly
+    first-occurrence semantics; the winning payloads mark the keep mask.
+
+    Returns (keep_mask, drop_key, count) or None when inapplicable
+    (pallas disabled / keys too wide / in-trace)."""
+    from ..kernels import pallas_enabled
+    from ..kernels import hashtable as ht
+    from . import hashgroup
+
+    if not pallas_enabled():
+        return None
+    if any(isinstance(c.data, jax.core.Tracer) for c in kcols):
+        return None
+    ops = []
+    for c in kcols:
+        ops.extend(rowcodes.equality_operands(c))
+    words, width, mins_spec, widths_spec = hashgroup.pack_key_words(ops)
+    if words is None or len(words) > 2:
+        return None
+    cap = kcols[0].capacity
+    length = kcols[0].length
+    k1 = words[0]
+    k2 = words[1] if len(words) > 1 else jnp.zeros((cap,), jnp.uint32)
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(length, jnp.int32)
+    m = ht.table_size_for(int(length))
+    tk1, tk2, payload, all_placed = ht.build_table(k1, k2, inb, m)
+    if not bool(all_placed):
+        return None  # probe cap exceeded: fall back to the sort lane
+    tgt = jnp.where(payload >= 0, payload, cap)  # empty slots -> dropped
+    keep_mask = jnp.zeros((cap + 1,), jnp.bool_).at[tgt].max(payload >= 0)[:cap]
+    keep_mask = keep_mask & inb
+    drop_key = (~keep_mask).astype(jnp.uint32)
+    return keep_mask, drop_key, jnp.sum(keep_mask.astype(jnp.int32))
+
+
 def _distinct_perm(kcols, keep: str):
+    if keep == "first":
+        fast = _distinct_pallas(kcols)
+        if fast is not None:
+            return fast
     ops = _grouping_codes(kcols, last=(keep == "last"))
     perm = multisort_perm(ops)
     return _first_occurrence_finish(kcols, perm)

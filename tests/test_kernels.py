@@ -68,3 +68,33 @@ def test_onehot_groupby_multiple_tiles():
         jnp.asarray(gid), [jnp.asarray(v)], [jnp.asarray(np.ones(n, bool))], K)
     np.testing.assert_allclose(np.asarray(count), [1000] * K)
     np.testing.assert_allclose(np.asarray(sums[0]), [1000.0] * K)
+
+
+def test_pallas_production_lanes_vs_oracle(monkeypatch):
+    """The opt-in Pallas lanes (one-hot groupby, hash-table distinct) give
+    identical results to the default engine (interpret mode on CPU)."""
+    import numpy as np
+    import pandas as pd
+    import cudf_tpu as ct
+    from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+    from cudf_tpu.ops.stream_compaction import distinct
+
+    monkeypatch.setenv("CUDF_TPU_PALLAS", "1")
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 50, n),
+        "v": rng.normal(size=n).astype(np.float32),
+        "s": rng.choice(["a", "bb", "c"], n),
+    })
+    t = ct.Table.from_pandas(df)
+    got = groupby_aggregate(t, ["g"], [AggSpec("v", "sum", "s_"),
+                                       AggSpec("v", "mean", "m"),
+                                       AggSpec("", "size", "n")]).to_pandas()
+    want = df.groupby("g", as_index=False).agg(
+        s_=("v", "sum"), m=("v", "mean"), n=("v", "size"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-4)
+
+    got_d = distinct(t, ["g", "s"]).to_pandas()
+    want_d = df.drop_duplicates(["g", "s"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_d, want_d, check_dtype=False)
