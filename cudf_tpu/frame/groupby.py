@@ -45,10 +45,11 @@ class DataFrameGroupBy:
         # IEEE values — convert float value columns to null-masked form
         # (cudf mode.pandas_compatible behaviour)
         tbl = self._df._tbl
-        vnames = {s.column for s in specs
-                  if s.column and tbl[s.column].dtype.is_floating}
-        if vnames:
-            tbl = Table({n: (nans_to_nulls(c) if n in vnames else c)
+        conv = {s.column for s in specs
+                if s.column and tbl[s.column].dtype.is_floating}
+        conv |= {k for k in self._keys if tbl[k].dtype.is_floating}
+        if conv:
+            tbl = Table({n: (nans_to_nulls(c) if n in conv else c)
                          for n, c in tbl})
         out = groupby_aggregate(tbl, self._keys, specs, self._dropna)
         df = DataFrame._from_table(out)

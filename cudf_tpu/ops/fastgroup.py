@@ -189,8 +189,11 @@ def _pass1(key, vdatas, vvalids, kinds, tbits, pb):
 
 
 def _acc_dtype_from(sv: jnp.ndarray) -> jnp.dtype:
+    # floats always accumulate in f64: the prefix-sum-difference trick
+    # amplifies rounding by the PREFIX magnitude, so f32 accumulation would
+    # be far worse than a direct f32 reduction; results cast back per group
     if jnp.issubdtype(sv.dtype, jnp.floating):
-        return jnp.float32 if sv.dtype == jnp.float32 else jnp.float64
+        return jnp.float64
     return jnp.int64
 
 
@@ -241,7 +244,7 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
     mins = tuple(jnp.float64(st.vmin) for st, _ in plan)
     nan_flags = tuple(st.has_nan for st, _ in plan)
     null_flags = tuple(st.has_null for st, _ in plan)
-    ranges = tuple(jnp.int32(st.value_range) for st, _ in plan)
+    ranges = tuple(jnp.int64(st.value_range) for st, _ in plan)
 
     # Pallas MXU lane (opt-in, CUDF_TPU_PALLAS=1): low-cardinality f32
     # sum/mean/count rides the one-hot matmul accumulator — the VMEM analog
@@ -317,7 +320,7 @@ def _pass2(scode, gid, pos, n_groups, n_active, starts_full, arrs_by_col,
     for i, (c, vmin, w, has_nan, rng) in enumerate(
             zip(kcols, mins, widths, nan_flags, ranges)):
         shift -= w
-        code = ((kcode >> shift) & jnp.int64((1 << w) - 1)).astype(jnp.int32)
+        code = (kcode >> shift) & jnp.int64((1 << w) - 1)
         val = code.astype(jnp.float64) + vmin
         phys = c.dtype.physical
         if c.dtype.kind == Kind.FLOAT:
@@ -361,6 +364,9 @@ def _finish_agg(spec, arrs, vcol, starts, ends, ok, gid, pos, n_groups, cap):
             return Column(dtypes.from_numpy(np.dtype(s2.dtype)), s2, validity, n_groups)
         s = _diff_at(arrs["cs_sum"], starts, ends)
         if kind == "sum":
+            if vcol.dtype.is_floating and vcol.dtype.bits <= 32:
+                return Column(dtypes.float32, s.astype(jnp.float32), validity,
+                              n_groups)
             return Column(dtypes.from_numpy(np.dtype(s.dtype)), s, validity, n_groups)
         mean = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
         if kind == "mean":
@@ -445,7 +451,7 @@ def _pallas_onehot_groupby(tbl, keys, aggs, dropna_keys, plan, tbits):
     mins = tuple(jnp.float64(st.vmin) for st, _ in plan)
     nan_flags = tuple(st.has_nan for st, _ in plan)
     null_flags = tuple(st.has_null for st, _ in plan)
-    ranges = tuple(jnp.int32(st.value_range) for st, _ in plan)
+    ranges = tuple(jnp.int64(st.value_range) for st, _ in plan)
     T = 1 << tbits
 
     key, active = _make_key(kcols, mins, widths, nan_flags, null_flags,

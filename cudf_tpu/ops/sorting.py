@@ -110,12 +110,12 @@ def _order_ops(c: Column, kind: str, st, width: int, d: bool, nlast: bool):
     """u32 (op, width) list for one key column, monotone in requested order."""
     ops: List = []
     if kind == "code":
-        rng = jnp.int32(st.value_range)
+        rng = jnp.asarray(st.value_range, jnp.int64)
         base = c.data.astype(jnp.float64) - jnp.float64(st.vmin)
-        code = base.astype(jnp.int32)
+        code = base.astype(jnp.int64)
         if st.has_nan:
             code = jnp.where(jnp.isnan(c.data), rng, code)
-        R = rng + (jnp.int32(1) if st.has_nan else jnp.int32(0))
+        R = rng + (jnp.int64(1) if st.has_nan else jnp.int64(0))
         if d:
             code = R - 1 - code
         if c.validity is not None:
@@ -124,7 +124,11 @@ def _order_ops(c: Column, kind: str, st, width: int, d: bool, nlast: bool):
             else:
                 code = jnp.where(c.validity, code + 1, 0)
         code = jnp.clip(code, 0, (1 << width) - 1)
-        return [(code.astype(jnp.uint32), width)]
+        if width <= 32:
+            return [(code.astype(jnp.uint32), width)]
+        # wide codes (timestamps etc.): split into (hi, lo) u32 pieces
+        return [((code >> 32).astype(jnp.uint32), width - 32),
+                (code.astype(jnp.uint32), 32)]
     # generic order codes: leading null flag (placement), complement for desc
     if c.validity is not None:
         nf = (~c.validity).astype(jnp.uint32)
@@ -260,7 +264,7 @@ def _fast_sort_by_key(tbl, keys, desc, nl):
     plan_kinds = tuple(k for k, _, _ in plan)
     widths = tuple(w for _, _, w in plan)
     mins = tuple(jnp.float64(st.vmin) for _, st, _ in plan)
-    ranges = tuple(jnp.int32(st.value_range) for _, st, _ in plan)
+    ranges = tuple(jnp.int64(st.value_range) for _, st, _ in plan)
     nan_flags = tuple(st.has_nan for _, st, _ in plan)
     null_flags = tuple(st.has_null for _, st, _ in plan)
     outs = _fast_sort_impl(tuple(kcols), tuple(others), mins, ranges,

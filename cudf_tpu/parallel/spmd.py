@@ -840,7 +840,7 @@ def dist_sort_values(st: ShardedTable, keys: Sequence[str], descending=False,
     plan_kinds = tuple(p[0] for p in plan)
     widths = tuple(p[2] for p in plan)
     mins = tuple(jnp.float64(p[1].vmin) for p in plan)
-    ranges = tuple(jnp.int32(p[1].value_range) for p in plan)
+    ranges = tuple(jnp.int64(p[1].value_range) for p in plan)
     nan_flags = tuple(p[1].has_nan for p in plan)
     null_flags = tuple(p[1].has_null for p in plan)
 

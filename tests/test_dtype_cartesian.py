@@ -1,0 +1,124 @@
+"""Dtype-cartesian sweeps for join/groupby/sort (reference TESTING.md policy:
+typed test lists over dtypes, null/NaN edges, boundary sizes)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+from cudf_tpu.ops.join import join
+from cudf_tpu.ops import sorting
+
+KEY_DTYPES = ["int8", "int16", "int32", "int64", "uint32", "float32",
+              "float64", "bool", "str", "datetime64[ns]"]
+VAL_DTYPES = ["int32", "int64", "float32", "float64"]
+
+
+def _key_values(dtype, n, rng, with_nulls):
+    if dtype == "str":
+        v = pd.Series(rng.choice(["aa", "b", "cc", "dd", "e"], n))
+    elif dtype == "bool":
+        v = pd.Series(rng.random(n) < 0.5)
+    elif dtype == "datetime64[ns]":
+        v = pd.Series(pd.Timestamp("2021-01-01")
+                      + pd.to_timedelta(rng.integers(0, 5, n), unit="D"))
+    elif dtype.startswith("float"):
+        v = pd.Series(rng.integers(-3, 4, n).astype(dtype))
+    elif dtype.startswith("u"):
+        v = pd.Series(rng.integers(0, 7, n).astype(dtype))
+    else:
+        v = pd.Series(rng.integers(-3, 4, n).astype(dtype))
+    if with_nulls and dtype in ("float32", "float64", "str", "datetime64[ns]"):
+        v[rng.choice(n, n // 10, replace=False)] = None
+    return v
+
+
+@pytest.mark.parametrize("kdt", KEY_DTYPES)
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_groupby_sum_mean_every_key_dtype(kdt, with_nulls):
+    rng = np.random.default_rng(hash(kdt) % 2**31)
+    n = 500
+    df = pd.DataFrame({"k": _key_values(kdt, n, rng, with_nulls),
+                       "v": rng.normal(size=n)})
+    got = (ct.DataFrame.from_pandas(df)
+           .groupby("k", as_index=False).agg(s=("v", "sum"), m=("v", "mean"))
+           .to_pandas())
+    want = df.groupby("k", as_index=False).agg(s=("v", "sum"), m=("v", "mean"))
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("kdt", KEY_DTYPES)
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_join_every_key_dtype(kdt, how):
+    rng = np.random.default_rng(hash(kdt + how) % 2**31)
+    n = 400
+    l = pd.DataFrame({"k": _key_values(kdt, n, rng, False),
+                      "v": rng.normal(size=n)})
+    r = pd.DataFrame({"k": _key_values(kdt, 50, rng, False),
+                      "w": rng.normal(size=50)}).drop_duplicates("k")
+    got = join(Table.from_pandas(l), Table.from_pandas(r), ["k"], ["k"], how
+               ).to_pandas()
+    want = l.merge(r, on="k", how=how)
+    assert len(got) == len(want)
+    cols = ["k", "v", "w"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("vdt", VAL_DTYPES)
+@pytest.mark.parametrize("kind", ["sum", "min", "max", "count", "first",
+                                  "last", "var"])
+def test_groupby_agg_value_dtypes(vdt, kind):
+    rng = np.random.default_rng(hash(vdt + kind) % 2**31)
+    n = 600
+    vals = (rng.normal(size=n) * 100).astype(vdt)
+    df = pd.DataFrame({"k": rng.integers(0, 9, n), "v": vals})
+    got = groupby_aggregate(Table.from_pandas(df), ["k"],
+                            [AggSpec("v", kind, "o")]).to_pandas()
+    want = df.groupby("k", as_index=False).agg(o=("v", kind))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6)
+
+
+@pytest.mark.parametrize("kdt", KEY_DTYPES)
+def test_sort_every_key_dtype(kdt):
+    rng = np.random.default_rng(hash(kdt) % 2**31)
+    n = 300
+    df = pd.DataFrame({"k": _key_values(kdt, n, rng, True), "v": np.arange(n)})
+    got = (ct.DataFrame.from_pandas(df).sort_values("k")
+           .to_pandas().reset_index(drop=True))
+    want = df.sort_values("k", kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("n", [1, 2, 31, 32, 33, 127, 128, 129, 255])
+def test_boundary_sizes_groupby_join(n):
+    rng = np.random.default_rng(n)
+    df = pd.DataFrame({"k": rng.integers(0, max(n // 3, 1) + 1, n),
+                       "v": rng.normal(size=n)})
+    got = groupby_aggregate(Table.from_pandas(df), ["k"],
+                            [AggSpec("v", "sum", "s")]).to_pandas()
+    want = df.groupby("k", as_index=False).agg(s=("v", "sum"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    r = pd.DataFrame({"k": np.arange(max(n // 3, 1) + 1), "w": 1.0})
+    gotj = join(Table.from_pandas(df), Table.from_pandas(r), ["k"], ["k"],
+                "inner").to_pandas()
+    assert len(gotj) == len(df.merge(r, on="k"))
+
+
+def test_sliced_column_inputs():
+    """Offset (sliced) columns feed every operator correctly
+    (reference TESTING.md: sliced-offset column policy)."""
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.integers(0, 10, 500), "v": rng.normal(size=500)})
+    t = Table.from_pandas(df).slice(100, 250)
+    sub = df.iloc[100:350].reset_index(drop=True)
+    got = groupby_aggregate(t, ["k"], [AggSpec("v", "mean", "m")]).to_pandas()
+    want = sub.groupby("k", as_index=False).agg(m=("v", "mean"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got2 = sorting.sort_by_key(t, ["k", "v"]).to_pandas().reset_index(drop=True)
+    want2 = sub.sort_values(["k", "v"], kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
