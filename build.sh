@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Build driver (reference build.sh analog). Targets:
+#   native   - compile the C++ runtime (partition spill store)
+#   test     - run the CPU-mesh test suite
+#   bench    - run the on-chip benchmark (needs the TPU tunnel)
+#   tpch     - TPC-H queries on all three engines (CPU mesh)
+#   compat   - pandas accelerator compatibility battery
+#   wheel    - build the python wheel
+#   clean
+set -euo pipefail
+cd "$(dirname "$0")"
+
+target="${1:-native}"
+
+build_native() {
+    echo "== native: partition_store.so"
+    g++ -O2 -shared -fPIC -std=c++17 \
+        -o native/libpartition_store.so native/partition_store.cpp
+}
+
+case "$target" in
+  native) build_native ;;
+  test)   build_native; python -m pytest tests/ -q ;;
+  bench)  build_native; python bench.py ;;
+  tpch)   JAX_PLATFORMS=cpu python benchmarks/tpch.py --engine memory
+          JAX_PLATFORMS=cpu python benchmarks/tpch.py --engine streaming
+          JAX_PLATFORMS=cpu python benchmarks/tpch.py --engine spmd ;;
+  compat) JAX_PLATFORMS=cpu PYTHONPATH="$PWD" python benchmarks/pandas_compat.py ;;
+  wheel)  python -m pip wheel --no-deps -w dist . ;;
+  clean)  rm -f native/libpartition_store.so; rm -rf dist build *.egg-info ;;
+  *) echo "unknown target: $target" >&2; exit 2 ;;
+esac
