@@ -530,10 +530,51 @@ def conditional_join(left: Table, right: Table, predicate,
 
 def mixed_join(left: Table, right: Table, left_on, right_on, predicate,
                how: str = "inner", nulls_equal: bool = False) -> Table:
-    """Equality keys + residual predicate (cudf::mixed_inner_join,
-    cpp/src/join/mixed_join.cu): equi-join first, then filter pairs."""
+    """Equality keys + residual predicate (cudf::mixed_*_join,
+    cpp/src/join/mixed_join.cu): equi-join pairs, then the predicate filters
+    matches. how: inner/left/semi/anti.
+    """
     from .stream_compaction import apply_boolean_mask
+    from .copying import concatenate_tables
+    import jax.numpy as jnp
 
-    assert how == "inner", "mixed_join: inner only in round 1"
-    eq = join(left, right, list(left_on), list(right_on), "inner", nulls_equal)
-    return apply_boolean_mask(eq, predicate(eq))
+    if how == "inner":
+        eq = join(left, right, list(left_on), list(right_on), "inner", nulls_equal)
+        return apply_boolean_mask(eq, predicate(eq))
+
+    if how in ("semi", "anti", "left"):
+        # pair row ids through an inner equi-join, filter by the predicate,
+        # then reduce to per-left-row match existence
+        from .filling import sequence
+
+        lid = "__mixed_lid"
+        l2 = Table({**{n: c for n, c in left}, lid: sequence(left.num_rows)})
+        eq = join(l2, right, list(left_on), list(right_on), "inner", nulls_equal)
+        hit = apply_boolean_mask(eq, predicate(eq))
+        matched_ids = hit[lid]
+        from .search import contains as isin_op
+
+        all_ids = l2[lid]
+        has_match = isin_op(matched_ids, all_ids)  # per left row
+        if how == "semi":
+            return apply_boolean_mask(left, has_match)
+        if how == "anti":
+            from .unaryop import unary_op
+
+            return apply_boolean_mask(left, unary_op(has_match, "not"))
+        # left: matched pairs ++ unmatched left rows with null right side
+        matched = Table({n: c for n, c in hit if n != lid})
+        from .unaryop import unary_op
+
+        unmatched = apply_boolean_mask(left, unary_op(has_match, "not"))
+        cols = {}
+        for name in matched.names:
+            if name in set(unmatched.names):
+                cols[name] = unmatched[name]
+            else:
+                src = matched[name]
+                cols[name] = Column.from_scalar(None, unmatched.num_rows, src.dtype)
+                cols[name].dictionary = src.dictionary
+        return concatenate_tables([matched, Table({k: cols[k] for k in matched.names})])
+
+    raise ValueError(f"mixed_join: unsupported how {how!r}")

@@ -171,3 +171,31 @@ class TestTPCHShape:
         exp = orders.merge(lineitem, left_on="o_orderkey", right_on="l_orderkey", how="inner")
         assert out.num_rows == len(exp)
         assert_join_eq(out, exp, ["o_orderkey", "l_quantity"])
+
+
+def test_mixed_join_hows():
+    import numpy as np
+    import pandas as pd
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.ops.join import mixed_join
+    from cudf_tpu.expr.expressions import col, evaluate
+
+    rng = np.random.default_rng(0)
+    l = pd.DataFrame({"k": rng.integers(0, 10, 200), "a": rng.normal(size=200)})
+    r = pd.DataFrame({"k": rng.integers(0, 10, 80), "b": rng.normal(size=80)})
+    tl, tr = Table.from_pandas(l), Table.from_pandas(r)
+    pred = lambda t: evaluate(col("a") < col("b"), t)
+
+    m = l.merge(r, on="k")
+    m = m[m.a < m.b]
+    lm = l.copy()
+    lm["_lid"] = np.arange(len(l))
+    mm = lm.merge(r, on="k")
+    mm = mm[mm.a < mm.b]
+    matched = set(mm["_lid"])
+
+    assert mixed_join(tl, tr, ["k"], ["k"], pred, "inner").num_rows == len(m)
+    assert mixed_join(tl, tr, ["k"], ["k"], pred, "semi").num_rows == len(matched)
+    assert mixed_join(tl, tr, ["k"], ["k"], pred, "anti").num_rows == len(l) - len(matched)
+    assert mixed_join(tl, tr, ["k"], ["k"], pred, "left").num_rows == \
+        len(m) + (len(l) - len(matched))
