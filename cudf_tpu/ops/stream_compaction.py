@@ -83,14 +83,16 @@ def _slice_cols(cols, out_cap):
 def _compact(tbl: Table, drop_key, cnt) -> Table:
     from ..utils.jitutil import fix_lengths
 
-    n_out = int(cnt)  # host sync: the one dynamic size
-    out_cap = bucket_capacity(n_out)
     cols = tuple(tbl[n] for n in tbl.names)
     n_payload = sum(1 + (c.validity is not None) for c in cols)
     if n_payload <= MAX_PAYLOADS and not isinstance(drop_key, jax.core.Tracer):
         cap = drop_key.shape[0]
         pb = max(1, (cap - 1).bit_length())
+        # dispatch the flag-sort FIRST so it overlaps the count host sync
+        # (the tunnel round-trip costs ~25ms; the sort runs during it)
         sorted_cols = _flagsort(cols, drop_key, pb)
+        n_out = int(cnt)  # host sync: the one dynamic size
+        out_cap = bucket_capacity(n_out)
         if out_cap < cap:
             sorted_cols = _slice_cols(sorted_cols, out_cap)
         sorted_cols = fix_lengths(list(sorted_cols), n_out)
@@ -98,6 +100,8 @@ def _compact(tbl: Table, drop_key, cnt) -> Table:
             c.dictionary = src.dictionary
         return Table(dict(zip(tbl.names, sorted_cols)))
     perm = multisort_perm([drop_key], widths=[1])
+    n_out = int(cnt)
+    out_cap = bucket_capacity(n_out)
     idx = _head(perm, out_cap) if out_cap <= perm.shape[0] else perm
     return gather_table(tbl, idx, n_out)
 
