@@ -542,7 +542,15 @@ class _Loc:
 
     def __getitem__(self, key):
         df = self._df
+        from .index import MultiIndex as _MI
+
         if isinstance(key, tuple):
+            # disambiguate (rows, cols) vs a MultiIndex label tuple: label
+            # tuples have <= n_levels entries none of which name columns
+            if isinstance(df.index, _MI) and len(key) <= len(df.index.levels) \
+                    and not any(isinstance(k, (list, slice)) or k in df._tbl.names
+                                for k in key if isinstance(k, (str, int))):
+                return self._multiindex_select(key)
             rows, cols = key
             sub = df.loc[rows]
             if isinstance(cols, list):
@@ -558,12 +566,25 @@ class _Loc:
         elif isinstance(idx, Index):
             icol = idx.column
         else:
-            raise NotImplementedError("loc on MultiIndex")
+            return self._multiindex_select(
+                key if isinstance(key, tuple) else (key,))
         iser = Series(column=icol)
         if isinstance(key, (list, np.ndarray)):
             return df[iser.isin(list(key))]
         # scalar label
         return df[iser == key]
+
+    def _multiindex_select(self, labels: tuple):
+        """MultiIndex partial indexing: labels match levels positionally."""
+        from ..ops.binaryop import binary_op
+
+        df = self._df
+        idx = df.index
+        mask = None
+        for lvl, lab in zip(idx.levels, labels):
+            m = (Series(column=lvl) == lab)._col
+            mask = m if mask is None else binary_op(mask, m, "and")
+        return df[Series(column=mask)]
 
 
 def concat(objs: Sequence[Union[DataFrame, Series]], ignore_index=True, axis=0):

@@ -118,3 +118,11 @@ def test_groupby_default_as_index_matches_pandas():
     got = df.groupby("k").mean().to_pandas()
     exp = pdf.groupby("k").mean()
     pd.testing.assert_frame_equal(got, exp, check_index_type=False)
+
+
+def test_loc_on_multiindex():
+    pdf = pd.DataFrame({"k1": ["a", "a", "b", "b"], "k2": [1, 2, 1, 2],
+                        "v": [10., 20, 30, 40]})
+    df = ct.DataFrame.from_pandas(pdf).set_index(["k1", "k2"])
+    assert list(df.loc["a"].to_pandas()["v"]) == [10., 20.]
+    assert list(df.loc[("b", 2)].to_pandas()["v"]) == [40.]
