@@ -511,17 +511,27 @@ def conditional_join(left: Table, right: Table, predicate,
     equi-joins (or mixed_join) when any equality key exists.
     """
     from .copying import concatenate_tables
-    from .stream_compaction import apply_boolean_mask
+    from .stream_compaction import compact_known_count
 
     nl = left.num_rows
-    out_blocks = []
+    # pass 1: evaluate every block's predicate WITHOUT host syncs, then
+    # fetch ALL match counts in one round trip (the size-estimation pass of
+    # conditional_join.cu, batched)
+    blocks = []
     for start in range(0, max(nl, 1), block_rows):
         lblk = left.slice(start, min(block_rows, nl - start))
         pairs = cross_join(lblk, right)
         mask = predicate(pairs)
-        hit = apply_boolean_mask(pairs, mask)
-        if hit.num_rows:
-            out_blocks.append(hit)
+        blocks.append((pairs, mask))
+    counts_dev = jnp.stack([
+        jnp.sum(m.valid_mask() & m.data.astype(jnp.bool_)) for _, m in blocks
+    ])
+    counts = np.asarray(jax.device_get(counts_dev))  # the ONE sync
+    # pass 2: compact each non-empty block at its known size (sync-free)
+    out_blocks = [
+        compact_known_count(pairs, mask, int(c))
+        for (pairs, mask), c in zip(blocks, counts) if c > 0
+    ]
     if not out_blocks:
         empty = cross_join(left.slice(0, 0), right.slice(0, 0))
         return empty

@@ -112,6 +112,31 @@ def apply_boolean_mask(tbl: Table, mask: Column) -> Table:
     return _compact(tbl, drop_key, cnt)
 
 
+def compact_known_count(tbl: Table, mask: Column, n_out: int) -> Table:
+    """apply_boolean_mask with a HOST-known survivor count: zero host syncs.
+    Callers that batch many small compactions (conditional_join blocks)
+    fetch all counts in one round trip and then compact sync-free."""
+    from ..utils.jitutil import fix_lengths
+
+    drop_key, _ = _mask_drop_key(mask)
+    cols = tuple(tbl[n] for n in tbl.names)
+    cap = drop_key.shape[0]
+    out_cap = bucket_capacity(max(n_out, 1))
+    n_payload = sum(1 + (c.validity is not None) for c in cols)
+    if n_payload > MAX_PAYLOADS:
+        perm = multisort_perm([drop_key], widths=[1])
+        idx = _head(perm, out_cap) if out_cap <= perm.shape[0] else perm
+        return gather_table(tbl, idx, n_out)
+    pb = max(1, (cap - 1).bit_length())
+    sorted_cols = _flagsort(cols, drop_key, pb)
+    if out_cap < cap:
+        sorted_cols = _slice_cols(sorted_cols, out_cap)
+    sorted_cols = fix_lengths(list(sorted_cols), n_out)
+    for c, src in zip(sorted_cols, cols):
+        c.dictionary = src.dictionary
+    return Table(dict(zip(tbl.names, sorted_cols)))
+
+
 def filter_column(col: Column, mask: Column) -> Column:
     drop_key, cnt = _mask_drop_key(mask)
     tbl = _compact(Table({"c": col}), drop_key, cnt)
