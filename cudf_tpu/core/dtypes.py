@@ -58,7 +58,9 @@ class DType:
             return {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32, 64: jnp.uint64}[self.bits]
         if self.kind == Kind.FLOAT:
             return {16: jnp.bfloat16, 32: jnp.float32, 64: jnp.float64}[self.bits]
-        if self.kind in (Kind.TIMESTAMP, Kind.DURATION, Kind.DECIMAL):
+        if self.kind == Kind.DECIMAL:
+            return jnp.int32 if self.bits == 32 else jnp.int64
+        if self.kind in (Kind.TIMESTAMP, Kind.DURATION):
             return jnp.int64
         if self.kind in (Kind.STRING, Kind.DICTIONARY):
             return jnp.int32  # dictionary codes
@@ -115,6 +117,11 @@ def duration(unit: str = "ns") -> DType:
 
 def decimal64(scale: int = 0) -> DType:
     return DType(Kind.DECIMAL, 64, scale)
+
+
+def decimal32(scale: int = 0) -> DType:
+    """fixed_point decimal32 analog (int32 unscaled + power-of-ten scale)."""
+    return DType(Kind.DECIMAL, 32, scale)
 
 
 _NP_MAP = {

@@ -34,20 +34,25 @@ def _scale(dt: DType) -> int:
     return int(dt.param or 0)
 
 
-def from_integers(col: Column, scale: int = 0) -> Column:
-    """Reinterpret an integer column as decimal64 with the given scale."""
-    return Column(dtypes.decimal64(scale), col.data.astype(jnp.int64),
-                  col.validity, col.length)
+def _dec(scale: int, bits: int) -> DType:
+    return dtypes.decimal32(scale) if bits == 32 else dtypes.decimal64(scale)
 
 
-def from_floats(col: Column, scale: int) -> Column:
-    """Quantize a float column to decimal64 (round half away from zero)."""
+def from_integers(col: Column, scale: int = 0, bits: int = 64) -> Column:
+    """Reinterpret an integer column as decimal with the given scale."""
+    dt = _dec(scale, bits)
+    return Column(dt, col.data.astype(dt.physical), col.validity, col.length)
+
+
+def from_floats(col: Column, scale: int, bits: int = 64) -> Column:
+    """Quantize a float column to decimal (round half away from zero)."""
+    dt = _dec(scale, bits)
     x = col.data.astype(jnp.float64) * (10.0 ** (-scale))
-    unscaled = jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int64)
+    unscaled = jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(dt.physical)
     v = col.valid_mask()
     if col.dtype.is_floating:
         v = v & ~jnp.isnan(col.data)
-    return Column(dtypes.decimal64(scale), unscaled, v, col.length)
+    return Column(dt, unscaled, v, col.length)
 
 
 def to_floats(col: Column) -> Column:
@@ -84,7 +89,9 @@ def rescale(col: Column, to_scale: int) -> Column:
 def _binop_impl(lhs: Column, rhs: Column, op: str) -> Column:
     sl, sr = _scale(lhs.dtype), _scale(rhs.dtype)
     v = lhs.valid_mask() & rhs.valid_mask()
-    l, r = lhs.data, rhs.data
+    # arithmetic always promotes to the 64-bit representation (decimal32
+    # inputs widen, matching cudf's common-type promotion on fixed_point)
+    l, r = lhs.data.astype(jnp.int64), rhs.data.astype(jnp.int64)
     if op in ("add", "sub", "eq", "ne", "lt", "le", "gt", "ge", "mod"):
         s = min(sl, sr)
         l = _rescale_data(l, sl, s)

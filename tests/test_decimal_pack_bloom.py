@@ -115,3 +115,21 @@ def test_bloom_merge():
     m = bloom.merge([fa, fb])
     got = bloom.maybe_contains(m, [Column.from_numpy(np.arange(200, dtype=np.int64))])
     assert got.to_numpy().all()
+
+
+def test_decimal32_roundtrip_and_arith():
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import decimal as dec
+
+    a = dec.from_floats(Column.from_numpy(np.array([1.25, -2.5, 3.33])), -2, bits=32)
+    b = dec.from_floats(Column.from_numpy(np.array([0.75, 1.0, 0.67])), -2, bits=32)
+    assert a.dtype.bits == 32 and str(a.data.dtype) == "int32"
+    np.testing.assert_allclose(
+        dec.to_floats(dec.binary_op(a, b, "add")).to_numpy(), [2.0, -1.5, 4.0])
+    # mul promotes to decimal64, scale adds (cudf fixed_point rules)
+    m = dec.binary_op(a, b, "mul")
+    assert m.dtype.bits == 64 and dec._scale(m.dtype) == -4
+    np.testing.assert_allclose(dec.to_floats(m).to_numpy(),
+                               [0.9375, -2.5, 2.2311])
+    np.testing.assert_array_equal(
+        dec.binary_op(a, b, "gt").to_numpy(), [True, False, True])
