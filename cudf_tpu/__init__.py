@@ -32,8 +32,9 @@ from .frame import DataFrame, Series, concat
 from . import io as _io
 
 
-def read_parquet(path, columns=None, filters=None) -> "DataFrame":
-    return DataFrame._from_table(_io.read_parquet(path, columns, filters))
+def read_parquet(path, columns=None, filters=None, predicates=None) -> "DataFrame":
+    return DataFrame._from_table(
+        _io.read_parquet(path, columns, filters, predicates))
 
 
 def read_csv(path, **kw) -> "DataFrame":

@@ -305,8 +305,9 @@ class DataFrame:
         else:
             left_on = [left_on] if isinstance(left_on, str) else list(left_on)
             right_on = [right_on] if isinstance(right_on, str) else list(right_on)
-        how_map = {"inner": "inner", "left": "left", "outer": "full",
-                   "leftsemi": "semi", "leftanti": "anti", "cross": "cross"}
+        how_map = {"inner": "inner", "left": "left", "right": "right",
+                   "outer": "full", "leftsemi": "semi", "leftanti": "anti",
+                   "cross": "cross"}
         h = how_map[how]
         r = right._tbl if isinstance(right, DataFrame) else right
         if h == "cross":

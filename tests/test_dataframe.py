@@ -192,3 +192,36 @@ class TestIO:
         pdf.to_csv(p, index=False)
         df = ct.read_csv(p)
         pd.testing.assert_frame_equal(df.to_pandas(), pdf)
+
+
+def test_merge_how_right_frame_level():
+    l = pd.DataFrame({"k": [1, 2, 2, 3], "v": [1., 2, 3, 4]})
+    r = pd.DataFrame({"k": [2, 3, 4], "w": [10., 20, 30]})
+    got = (ct.DataFrame.from_pandas(l).merge(ct.DataFrame.from_pandas(r),
+                                             on="k", how="right")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    want = l.merge(r, on="k", how="right").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_read_parquet_predicates_public_api(tmp_path):
+    import cudf_tpu as _ct
+
+    path = str(tmp_path / "p.parquet")
+    df = pd.DataFrame({"k": np.arange(1000), "v": np.arange(1000) * 0.5})
+    from cudf_tpu.io.parquet_ext import ParquetChunkedWriter
+    from cudf_tpu.core.table import Table
+    with ParquetChunkedWriter(path, row_group_rows=100) as w:
+        w.write(Table.from_pandas(df))
+    got = _ct.read_parquet(path, predicates=[("k", ">=", 750)]).to_pandas()
+    want = df[df.k >= 750].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_prewarm_smoke():
+    import cudf_tpu as _ct
+
+    th = _ct.prewarm(1000)
+    if th is not None:
+        th.join(timeout=120)
+        assert not th.is_alive()
