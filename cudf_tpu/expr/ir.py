@@ -254,9 +254,42 @@ def _groupby_via_specs(tbl: Table, keys: List[str], agg_exprs: List[NamedExpr]) 
     return out.select(keys + [ne.name for ne in agg_exprs])
 
 
+def execute_with_profile(node: IR):
+    """(result, profile): per-node wall times, the cudf-polars Timer analog
+    (reference utils/timer.py + the engine `profiling` docs). Each entry is
+    (node_type, seconds, output_rows); device work is awaited per node so
+    times are real, not dispatch-only — use for plan debugging, not
+    micro-benchmarks."""
+    import time as _time
+
+    import jax as _jax
+
+    profile = []
+
+    def _timed(n: IR, visitor) -> Table:
+        t0 = _time.perf_counter()
+        out = _exec_node(n, visitor)
+        for _, c in out:
+            _jax.block_until_ready(c.data)
+            break
+        profile.append((type(n).__name__, _time.perf_counter() - t0,
+                        out.num_rows))
+        return out
+
+    result = CachingVisitor(_timed)(node)
+    return result, profile
+
+
 def execute(node: IR) -> Table:
     """In-memory recursive evaluation (reference ir.py IR.evaluate)."""
+    return CachingVisitor(_exec_node)(node)
 
+
+def _exec_node(n: IR, visitor) -> Table:
+    return _EXEC(n, visitor)
+
+
+def _make_exec():
     def _exec(n: IR, visitor) -> Table:
         if isinstance(n, DataFrameScan):
             return n._tbl
@@ -384,4 +417,7 @@ def execute(node: IR) -> Table:
             return visitor(n.children[0])
         raise TypeError(f"cannot execute {type(n).__name__}")
 
-    return CachingVisitor(_exec)(node)
+    return _exec
+
+
+_EXEC = _make_exec()

@@ -176,3 +176,15 @@ def test_mapfunction_rename_rowindex():
     plan2 = IRM.MapFunction("row_index", ("idx",), children=(_scan(df),))
     got2 = IRM.execute(plan2).to_pandas()
     np.testing.assert_array_equal(got2["idx"], [0, 1, 2])
+
+
+def test_execute_with_profile():
+    df = _df(800, 7)
+    plan = IRM.GroupBy(("g",), (NamedExpr("s", Agg("sum", children=(col("v"),))),),
+                       children=(IRM.Filter(col("v") > lit(0.0),
+                                            children=(_scan(df),)),))
+    out, prof = IRM.execute_with_profile(plan)
+    kinds = [k for k, _, _ in prof]
+    assert kinds == ["DataFrameScan", "Filter", "GroupBy"]
+    assert all(secs >= 0 for _, secs, _ in prof)
+    assert prof[-1][2] == out.num_rows
