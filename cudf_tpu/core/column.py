@@ -93,7 +93,7 @@ class Column:
     """An immutable device column: padded data + validity + logical length."""
 
     __slots__ = ("dtype", "data", "validity", "length", "dictionary",
-                 "_null_count", "stats")
+                 "_null_count", "stats", "stats_pending")
 
     def __init__(
         self,
@@ -111,6 +111,7 @@ class Column:
         self.dictionary = dictionary
         self._null_count = null_count
         self.stats = None  # lazily-filled ColStats (core/stats.py)
+        self.stats_pending = None  # in-flight async stats D2H (core/stats.py)
         assert data.ndim == 1
         assert validity is None or validity.shape == data.shape
 
@@ -365,6 +366,7 @@ def _col_unflatten(aux, leaves):
     col.dictionary = box.value
     col._null_count = None
     col.stats = None
+    col.stats_pending = None
     return col
 
 

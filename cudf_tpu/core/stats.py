@@ -74,6 +74,81 @@ def _stats_kernel(data_f64, validf, isnan, inb):
     return vmin, vmax, n_valid, nonint, anynan, anynull
 
 
+_STATS_KINDS = (Kind.BOOL, Kind.INT, Kind.UINT, Kind.FLOAT, Kind.TIMESTAMP,
+                Kind.DURATION, Kind.DECIMAL)
+
+
+@jax.jit
+def _stats_kernel_batch(datas_f64, validfs, isnans, inbs):
+    """Stacked stats for k columns in ONE program: (k, 6) f64 row-per-column
+    [vmin, vmax, n_valid, nonint, anynan, anynull]. One D2H transfer covers
+    every column (the per-column version costs one 25ms tunnel RTT each)."""
+    rows = []
+    for d, validf, isnan, inb in zip(datas_f64, validfs, isnans, inbs):
+        vmin, vmax, n_valid, nonint, anynan, anynull = _stats_kernel(
+            d, validf, isnan, inb)
+        rows.append(jnp.stack([vmin, vmax, n_valid.astype(jnp.float64),
+                               nonint.astype(jnp.float64),
+                               anynan.astype(jnp.float64),
+                               anynull.astype(jnp.float64)]))
+    return jnp.stack(rows)
+
+
+def prefetch_stats(cols) -> None:
+    """Dispatch ONE fused stats kernel over the eligible columns and start an
+    async D2H of the packed result, so a later ``compute_stats`` finds the
+    bytes already on host instead of paying a fresh tunnel round trip.
+
+    Callers that are about to block on some other host sync (compaction's
+    survivor count, a join size pass) get the stats transfer for free: it
+    rides the same wait. The reference's preprocessed_table does the
+    analogous precompute on-stream (cpp/src/row_operator/preprocessed_table.cuh).
+    """
+    todo = []
+    for col in cols:
+        if isinstance(col.data, jax.core.Tracer) or isinstance(col.length, jax.core.Tracer):
+            continue
+        if col.stats is not None or getattr(col, "stats_pending", None) is not None:
+            continue
+        if col.dtype.kind not in _STATS_KINDS:
+            continue
+        todo.append(col)
+    if not todo:
+        return
+    datas, validfs, isnans, inbs = [], [], [], []
+    for col in todo:
+        datas.append(col.data.astype(jnp.float64))
+        isnans.append(jnp.isnan(col.data) if col.dtype.kind == Kind.FLOAT
+                      else jnp.zeros(col.data.shape, jnp.bool_))
+        validfs.append(col.validity if col.validity is not None
+                       else jnp.ones(col.data.shape, jnp.bool_))
+        inbs.append(col.bounds_mask())
+    packed = _stats_kernel_batch(tuple(datas), tuple(validfs), tuple(isnans),
+                                 tuple(inbs))
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass
+    for i, col in enumerate(todo):
+        col.stats_pending = (packed, i)
+
+
+def _finish_pending(col: Column) -> Optional[ColStats]:
+    packed, i = col.stats_pending
+    row = np.asarray(packed)[i]
+    col.stats_pending = None
+    vmin, vmax, n_valid, nonint, anynan, anynull = row
+    n_valid = int(n_valid)
+    if n_valid == 0:
+        st = ColStats(0.0, 0.0, True, bool(anynan), bool(anynull), 0)
+    else:
+        vmin_f, vmax_f = float(vmin), float(vmax)
+        integral = (not bool(nonint)) and abs(vmin_f) < 2**52 and abs(vmax_f) < 2**52
+        st = ColStats(vmin_f, vmax_f, integral, bool(anynan), bool(anynull), n_valid)
+    col.stats = st
+    return st
+
+
 def compute_stats(col: Column) -> Optional[ColStats]:
     """Compute (and cache) ColStats for a column. None for unsupported dtypes
     or inside a trace."""
@@ -82,6 +157,8 @@ def compute_stats(col: Column) -> Optional[ColStats]:
     cached = getattr(col, "stats", None)
     if cached is not None:
         return cached
+    if getattr(col, "stats_pending", None) is not None:
+        return _finish_pending(col)
     k = col.dtype.kind
     if k in (Kind.STRING, Kind.DICTIONARY):
         # dictionary codes: range is host metadata, no device work at all

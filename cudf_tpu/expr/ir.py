@@ -269,9 +269,14 @@ def execute_with_profile(node: IR):
     def _timed(n: IR, visitor) -> Table:
         t0 = _time.perf_counter()
         out = _exec_node(n, visitor)
+        # await EVERY output buffer (data + validity): blocking only the
+        # first column would attribute the rest's async work to the next node
+        pending = []
         for _, c in out:
-            _jax.block_until_ready(c.data)
-            break
+            pending.append(c.data)
+            if c.validity is not None:
+                pending.append(c.validity)
+        _jax.block_until_ready(pending)
         profile.append((type(n).__name__, _time.perf_counter() - t0,
                         out.num_rows))
         return out

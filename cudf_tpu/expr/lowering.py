@@ -44,8 +44,22 @@ class LoweringConfig:
     max_partitions: int = 256
 
 
-def _estimate_bytes(node: IR) -> Optional[int]:
-    """Row-count/byte statistics (reference streaming/statistics.py:25)."""
+def _estimate_bytes(node: IR, _cache: Optional[dict] = None) -> Optional[int]:
+    """Row-count/byte statistics (reference streaming/statistics.py:25).
+
+    Memoized per-node (by identity): plans are DAGs, and an unmemoized walk
+    re-visits shared subtrees exponentially often."""
+    if _cache is None:
+        _cache = {}
+    key = id(node)
+    if key in _cache:
+        return _cache[key]
+    out = _estimate_bytes_impl(node, _cache)
+    _cache[key] = out
+    return out
+
+
+def _estimate_bytes_impl(node: IR, _cache: dict) -> Optional[int]:
     if isinstance(node, DataFrameScan):
         t = node._tbl
         total = 0
@@ -66,7 +80,7 @@ def _estimate_bytes(node: IR) -> Optional[int]:
         # parquet ~3x compression typical; csv/json ~1x
         return raw * 3 if fmt == "parquet" else raw
     if node.children:
-        sizes = [_estimate_bytes(c) for c in node.children]
+        sizes = [_estimate_bytes(c, _cache) for c in node.children]
         if any(s is None for s in sizes):
             return None
         if isinstance(node, (Filter, Distinct, Slice)):
@@ -83,9 +97,10 @@ def lower_ir_graph(root: IR, config: Optional[LoweringConfig] = None
     and pick broadcast-vs-shuffle joins by the byte budget."""
     cfg = config or LoweringConfig()
     info: Dict[IR, PartitionInfo] = {}
+    est_cache: dict = {}  # shared across the whole lowering pass
 
     def count_for(node: IR) -> int:
-        size = _estimate_bytes(node)
+        size = _estimate_bytes(node, est_cache)
         if size is None:
             return 1
         return max(1, min(cfg.max_partitions,
@@ -135,7 +150,7 @@ def lower_ir_graph(root: IR, config: Optional[LoweringConfig] = None
             lo, ro, how, ne_, suf = n.args
             left, right = kids
             li, ri = kinfos
-            rbytes = _estimate_bytes(n.children[1])
+            rbytes = _estimate_bytes(n.children[1], est_cache)
             # broadcast when the small side fits the budget (reference
             # streaming/join.py:94 _should_bcast_join + legality by type)
             bcast_ok = how in ("inner", "left", "semi", "anti")

@@ -49,6 +49,11 @@ _SUPPORTED = {
 
 _I32MAX = np.int32(np.iinfo(np.int32).max)
 
+# key spaces up to this many slots dispatch pass2 at the bound capacity
+# (instead of waiting a tunnel RTT for the exact group count): pass2 work is
+# O(out_cap) small gathers, so a 2x over-allocation is cheaper than 25ms
+_PREDICT_CAP_MAX = 1 << 21
+
 
 def _posbits(cap: int) -> int:
     return max(1, (cap - 1).bit_length())
@@ -149,43 +154,54 @@ def _pass1(key, vdatas, vvalids, kinds, tbits, pb):
 
     cols_out = []
     for sv, svalid, kset in zip(svs, svalids, kinds):
-        valid = act if svalid is None else act & svalid
-        arrs: Dict[str, jnp.ndarray] = {}
-        arrs["sv"] = sv
-        arrs["cs_cnt"] = tiled_cumsum(valid.astype(jnp.int32))  # i32: native, not emulated
-        needs_sum = kset & {"sum", "mean", "var", "std", "m2", "sum_of_squares"}
-        if needs_sum:
-            acc = _acc_dtype_from(sv)
-            x = jnp.where(valid, sv, jnp.zeros((), sv.dtype)).astype(acc)
-            arrs["cs_sum"] = tiled_cumsum(x)
-            if "sum_of_squares" in kset:
-                arrs["cs_sos"] = tiled_cumsum(x * x)
-        if "product" in kset:
-            acc = _acc_dtype_from(sv)
-            x = jnp.where(valid, sv, jnp.ones((), sv.dtype)).astype(acc)
-            arrs["prod"] = segmented_scan(x, newgrp, jnp.multiply)
-        if kset & {"min", "argmin"}:
-            big = _ident(sv.dtype, True)
-            x = jnp.where(valid, sv, big)
-            arrs["smin"] = segmented_scan(x, newgrp, jnp.minimum)
-        if kset & {"max", "argmax"}:
-            small = _ident(sv.dtype, False)
-            x = jnp.where(valid, sv, small)
-            arrs["smax"] = segmented_scan(x, newgrp, jnp.maximum)
-        if "any" in kset:
-            x = jnp.where(valid, sv.astype(jnp.int32), 0)
-            arrs["sany"] = segmented_scan(x, newgrp, jnp.maximum)
-        if "all" in kset:
-            x = jnp.where(valid, sv.astype(jnp.int32), 1)
-            arrs["sall"] = segmented_scan(x, newgrp, jnp.minimum)
-        if kset & {"first", "nth"}:
-            x = jnp.where(valid, rowpos, _I32MAX)
-            arrs["sfirst"] = segmented_scan(x, newgrp, jnp.minimum)
-        if "last" in kset:
-            x = jnp.where(valid, rowpos, jnp.int32(-1))
-            arrs["slast"] = segmented_scan(x, newgrp, jnp.maximum)
-        cols_out.append(arrs)
+        cols_out.append(build_scan_arrays(sv, svalid, act, newgrp, rowpos, kset))
     return scode, gid, pos, n_groups, n_active, starts_full, cols_out
+
+
+def build_scan_arrays(sv, svalid, act, newgrp, rowpos, kset) -> Dict[str, jnp.ndarray]:
+    """Per-value-column prefix/segmented scan arrays over KEY-SORTED rows.
+
+    Shared by the code-sort lane (_pass1) and the wide-key lane
+    (ops/widegroup.py): ``sv`` is the sorted value data, ``svalid`` its sorted
+    validity (or None), ``act`` the sorted active mask, ``newgrp`` the group
+    boundary flags, ``rowpos`` the sorted-position iota."""
+    valid = act if svalid is None else act & svalid
+    arrs: Dict[str, jnp.ndarray] = {}
+    arrs["sv"] = sv
+    arrs["cs_cnt"] = tiled_cumsum(valid.astype(jnp.int32))  # i32: native, not emulated
+    needs_sum = kset & {"sum", "mean", "var", "std", "m2", "sum_of_squares"}
+    if needs_sum:
+        acc = _acc_dtype_from(sv)
+        x = jnp.where(valid, sv, jnp.zeros((), sv.dtype)).astype(acc)
+        arrs["cs_sum"] = tiled_cumsum(x)
+        if "sum_of_squares" in kset:
+            arrs["cs_sos"] = tiled_cumsum(x * x)
+    if "product" in kset:
+        acc = _acc_dtype_from(sv)
+        x = jnp.where(valid, sv, jnp.ones((), sv.dtype)).astype(acc)
+        arrs["prod"] = segmented_scan(x, newgrp, jnp.multiply)
+    if kset & {"min", "argmin"}:
+        big = _ident(sv.dtype, True)
+        x = jnp.where(valid, sv, big)
+        arrs["smin"] = segmented_scan(x, newgrp, jnp.minimum)
+    if kset & {"max", "argmax"}:
+        small = _ident(sv.dtype, False)
+        x = jnp.where(valid, sv, small)
+        arrs["smax"] = segmented_scan(x, newgrp, jnp.maximum)
+    if "any" in kset:
+        # truthiness, not integer truncation: 0.5 is truthy (pandas bool(v))
+        x = jnp.where(valid, sv.astype(jnp.bool_), False).astype(jnp.int32)
+        arrs["sany"] = segmented_scan(x, newgrp, jnp.maximum)
+    if "all" in kset:
+        x = jnp.where(valid, sv.astype(jnp.bool_), True).astype(jnp.int32)
+        arrs["sall"] = segmented_scan(x, newgrp, jnp.minimum)
+    if kset & {"first", "nth"}:
+        x = jnp.where(valid, rowpos, _I32MAX)
+        arrs["sfirst"] = segmented_scan(x, newgrp, jnp.minimum)
+    if "last" in kset:
+        x = jnp.where(valid, rowpos, jnp.int32(-1))
+        arrs["slast"] = segmented_scan(x, newgrp, jnp.maximum)
+    return arrs
 
 
 def _acc_dtype_from(sv: jnp.ndarray) -> jnp.dtype:
@@ -284,14 +300,33 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
     scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col = _pass1(
         key, tuple(vdatas), tuple(vvalids),
         tuple(frozenset(k) for k in kinds), tbits, pb)
-    n_groups = int(ng_dev)  # the ONE host sync
-    out_cap = bucket_capacity(max(n_groups, 1))
 
     agg_vidx = tuple(vmap[s.column if s.column else keys[0]] for s in aggs)
-    out_cols = _pass2(
-        scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col, tuple(aggs),
-        agg_vidx, tuple(vcols), kcols, tuple(keys), mins, widths, nan_flags,
-        null_flags, ranges, out_cap, tbits)
+    # When the key space bounds the group count tightly (2^tbits slots), we
+    # can pick the output capacity WITHOUT knowing n_groups: dispatch pass2
+    # immediately and read the group count asynchronously while it runs.
+    # This pipelines the two device programs across the ~25ms tunnel RTT
+    # (one round trip saved per groupby). Falls back to the synchronous
+    # read when the bound is loose (out_cap would over-allocate).
+    n_bound = min(cap, 1 << min(tbits, 62))
+    if n_bound <= _PREDICT_CAP_MAX:
+        try:
+            ng_dev.copy_to_host_async()
+        except Exception:
+            pass
+        out_cap = bucket_capacity(max(n_bound, 1))
+        out_cols = _pass2(
+            scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col,
+            tuple(aggs), agg_vidx, tuple(vcols), kcols, tuple(keys), mins,
+            widths, nan_flags, null_flags, ranges, out_cap, tbits)
+        n_groups = int(ng_dev)  # overlapped with pass2's device execution
+    else:
+        n_groups = int(ng_dev)  # the ONE host sync
+        out_cap = bucket_capacity(max(n_groups, 1))
+        out_cols = _pass2(
+            scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col,
+            tuple(aggs), agg_vidx, tuple(vcols), kcols, tuple(keys), mins,
+            widths, nan_flags, null_flags, ranges, out_cap, tbits)
     # dictionaries / lengths are host metadata: rebind outside jit (the
     # _DictBox pytree aux is cached per-executable and may be stale)
     out_cols = fix_lengths(out_cols, n_groups)

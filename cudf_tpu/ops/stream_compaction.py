@@ -91,13 +91,21 @@ def _compact(tbl: Table, drop_key, cnt) -> Table:
         # dispatch the flag-sort FIRST so it overlaps the count host sync
         # (the tunnel round-trip costs ~25ms; the sort runs during it)
         sorted_cols = _flagsort(cols, drop_key, pb)
+        # prefetch stats for the survivors during the same wait: min/max over
+        # a superset (pre-slice rows include dropped ones; dropped values only
+        # WIDEN the bounds, which is conservative-correct for key coding) —
+        # downstream groupby/join then plans codes with ZERO extra syncs
+        from ..core.stats import prefetch_stats
+        prefetch_stats(sorted_cols)
         n_out = int(cnt)  # host sync: the one dynamic size
         out_cap = bucket_capacity(n_out)
+        pendings = [c.stats_pending for c in sorted_cols]
         if out_cap < cap:
             sorted_cols = _slice_cols(sorted_cols, out_cap)
         sorted_cols = fix_lengths(list(sorted_cols), n_out)
-        for c, src in zip(sorted_cols, cols):
+        for c, src, pend in zip(sorted_cols, cols, pendings):
             c.dictionary = src.dictionary
+            c.stats_pending = pend
         return Table(dict(zip(tbl.names, sorted_cols)))
     perm = multisort_perm([drop_key], widths=[1])
     n_out = int(cnt)
