@@ -95,6 +95,16 @@ def main():
         "k": np.arange(n_dim),
         "w": rng.normal(size=n_dim).astype(np.float32),
     })
+    # sparse random 64-bit surrogate keys (VERDICT r2 item 5): the dense
+    # direct-address/code-sort lanes bail here; the wide payload-sort lanes
+    # must stay within ~2x of the dense rows/s
+    sp_dim = np.unique(rng.integers(0, 2**62, n_dim, dtype=np.int64))
+    sp_fk = sp_dim[rng.integers(0, len(sp_dim), N)]
+    gb_i64_df = pd.DataFrame({"k": sp_fk, "C": rng.normal(size=N)})
+    join_i64_left = pd.DataFrame({"k": sp_fk,
+                                  "v": rng.normal(size=N).astype(np.float32)})
+    join_i64_right = pd.DataFrame({"k": sp_dim,
+                                   "w": rng.normal(size=len(sp_dim)).astype(np.float32)})
 
     t_sort = ct.Table.from_pandas(sort_df)
     t_sort_str = ct.Table.from_pandas(sort_str_df)
@@ -104,6 +114,9 @@ def main():
     t_gb_hc = ct.Table.from_pandas(gb_hc_df)
     t_jl = ct.Table.from_pandas(join_left)
     t_jr = ct.Table.from_pandas(join_right)
+    t_gb_i64 = ct.Table.from_pandas(gb_i64_df)
+    t_jl_i64 = ct.Table.from_pandas(join_i64_left)
+    t_jr_i64 = ct.Table.from_pandas(join_i64_right)
 
     # NOTE: block_until_ready does not reliably await completion over the
     # axon tunnel; a scalar D2H read does.
@@ -131,8 +144,16 @@ def main():
         g = groupby_aggregate(t_gb_hc, ["k"], [AggSpec("C", "mean", "C")])
         _force(g["C"].data)
 
+    def run_groupby_i64():
+        g = groupby_aggregate(t_gb_i64, ["k"], [AggSpec("C", "mean", "C")])
+        _force(g["C"].data)
+
     def run_join():
         out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
+        _force(out["w"].data)
+
+    def run_join_i64():
+        out = tpu_join(t_jl_i64, t_jr_i64, ["k"], ["k"], "inner")
         _force(out["w"].data)
 
     def run_join_filter():
@@ -146,7 +167,9 @@ def main():
         ("sort", run_sort), ("sort_str", run_sort_str),
         ("groupby", run_groupby), ("groupby_str", run_groupby_str),
         ("groupby_str_hc", run_groupby_str_hc),
-        ("join", run_join), ("join_filter", run_join_filter),
+        ("groupby_i64", run_groupby_i64),
+        ("join", run_join), ("join_i64", run_join_i64),
+        ("join_filter", run_join_filter),
     ]
 
     results = {}
@@ -173,7 +196,11 @@ def main():
         lambda: gb_str_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
     pd_results["groupby_str_hc"] = timeit(
         lambda: gb_hc_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
+    pd_results["groupby_i64"] = timeit(
+        lambda: gb_i64_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
     pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), 3)
+    pd_results["join_i64"] = timeit(
+        lambda: join_i64_left.merge(join_i64_right, on="k"), 3)
 
     def pd_join_filter():
         out = join_left.merge(join_right, on="k")
@@ -191,7 +218,9 @@ def main():
         "groupby": 2 * (8 + 8 + 8),
         "groupby_str": 2 * (4 + 8),
         "groupby_str_hc": 2 * (4 + 8),
+        "groupby_i64": 2 * (8 + 8),
         "join": 2 * (8 + 4) + 4,        # left read+write + probe reads
+        "join_i64": 2 * (8 + 4) + 4,
         "join_filter": 2 * (8 + 4) + 4 + 8,
     }
     log("bench: roofline (v5e HBM 819 GB/s):")

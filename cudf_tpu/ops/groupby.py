@@ -167,6 +167,13 @@ def groupby_aggregate(
     fast = fastgroup.fast_groupby(tbl, keys, aggs, dropna_keys)
     if fast is not None:
         return fast
+    # sparse/wide keys (random 64-bit ids, full-range floats): the wide
+    # payload-sort lane (no range assumptions, still zero gathers)
+    from .widegroup import wide_groupby
+
+    wide = wide_groupby(tbl, keys, aggs, dropna_keys)
+    if wide is not None:
+        return wide
 
     kcols = tuple(tbl[k] for k in keys)
     perm, seg, newgrp, inb_sorted, n_groups_dev = _grouping(kcols, dropna_keys)

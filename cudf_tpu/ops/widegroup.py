@@ -1,0 +1,267 @@
+"""Wide-key code-sort groupby: the sparse/64-bit-key lane.
+
+The code-sort engine (ops/fastgroup.py) needs every key integral-codeable
+with a SMALL joint range (packed codes + rowid <= 62 bits, from cached
+column stats). Random 64-bit surrogate keys, full-range floats, and wide
+multi-key sets fail that plan and previously fell to the generic sort
+engine (ops/groupby.py), whose per-column ``data[perm]`` gathers and
+``segment_sum`` scatters cost 15-40ms per pass at 2M rows on this stack
+(memory: axon-tpu-cost-model) — ~10x the sort itself.
+
+This lane keeps the payload-carrying-sort design with NO range assumptions
+(reference hash groupby has no range restriction either,
+cpp/src/groupby/hash/compute_groupby.cu:94):
+
+  1. keys normalize to u32 equality operands (ops/rowcodes.py) with STATIC
+     per-dtype widths — zero host syncs for key analysis;
+  2. operands bit-pack into 1-3 u64 words behind a leading inactive flag
+     (padding / dropped-null rows sort last);
+  3. one LSD pass per word, every pass a flat ``lax.sort`` with a position
+     tiebreak (stable => rows keep ORIGINAL order within a group) carrying
+     key/value payloads — no post-sort gathers;
+  4. group boundaries from adjacent word inequality; aggregations are the
+     same prefix/segmented scans as the dense lane (fastgroup.build_scan_arrays
+     + _finish_agg are shared);
+  5. key output columns gather the sorted key payloads at group starts.
+
+Because the equality operands are order codes (rowcodes module docstring),
+the output lands in ascending key order with nulls last — pandas
+``sort=True`` semantics, same as the dense lane.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.column import Column
+from ..core.dtypes import Kind
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+from . import rowcodes
+from .fastgroup import (_SUPPORTED, _I32MAX, _boundaries, _finish_agg,
+                        build_scan_arrays)
+from .sortprim import _pack_words64, tiled_cumsum
+
+MAX_WORDS = 3  # up to 3 LSD passes (e.g. two i64 keys + null flags)
+
+
+def op_widths(col: Column) -> Optional[List[int]]:
+    """Static bit widths matching rowcodes.equality_operands(col), or None
+    for kinds the operand encoding doesn't cover (lists/structs)."""
+    w: List[int] = []
+    if col.validity is not None:
+        w.append(1)
+    k = col.dtype.kind
+    if k == Kind.BOOL:
+        w.append(1)
+    elif k in (Kind.STRING, Kind.DICTIONARY):
+        nd = len(col.dictionary) if col.dictionary is not None else 0
+        w.append(max(1, (max(nd - 1, 1)).bit_length()))
+    elif k == Kind.FLOAT:
+        if col.dtype.bits == 64:
+            w.extend([15, 26, 26])
+        else:
+            w.append(32)
+    elif k == Kind.UINT:
+        w.extend([32, 32] if col.dtype.bits == 64 else [32])
+    elif k in (Kind.INT, Kind.TIMESTAMP, Kind.DURATION, Kind.DECIMAL):
+        if col.dtype.bits <= 32 and k == Kind.INT:
+            w.append(32)
+        else:
+            w.extend([32, 32])
+    else:
+        return None
+    return w
+
+
+@partial(jax.jit, static_argnames=("widths", "kinds", "dropna", "nwords",
+                                   "flagshift"))
+def _wide_pass1(kcols, vdatas, vvalids, widths, kinds, dropna, nwords,
+                flagshift):
+    """Pack + LSD payload sorts + scan arrays. Returns the same shape of
+    state as fastgroup._pass1 plus the sorted key payloads."""
+    cap = kcols[0].capacity
+    pos_iota = jnp.arange(cap, dtype=jnp.uint32)
+
+    inactive = jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(
+        kcols[0].length, jnp.int32)
+    if dropna:
+        for c in kcols:
+            if c.validity is not None:
+                inactive = inactive | ~c.validity
+    ops: List[jnp.ndarray] = [inactive.astype(jnp.uint32)]
+    for c in kcols:
+        ops.extend(rowcodes.equality_operands(c))
+    mins = tuple(jnp.uint32(0) for _ in ops)
+    words = list(_pack_words64(tuple(ops), mins, widths))
+    assert len(words) == nwords, (len(words), nwords)
+
+    # payloads: key data (+validity), value data (+validity)
+    payloads: List[jnp.ndarray] = []
+    spec: List[Tuple[str, int, bool]] = []  # (family, idx, is_validity)
+    for i, c in enumerate(kcols):
+        payloads.append(c.data)
+        spec.append(("k", i, False))
+        if c.validity is not None:
+            payloads.append(c.validity)
+            spec.append(("k", i, True))
+    for i, (d, v) in enumerate(zip(vdatas, vvalids)):
+        payloads.append(d)
+        spec.append(("v", i, False))
+        if v is not None:
+            payloads.append(v)
+            spec.append(("v", i, True))
+
+    # LSD passes, least-significant word first; every pass is stable via a
+    # CURRENT-position tiebreak second key (fresh iota per pass), so ties
+    # keep the previous pass's order — original row order on the first pass,
+    # hence intra-group original order at the end. The original row id rides
+    # as a payload (`pos`) for first/nth/argmin-style aggregations.
+    pos = pos_iota
+    carried = payloads
+    first = True
+    for wi in range(nwords - 1, -1, -1):
+        others = [words[j] for j in range(nwords) if j != wi]
+        # on the first pass the iota tiebreak IS the original row id, so it
+        # serves as both; later passes need a fresh iota, with `pos` carried
+        tiebreak = pos if first else pos_iota
+        extra = [] if first else [pos]
+        res = jax.lax.sort(tuple([words[wi], tiebreak] + extra + others + carried),
+                           num_keys=2, is_stable=False)
+        base = 2
+        if not first:
+            pos = res[2]
+            base = 3
+        else:
+            pos = res[1]
+        words = [None] * nwords
+        words[wi] = res[0]
+        rest = list(res[base:])
+        oi = 0
+        for j in range(nwords):
+            if j != wi:
+                words[j] = rest[oi]
+                oi += 1
+        carried = rest[oi:]
+        first = False
+
+    sorted_pos = pos.astype(jnp.int32)  # original row ids, key-sorted
+    skd: List[jnp.ndarray] = [None] * len(kcols)
+    skv: List[Optional[jnp.ndarray]] = [None] * len(kcols)
+    svs: List[jnp.ndarray] = [None] * len(vdatas)
+    svalids: List[Optional[jnp.ndarray]] = [None] * len(vdatas)
+    for (fam, i, isv), arr in zip(spec, carried):
+        if fam == "k":
+            if isv:
+                skv[i] = arr
+            else:
+                skd[i] = arr
+        else:
+            if isv:
+                svalids[i] = arr
+            else:
+                svs[i] = arr
+
+    act = ((words[0] >> jnp.uint64(flagshift)) & jnp.uint64(1)) == 0
+    newgrp = rowcodes.adjacent_neq(words) & act
+    gid = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
+    n_groups = jnp.sum(newgrp.astype(jnp.int32))
+    n_active = jnp.sum(act.astype(jnp.int32))
+    gid = jnp.where(act, gid, _I32MAX)
+    rowpos = jnp.arange(cap, dtype=jnp.int32)
+    starts_full = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(newgrp, gid, cap - 1)].max(jnp.where(newgrp, rowpos, 0))
+
+    arrs_by_col = []
+    for sv, svalid, kset in zip(svs, svalids, kinds):
+        arrs_by_col.append(build_scan_arrays(sv, svalid, act, newgrp, rowpos,
+                                             kset))
+    return (gid, sorted_pos, n_groups, n_active, starts_full, arrs_by_col,
+            tuple(skd), tuple(skv))
+
+
+@partial(jax.jit, static_argnames=("aggs", "agg_vidx", "keynames", "out_cap"))
+def _wide_pass2(gid, sorted_pos, n_groups, n_active, starts_full, arrs_by_col,
+                skd, skv, aggs, agg_vidx, vcols, kcols, keynames, out_cap):
+    cap = gid.shape[0]
+    starts, ends, ok = _boundaries(starts_full, n_groups, n_active, out_cap)
+    out: Dict[str, Column] = {}
+    for i, (name, c) in enumerate(zip(keynames, kcols)):
+        data = skd[i][starts]
+        validity = None
+        if skv[i] is not None:
+            validity = skv[i][starts] & ok
+            data = jnp.where(validity, data, jnp.zeros((), data.dtype))
+        out[name] = Column(c.dtype, data, validity, n_groups, c.dictionary)
+    for spec, vidx in zip(aggs, agg_vidx):
+        out[spec.out_name] = _finish_agg(
+            spec, arrs_by_col[vidx], vcols[vidx], starts, ends, ok, gid,
+            sorted_pos, n_groups, cap)
+    return out
+
+
+def wide_groupby(tbl: Table, keys: Sequence[str], aggs,
+                 dropna_keys: bool) -> Optional[Table]:
+    """Sparse/wide-key groupby; None when this plan doesn't apply."""
+    from ..utils.jitutil import fix_lengths
+
+    if not all(s.kind in _SUPPORTED for s in aggs):
+        return None
+    kcols = tuple(tbl[k] for k in keys)
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+           for c in kcols):
+        return None
+    widths: List[int] = [1]  # leading inactive flag
+    for c in kcols:
+        w = op_widths(c)
+        if w is None:
+            return None
+        widths.extend(w)
+    total = sum(widths)
+    nwords = -(-total // 64)
+    if nwords > MAX_WORDS:
+        return None
+    # flag bit position inside the first packed word (see _pack_words64:
+    # full words are MSB-aligned; a single partial word stays LSB-aligned)
+    flagshift = 63 if total >= 64 else total - 1
+
+    vmap: Dict[str, int] = {}
+    vdatas: List[jnp.ndarray] = []
+    vvalids: List[Optional[jnp.ndarray]] = []
+    vcols: List[Column] = []
+    kinds: List[set] = []
+    for s in aggs:
+        cname = s.column if s.column else keys[0]
+        if cname not in vmap:
+            c = tbl[cname]
+            vmap[cname] = len(vdatas)
+            vdatas.append(c.data)
+            vvalids.append(c.validity)
+            vcols.append(c)
+            kinds.append(set())
+        kinds[vmap[cname]].add(s.kind)
+
+    (gid, sorted_pos, ng_dev, n_act, starts_full, arrs_by_col, skd, skv) = \
+        _wide_pass1(kcols, tuple(vdatas), tuple(vvalids), tuple(widths),
+                    tuple(frozenset(k) for k in kinds), dropna_keys, nwords,
+                    flagshift)
+    n_groups = int(ng_dev)  # the ONE host sync
+    out_cap = bucket_capacity(max(n_groups, 1))
+
+    agg_vidx = tuple(vmap[s.column if s.column else keys[0]] for s in aggs)
+    out_cols = _wide_pass2(gid, sorted_pos, ng_dev, n_act, starts_full,
+                           arrs_by_col, skd, skv, tuple(aggs), agg_vidx,
+                           tuple(vcols), kcols, tuple(keys), out_cap)
+    out_cols = fix_lengths(out_cols, n_groups)
+    for i, k in enumerate(keys):
+        out_cols[k].dictionary = kcols[i].dictionary
+    for s in aggs:
+        c = out_cols[s.out_name]
+        if c.dtype.is_string or c.dtype.kind == Kind.DICTIONARY:
+            src = tbl[s.column] if s.column else kcols[0]
+            c.dictionary = src.dictionary
+    return Table({n: out_cols[n] for n in list(keys) + [s.out_name for s in aggs]})

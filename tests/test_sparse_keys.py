@@ -1,0 +1,184 @@
+"""Sparse/wide-key lanes: widegroup groupby + combined-payload-sort join.
+
+VERDICT r2 item 5: random 64-bit surrogate keys must not silently drop to a
+slow path — these tests pin the wide lanes' correctness (the bench pins
+their speed). Reference: hash join/groupby have no key-range restriction
+(cpp/src/join/hash_join/hash_join.cu:61-142, groupby/hash/compute_groupby.cu).
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+from cudf_tpu.ops.join import join as tpu_join
+from cudf_tpu.ops import widegroup
+from cudf_tpu.ops.unaryop import nans_to_nulls
+
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_wide_lane_applies_to_sparse_i64(rng):
+    k = rng.integers(0, 2**62, N, dtype=np.int64)
+    t = ct.Table.from_pandas(pd.DataFrame({"k": k, "v": np.ones(N)}))
+    from cudf_tpu.ops import fastgroup
+    assert fastgroup.plan_codes((t["k"],), max_bits=40) is None
+    out = widegroup.wide_groupby(t, ["k"], [AggSpec("v", "sum", "s")], True)
+    assert out is not None
+
+
+@pytest.mark.parametrize("kinds", [
+    ["mean", "sum", "count"], ["min", "max", "size"],
+    ["first", "last"], ["var", "std"], ["argmin", "argmax"],
+    ["any", "all"], ["product", "sum_of_squares"], ["m2"],
+])
+def test_widegroup_aggs_sparse_i64(rng, kinds):
+    base = rng.integers(0, 2**62, N // 8, dtype=np.int64)
+    k = base[rng.integers(0, len(base), N)]
+    df = pd.DataFrame({"k": k, "v": rng.normal(size=N)})
+    t = ct.Table.from_pandas(df)
+    aggs = [AggSpec("v", kd, f"o{i}") for i, kd in enumerate(kinds)]
+    out = widegroup.wide_groupby(t, ["k"], aggs, True)
+    assert out is not None
+    got = _sorted(out.to_pandas(), ["k"])
+    gb = df.groupby("k")
+    for i, kd in enumerate(kinds):
+        if kd == "size":
+            exp = gb.size()
+        elif kd == "m2":
+            exp = gb["v"].agg(lambda s: ((s - s.mean()) ** 2).sum())
+        elif kd == "sum_of_squares":
+            exp = gb["v"].agg(lambda s: (s ** 2).sum())
+        elif kd in ("argmin", "argmax"):
+            exp = getattr(gb["v"], "idxmin" if kd == "argmin" else "idxmax")()
+        elif kd in ("any", "all"):
+            exp = df.assign(b=df["v"].astype(bool)).groupby("k")["b"].agg(kd)
+        elif kd == "product":
+            exp = gb["v"].prod()
+        else:
+            exp = getattr(gb["v"], kd)()
+        exp = exp.reset_index(drop=True)
+        np.testing.assert_allclose(
+            got[f"o{i}"].astype(float).to_numpy(),
+            exp.astype(float).to_numpy(), rtol=1e-6, atol=1e-8,
+            err_msg=kd)
+
+
+def test_widegroup_float_keys_and_multikey(rng):
+    kf = rng.normal(size=N // 4) * 1e12
+    df = pd.DataFrame({
+        "a": np.repeat(kf, 4),
+        "b": np.tile(rng.integers(-2**60, 2**60, 4, dtype=np.int64), N // 4),
+        "v": rng.normal(size=N),
+    })
+    t = ct.Table.from_pandas(df)
+    out = widegroup.wide_groupby(
+        t, ["a", "b"], [AggSpec("v", "mean", "m")], True)
+    assert out is not None
+    got = _sorted(out.to_pandas(), ["a", "b"])
+    exp = _sorted(df.groupby(["a", "b"], as_index=False).agg(m=("v", "mean")),
+                  ["a", "b"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_widegroup_nullable_keys(rng):
+    kv = (rng.normal(size=N // 4) * 1e12).round()
+    kv[::11] = np.nan
+    t = ct.Table.from_pandas(
+        pd.DataFrame({"k": np.repeat(kv, 4), "v": rng.normal(size=N)}))
+    t = ct.Table({"k": nans_to_nulls(t["k"]), "v": t["v"]})
+    df = pd.DataFrame({"k": np.repeat(kv, 4),
+                       "v": t["v"].to_numpy()})
+    out_keep = widegroup.wide_groupby(t, ["k"], [AggSpec("v", "mean", "m")],
+                                      False)
+    exp_keep = df.groupby("k", dropna=False, as_index=False).agg(m=("v", "mean"))
+    got = out_keep.to_pandas().sort_values("k", na_position="last").reset_index(drop=True)
+    exp = exp_keep.sort_values("k", na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    out_drop = widegroup.wide_groupby(t, ["k"], [AggSpec("v", "mean", "m")],
+                                      True)
+    assert out_drop.num_rows == out_keep.num_rows - 1
+
+
+def test_widegroup_dispatched_from_groupby_aggregate(rng):
+    k = rng.integers(0, 2**62, N, dtype=np.int64)
+    df = pd.DataFrame({"k": np.repeat(k[: N // 4], 4), "v": rng.normal(size=N)})
+    t = ct.Table.from_pandas(df)
+    out = groupby_aggregate(t, ["k"], [AggSpec("v", "mean", "m")])
+    got = _sorted(out.to_pandas(), ["k"])
+    exp = _sorted(df.groupby("k", as_index=False).agg(m=("v", "mean")), ["k"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti", "full"])
+def test_sparse_i64_join(rng, how):
+    nd = N // 10
+    dimk = np.unique(rng.integers(0, 2**62, nd, dtype=np.int64))
+    fk = dimk[rng.integers(0, len(dimk), N)]
+    fk[rng.integers(0, N, N // 20)] = rng.integers(0, 2**62, N // 20,
+                                                   dtype=np.int64)
+    jl = pd.DataFrame({"k": fk, "v": rng.normal(size=N).astype(np.float32)})
+    jr = pd.DataFrame({"k": dimk, "w": rng.normal(size=len(dimk)).astype(np.float32)})
+    tl, tr = ct.Table.from_pandas(jl), ct.Table.from_pandas(jr)
+    out = tpu_join(tl, tr, ["k"], ["k"], how)
+    if how in ("semi", "anti"):
+        mask = jl["k"].isin(set(dimk.tolist()))
+        exp = jl[mask] if how == "semi" else jl[~mask]
+        got = _sorted(out.to_pandas(), ["k", "v"])
+        pd.testing.assert_frame_equal(got, _sorted(exp, ["k", "v"]),
+                                      check_dtype=False)
+    else:
+        pd_how = "outer" if how == "full" else how
+        exp = jl.merge(jr, on="k", how=pd_how)
+        got = _sorted(out.to_pandas(), ["k", "v"])
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()],
+                                      _sorted(exp, ["k", "v"]),
+                                      check_dtype=False)
+
+
+def test_sparse_join_one_to_many(rng):
+    nd = N // 10
+    dimk = np.unique(rng.integers(0, 2**62, nd, dtype=np.int64))
+    fk = dimk[rng.integers(0, len(dimk), N)]
+    jl = pd.DataFrame({"k": fk, "v": rng.normal(size=N).astype(np.float32)})
+    jr = pd.DataFrame({"k": np.repeat(dimk[:100], 5),
+                       "w": rng.normal(size=500).astype(np.float32)})
+    out = tpu_join(ct.Table.from_pandas(jl), ct.Table.from_pandas(jr),
+                   ["k"], ["k"], "inner")
+    exp = jl.merge(jr, on="k", how="inner")
+    got = _sorted(out.to_pandas(), ["k", "v", "w"])
+    pd.testing.assert_frame_equal(got, _sorted(exp, ["k", "v", "w"]),
+                                  check_dtype=False)
+
+
+def test_sparse_join_f64_keys_null_semantics(rng):
+    nd = N // 10
+    kf = rng.normal(size=nd) * 1e15
+    kf[::13] = np.nan
+    jl = pd.DataFrame({"k": kf[rng.integers(0, nd, N)],
+                       "v": rng.normal(size=N).astype(np.float32)})
+    jr = pd.DataFrame({"k": kf, "w": rng.normal(size=nd).astype(np.float32)})
+    tl = ct.Table.from_pandas(jl)
+    tl = ct.Table({"k": nans_to_nulls(tl["k"]), "v": tl["v"]})
+    tr = ct.Table.from_pandas(jr)
+    tr = ct.Table({"k": nans_to_nulls(tr["k"]), "w": tr["w"]})
+
+    out = tpu_join(tl, tr, ["k"], ["k"], "inner", nulls_equal=False)
+    exp = jl.dropna(subset=["k"]).merge(jr.dropna(subset=["k"]), on="k")
+    got = _sorted(out.to_pandas(), ["k", "v", "w"])
+    pd.testing.assert_frame_equal(got, _sorted(exp, ["k", "v", "w"]),
+                                  check_dtype=False)
+
+    out2 = tpu_join(tl, tr, ["k"], ["k"], "inner", nulls_equal=True)
+    exp2 = jl.merge(jr, on="k")  # pandas: NaN == NaN in merge keys
+    assert out2.num_rows == len(exp2)
