@@ -12,6 +12,8 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
+
 from .column import Column
 
 
@@ -20,7 +22,10 @@ class Table:
 
     def __init__(self, columns: Dict[str, Column]):
         self._columns = dict(columns)
-        lens = {c.length for c in self._columns.values()}
+        # traced lengths (per-shard tables inside shard_map) are unhashable
+        # and can't be compared at trace time — skip the ragged check there
+        lens = {c.length for c in self._columns.values()
+                if not isinstance(c.length, jax.core.Tracer)}
         assert len(lens) <= 1, f"ragged table: {lens}"
 
     # ------------------------------------------------------------- basic api

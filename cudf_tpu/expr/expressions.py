@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from ..core.column import Column
@@ -357,7 +358,15 @@ def evaluate(expr: Expr, tbl: Table) -> Column:
         if isinstance(node, Col):
             return tbl[node.name]
         if isinstance(node, Literal):
-            return Column.from_scalar(node.value, max(tbl.num_rows, 0))
+            n = tbl.num_rows
+            if isinstance(n, jax.core.Tracer):
+                # in-trace (per-shard) evaluation: capacity is static, the
+                # logical length rides as the traced scalar
+                cap = tbl[tbl.names[0]].capacity
+                col = Column.from_scalar(node.value, cap)
+                col.length = n
+                return col
+            return Column.from_scalar(node.value, max(n, 0))
         if isinstance(node, BinOp):
             l = visitor(node.children[0])
             r = visitor(node.children[1])

@@ -202,13 +202,21 @@ def execute_spmd(root: IRM.IR, mesh=None, axis: str = "shards") -> Table:
             child = visitor(node.children[0])
             if isinstance(child, Table):
                 return _local(node, [child])
-            # host-driven per-shard evaluation (chunked-local exact for
-            # elementwise stages; Distinct needs co-location -> see below)
+            # device-resident per-shard evaluation inside shard_map (zero
+            # table-data host transfers); host-driven fallback for
+            # non-traceable expressions (regex/host string ops, MapFunction)
             if isinstance(node, IRM.Distinct):
                 subset, keep = node.args
+                dd = spmd.dist_distinct(child, subset, keep)
+                if dd is not None:
+                    return dd
                 keys = list(subset) if subset is not None else list(child.names)
                 child, ov = spmd.shuffle_by_key(child, keys)
                 assert ov == 0
+            elif not isinstance(node, IRM.MapFunction):
+                de = spmd.dist_elementwise(child, node)
+                if de is not None:
+                    return de
             locals_ = [_local(node, [t]) for t in child.to_tables()]
             return spmd.ShardedTable.from_tables(locals_, mesh, axis)
         if isinstance(node, IRM.GroupBy):
@@ -239,13 +247,17 @@ def execute_spmd(root: IRM.IR, mesh=None, axis: str = "shards") -> Table:
                 return _local(node, [left, right])
             if isinstance(left, Table):
                 left = to_sharded(left)
-            if rbytes is not None and rbytes <= cfg.broadcast_limit_bytes and \
-                    how == "inner":
+            small_right = (rbytes is not None
+                           and rbytes <= cfg.broadcast_limit_bytes)
+            if small_right and how in ("inner", "left"):
                 rt = right if isinstance(right, Table) else right.concat_to_table()
                 return spmd.broadcast_join(left, rt, list(lo), list(ro), how)
+            if small_right and how in ("semi", "anti"):
+                rt = right if isinstance(right, Table) else right.concat_to_table()
+                return spmd.dist_semi_anti_join(left, None, list(lo), list(ro),
+                                                how, broadcast_right=rt)
             if isinstance(right, Table):
                 right = to_sharded(right)
-            assert how == "inner", "spmd join: inner only (round 2)"
             return spmd.dist_join(left, right, list(lo), list(ro), how)
         if isinstance(node, IRM.Sort):
             child = visitor(node.children[0])

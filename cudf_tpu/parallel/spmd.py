@@ -483,6 +483,22 @@ def dist_join(left: ShardedTable, right: ShardedTable,
     """
     from ..ops.join import _probe, _expand
 
+    if how in ("semi", "anti"):
+        return dist_semi_anti_join(left, right, left_on, right_on, how, bucket)
+    if how == "right":
+        # swapped left join with the left frame's column order restored
+        # (cpp/src/join/join.cu right_join swaps sides too)
+        sw = dist_join(right, left, list(right_on), list(left_on), "left",
+                       bucket)
+        key_same = {ln for ln, rn in zip(left_on, right_on) if ln == rn}
+        lmapped = [n if (n in key_same or n not in set(right.names))
+                   else n + "_y" for n in left.names]
+        order = lmapped + [n for n in sw.names if n not in set(lmapped)]
+        assert set(order) == set(sw.names), (order, sw.names)
+        return ShardedTable(sw.mesh, sw.axis, order, sw.data, sw.validity,
+                            sw.lengths, sw.dtypes, sw.dictionaries, sw.cap)
+    assert how in ("inner", "left", "full"), how
+
     # co-partition both sides by key hash (identical hash -> same shard)
     sl, ovl = shuffle_by_key(left, left_on, bucket)
     sr, ovr = shuffle_by_key(right, right_on, bucket)
@@ -510,7 +526,7 @@ def dist_join(left: ShardedTable, right: ShardedTable,
             {k: P(axis) for k, v in sr.validity.items() if v is not None},
             P(axis),
         ),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
     )
     def size_step(larr, lval, llen, rarr, rval, rlen):
         llen0 = llen[0]
@@ -520,19 +536,26 @@ def dist_join(left: ShardedTable, right: ShardedTable,
         lk = tuple(lcols[k] for k in left_on)
         rk = tuple(rcols[k] for k in right_on)
         counts, lb, r_perm, linb = _probe(lk, rk, False)
-        if how == "left":
+        if how in ("left", "full"):
             eff = jnp.where(linb, jnp.maximum(counts, 1), 0)
         else:
             eff = counts
         total = jnp.sum(eff.astype(jnp.int64))
+        if how == "full":
+            # unmatched right rows (co-partitioned => a local decision)
+            counts_r, _, _, rinb = _probe(rk, lk, False)
+            runm = rinb & (counts_r == 0)
+            total = total + jnp.sum(runm.astype(jnp.int64))
+        else:
+            runm = jnp.zeros((capR,), jnp.bool_)
         # replicated max: addressable on every process in multi-controller
-        return counts, lb, r_perm, linb, jax.lax.pmax(total, axis)[None]
+        return counts, lb, r_perm, linb, runm, jax.lax.pmax(total, axis)[None]
 
     larrs = dict(sl.data)
     lvals = {k: v for k, v in sl.validity.items() if v is not None}
     rarrs = dict(sr.data)
     rvals = {k: v for k, v in sr.validity.items() if v is not None}
-    counts, lb, r_perm, linb, maxtot = size_step(
+    counts, lb, r_perm, linb, runm, maxtot = size_step(
         larrs, lvals, sl.lengths, rarrs, rvals, sr.lengths)
     max_total = int(maxtot[0])  # the one host sync
     out_cap = bucket_capacity(max(max_total, 1))
@@ -547,7 +570,7 @@ def dist_join(left: ShardedTable, right: ShardedTable,
             {k: P(axis) for k, v in sl.validity.items() if v is not None},
             {k: P(axis) for k in sr.names},
             {k: P(axis) for k, v in sr.validity.items() if v is not None},
-            P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(
             {k: P(axis) for k in out_names},
@@ -555,17 +578,47 @@ def dist_join(left: ShardedTable, right: ShardedTable,
             P(axis),
         ),
     )
-    def retrieve_step(larr, lval, rarr, rval, counts, lb, r_perm, linb):
+    def retrieve_step(larr, lval, rarr, rval, counts, lb, r_perm, linb, runm):
         lcols = _local_cols_from(sl, sl.names, larr, lval, jnp.int32(capL))
         rcols = _local_cols_from(sr, sr.names, rarr, rval, jnp.int32(capR))
-        left_idx, right_idx, total = _expand(counts, lb, r_perm, linb, out_cap, how)
+        base_how = "left" if how == "full" else how
+        left_idx, right_idx, total = _expand(counts, lb, r_perm, linb,
+                                             out_cap, base_how)
+        if how == "full":
+            # append this shard's unmatched right rows with a null left side
+            from ..ops.sortprim import tiled_cumsum
+
+            rank = tiled_cumsum(runm.astype(jnp.int32)) - 1
+            tgt = jnp.where(runm,
+                            jnp.minimum(total.astype(jnp.int32) + rank,
+                                        out_cap), out_cap)
+            r_extra = jnp.full((out_cap + 1,), -1, jnp.int32).at[tgt].max(
+                jnp.where(runm, jnp.arange(capR, dtype=jnp.int32), -1)
+            )[:out_cap]
+            j = jnp.arange(out_cap, dtype=left_idx.dtype)
+            in_lj = j < total
+            right_idx = jnp.where(in_lj, right_idx, r_extra)
+            left_idx = jnp.where(in_lj, left_idx.astype(jnp.int32), -1)
+            total = total + jnp.sum(runm.astype(total.dtype))
         from ..ops.copying import gather
 
+        key_pairs = dict(zip(left_on, right_on))
         data, valid = {}, {}
         for n in lnames:
-            g = gather(lcols[n], left_idx, total)
-            data[n] = g.data
-            valid[n] = g.validity if g.validity is not None else jnp.ones((out_cap,), jnp.bool_)
+            g = gather(lcols[n], left_idx, total, check_bounds=(how == "full"))
+            gd = g.data
+            gv = g.validity if g.validity is not None else jnp.ones((out_cap,), jnp.bool_)
+            if how == "full" and n in key_pairs:
+                # full-join key coalesce: take the right side's key value on
+                # right-only rows (join.py _full_join semantics)
+                rg = gather(rcols[key_pairs[n]], right_idx, total,
+                            check_bounds=True)
+                rgv = rg.validity if rg.validity is not None else jnp.ones((out_cap,), jnp.bool_)
+                use_l = left_idx >= 0
+                gd = jnp.where(use_l, gd, rg.data)
+                gv = jnp.where(use_l, gv, rgv)
+            data[n] = gd
+            valid[n] = gv
         for n in rpayload:
             out_n = n if n not in set(lnames) else n + "_y"
             g = gather(rcols[n], right_idx, total, check_bounds=(how != "inner"))
@@ -574,7 +627,7 @@ def dist_join(left: ShardedTable, right: ShardedTable,
         return data, valid, total.astype(jnp.int32)[None]
 
     data, valid, lens = retrieve_step(
-        larrs, lvals, rarrs, rvals, counts, lb, r_perm, linb)
+        larrs, lvals, rarrs, rvals, counts, lb, r_perm, linb, runm)
     out_dtypes, out_dicts = {}, {}
     for n in lnames:
         out_dtypes[n] = sl.dtypes[n]
@@ -934,3 +987,288 @@ def dist_sort_values(st: ShardedTable, keys: Sequence[str], descending=False,
         st.mesh, st.axis, st.names, out, {k: outv.get(k) for k in st.names},
         new_lens, st.dtypes, st.dictionaries, n * B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Device-resident elementwise stages (VERDICT r2 item 2): Select / HStack /
+# Filter / Distinct evaluate INSIDE shard_map — zero table-data host
+# round-trips between scan and collect. Reference: every cudf-polars IR node
+# lowers to per-rank device tasks (streaming/parallel.py:68-117).
+# ---------------------------------------------------------------------------
+
+def _empty_like(st: ShardedTable) -> Table:
+    """Zero-row host Table with st's schema (for output-schema inference)."""
+    cols = {}
+    for n in st.names:
+        phys = np.dtype(st.dtypes[n].physical)
+        v = (jnp.zeros((128,), jnp.bool_)
+             if st.validity[n] is not None else None)
+        cols[n] = Column(st.dtypes[n], jnp.zeros((128,), phys), v, 0,
+                         st.dictionaries[n])
+    return Table(cols)
+
+
+def _compact_cols_in_trace(cols: Dict[str, Column], keep: jnp.ndarray):
+    """Trace-safe stable compaction: ONE flag sort, dropped rows to the end,
+    capacity unchanged, new length returned as a traced scalar."""
+    from ..ops.stream_compaction import _flagsort
+
+    cap = keep.shape[0]
+    drop_key = (~keep).astype(jnp.uint32)
+    pb = max(1, (cap - 1).bit_length())
+    sorted_cols = _flagsort(tuple(cols.values()), drop_key, pb)
+    new_len = jnp.sum(keep.astype(jnp.int32))
+    return dict(zip(cols.keys(), sorted_cols)), new_len
+
+
+def dist_elementwise(st: ShardedTable, node) -> Optional[ShardedTable]:
+    """Evaluate a Select/HStack/Filter IR node per shard on device.
+
+    Returns None when the node's expressions aren't trace-safe (host-side
+    string/regex ops, data-dependent dictionaries) — the caller falls back
+    to host-driven evaluation.
+    """
+    from ..expr import ir as IRM
+    from ..expr.expressions import evaluate
+
+    # schema inference on an empty table: output names/dtypes/dictionaries
+    try:
+        probe = IRM.execute(node.reconstruct([IRM.DataFrameScan(_empty_like(st))]))
+    except Exception:
+        return None
+    out_names = list(probe.names)
+    out_dtypes = {n: probe[n].dtype for n in out_names}
+    out_dicts = {n: probe[n].dictionary for n in out_names}
+    for n in out_names:
+        if out_dtypes[n].is_string and out_dicts[n] is not None:
+            # a dictionary not shared with an input could be data-dependent
+            # (built from VALUES on the empty probe): device eval would give
+            # each shard a different dictionary — host path handles those
+            if not any(out_dicts[n] is st.dictionaries[m] for m in st.names):
+                return None
+    if isinstance(node, IRM.Filter):
+        n_payload = sum(1 + (st.validity[n] is not None) for n in st.names)
+        if n_payload > 12:
+            return None
+
+    axis = st.axis
+    names = list(st.names)
+    vnames = [k for k, v in st.validity.items() if v is not None]
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=st.mesh,
+        in_specs=(
+            {k: P(axis) for k in names},
+            {k: P(axis) for k in vnames},
+            P(axis),
+        ),
+        out_specs=(
+            {k: P(axis) for k in out_names},
+            {k: P(axis) for k in out_names},
+            P(axis),
+        ),
+    )
+    def step(arrays, valids, length):
+        length = length[0]
+        tbl = Table(_local_cols_from(st, names, arrays, valids, length))
+        cap = st.cap
+        if isinstance(node, IRM.Filter):
+            mask = evaluate(node.predicate, tbl)
+            keep = mask.data.astype(jnp.bool_)
+            if mask.validity is not None:
+                keep = keep & mask.validity
+            keep = keep & (jnp.arange(cap, dtype=jnp.int32)
+                           < jnp.asarray(length, jnp.int32))
+            cols, new_len = _compact_cols_in_trace(
+                {n: tbl[n] for n in names}, keep)
+        elif isinstance(node, IRM.Select):
+            cols = {ne.name: evaluate(ne.expr, tbl) for ne in node.exprs}
+            new_len = jnp.asarray(length, jnp.int32)
+        elif isinstance(node, IRM.HStack):
+            cols = {n: tbl[n] for n in names}
+            for ne in node.exprs:
+                cols[ne.name] = evaluate(ne.expr, tbl)
+            new_len = jnp.asarray(length, jnp.int32)
+        elif isinstance(node, IRM.Projection):
+            cols = {n: tbl[n] for n in out_names}
+            new_len = jnp.asarray(length, jnp.int32)
+        else:
+            raise TypeError(type(node).__name__)
+        data = {n: cols[n].data for n in out_names}
+        valid = {
+            n: (cols[n].validity if cols[n].validity is not None
+                else jnp.ones((cap,), jnp.bool_))
+            for n in out_names
+        }
+        return data, valid, new_len[None]
+
+    arrays = dict(st.data)
+    valids = {k: v for k, v in st.validity.items() if v is not None}
+    try:
+        data, valid, lens = step(arrays, valids, st.lengths)
+    except Exception:
+        import os as _os
+        if _os.environ.get("CUDF_TPU_DEBUG_DIST"):
+            raise
+        return None  # non-traceable expression: host fallback
+    return ShardedTable(st.mesh, axis, out_names, data, valid, lens,
+                        out_dtypes, out_dicts, st.cap)
+
+
+def dist_distinct(st: ShardedTable, subset: Optional[Sequence[str]],
+                  keep: str = "first") -> Optional[ShardedTable]:
+    """Distributed distinct: hash-shuffle on the key subset, then an
+    in-trace local distinct per shard (sort + first-occurrence + flag-sort
+    compaction — zero host transfers of table data)."""
+    from ..ops.stream_compaction import (_grouping_codes,
+                                         _first_occurrence_finish)
+    from ..ops.sortprim import multisort_perm
+
+    keys = list(subset) if subset is not None else list(st.names)
+    if keep not in ("first", "last"):
+        return None
+    shuffled, ov = shuffle_by_key(st, keys)
+    assert ov == 0, f"shuffle overflow after retries: {ov}"
+    axis = st.axis
+    names = list(shuffled.names)
+    vnames = [k for k, v in shuffled.validity.items() if v is not None]
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=st.mesh,
+        in_specs=(
+            {k: P(axis) for k in names},
+            {k: P(axis) for k in vnames},
+            P(axis),
+        ),
+        out_specs=(
+            {k: P(axis) for k in names},
+            {k: P(axis) for k in names},
+            P(axis),
+        ),
+    )
+    def step(arrays, valids, length):
+        length = length[0]
+        cols = _local_cols_from(shuffled, names, arrays, valids, length)
+        kcols = tuple(cols[k] for k in keys)
+        ops = _grouping_codes(kcols, last=(keep == "last"))
+        perm = multisort_perm(list(ops))
+        keep_mask, _, cnt = _first_occurrence_finish(kcols, perm)
+        out_cols, new_len = _compact_cols_in_trace(cols, keep_mask)
+        cap = shuffled.cap
+        data = {n: out_cols[n].data for n in names}
+        valid = {
+            n: (out_cols[n].validity if out_cols[n].validity is not None
+                else jnp.ones((cap,), jnp.bool_))
+            for n in names
+        }
+        return data, valid, new_len[None]
+
+    arrays = dict(shuffled.data)
+    valids = {k: v for k, v in shuffled.validity.items() if v is not None}
+    data, valid, lens = step(arrays, valids, shuffled.lengths)
+    return ShardedTable(st.mesh, axis, names, data, valid, lens,
+                        shuffled.dtypes, shuffled.dictionaries, shuffled.cap)
+
+
+def dist_semi_anti_join(left: ShardedTable, right: ShardedTable,
+                        left_on: Sequence[str], right_on: Sequence[str],
+                        how: str, bucket: Optional[int] = None,
+                        broadcast_right: Optional[Table] = None
+                        ) -> ShardedTable:
+    """semi/anti distributed join: probe for match counts, compact locally.
+
+    With ``broadcast_right`` the right side replicates (no shuffle of the
+    big left side is needed for existence checks only when co-partitioned —
+    so the shuffle-shuffle path co-partitions first). Output schema = left.
+    Reference legality table: streaming/join.py:57-147.
+    """
+    from ..ops.join import _probe
+
+    assert how in ("semi", "anti")
+    if broadcast_right is not None:
+        sl = left
+        rsh = NamedSharding(left.mesh, P())
+        rnames = broadcast_right.names
+        rdata = {n: jax.device_put(broadcast_right[n].data, rsh) for n in rnames}
+        rvalid = {n: jax.device_put(broadcast_right[n].validity, rsh)
+                  for n in rnames if broadcast_right[n].validity is not None}
+        rdt = {n: broadcast_right[n].dtype for n in rnames}
+        rdicts = {n: broadcast_right[n].dictionary for n in rnames}
+        rlen = broadcast_right.num_rows
+    else:
+        sl, ovl = shuffle_by_key(left, left_on, bucket)
+        sr, ovr = shuffle_by_key(right, right_on, bucket)
+        assert ovl == 0 and ovr == 0
+    axis = left.axis
+    names = list(sl.names)
+    vnames = [k for k, v in sl.validity.items() if v is not None]
+
+    if broadcast_right is None:
+        rnames = list(sr.names)
+        r_in_specs = ({k: P(axis) for k in rnames},
+                      {k: P(axis) for k, v in sr.validity.items()
+                       if v is not None},
+                      P(axis))
+    else:
+        r_in_specs = ({k: P() for k in rnames},
+                      {k: P() for k in rvalid},
+                      None)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=left.mesh,
+        in_specs=(
+            {k: P(axis) for k in names},
+            {k: P(axis) for k in vnames},
+            P(axis),
+            r_in_specs[0],
+            r_in_specs[1],
+        ) + ((P(axis),) if broadcast_right is None else ()),
+        out_specs=(
+            {k: P(axis) for k in names},
+            {k: P(axis) for k in names},
+            P(axis),
+        ),
+    )
+    def step(larr, lval, llen, rarr, rvalm, *rest):
+        llen0 = llen[0]
+        lcols = _local_cols_from(sl, names, larr, lval, llen0)
+        if broadcast_right is None:
+            rlen0 = rest[0][0]
+            rcols = {n: Column(sr.dtypes[n], rarr[n], rvalm.get(n), rlen0,
+                               sr.dictionaries[n]) for n in rnames}
+        else:
+            rcols = {n: Column(rdt[n], rarr[n], rvalm.get(n), rlen,
+                               rdicts[n]) for n in rnames}
+        lk = tuple(lcols[k] for k in left_on)
+        rk = tuple(rcols[k] for k in right_on)
+        from ..ops.join import _probe as probe_fn
+
+        counts, lb, r_perm, linb = probe_fn(lk, rk, False)
+        keepm = ((counts == 0) if how == "anti" else (counts > 0)) & linb
+        out_cols, new_len = _compact_cols_in_trace(lcols, keepm)
+        cap = sl.cap
+        data = {n: out_cols[n].data for n in names}
+        valid = {
+            n: (out_cols[n].validity if out_cols[n].validity is not None
+                else jnp.ones((cap,), jnp.bool_))
+            for n in names
+        }
+        return data, valid, new_len[None]
+
+    larrs = dict(sl.data)
+    lvals = {k: v for k, v in sl.validity.items() if v is not None}
+    if broadcast_right is None:
+        rarrs = dict(sr.data)
+        rvals = {k: v for k, v in sr.validity.items() if v is not None}
+        data, valid, lens = step(larrs, lvals, sl.lengths, rarrs, rvals,
+                                 sr.lengths)
+    else:
+        data, valid, lens = step(larrs, lvals, sl.lengths, rdata, rvalid)
+    return ShardedTable(left.mesh, axis, names, data, valid, lens,
+                        sl.dtypes, sl.dictionaries, sl.cap)

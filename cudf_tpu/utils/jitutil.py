@@ -20,9 +20,12 @@ from ..core.column import Column
 
 
 def fix_lengths(out, length: int):
-    """Walk a pytree of Columns, replacing traced scalar lengths with ints."""
+    """Walk a pytree of Columns, replacing traced scalar lengths with ints.
+
+    Inside a trace (shard_map bodies calling host-level ops) the length stays
+    a traced scalar — downstream in-trace consumers handle that."""
     if isinstance(out, Column):
-        out.length = int(length)
+        out.length = length if isinstance(length, jax.core.Tracer) else int(length)
         return out
     if isinstance(out, (list, tuple)):
         return type(out)(fix_lengths(o, length) for o in out)

@@ -1,0 +1,195 @@
+"""Round-3 SPMD engine coverage: full join-how breadth on the mesh and
+device-resident elementwise stages (VERDICT r2 items 2 and 3).
+
+Reference: cudf-polars streaming join legality table (streaming/join.py:57-147)
+and per-rank device tasks (streaming/parallel.py:68-117).
+"""
+import numpy as np
+import pandas as pd
+import pytest
+import jax
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops.groupby import AggSpec
+from cudf_tpu.parallel import spmd
+from cudf_tpu.parallel.plan_executor import execute_spmd
+from cudf_tpu.expr import ir as IRM
+from cudf_tpu.expr.expressions import NamedExpr, Col, Literal, BinOp, Agg
+
+
+def split_df(df, n):
+    parts = np.array_split(np.arange(len(df)), n)
+    return [Table.from_pandas(df.iloc[p].reset_index(drop=True)) for p in parts]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return spmd.make_mesh(8)
+
+
+def _mk(rng, n=2000, with_strings=False, dup_right=1):
+    nd = max(n // 10, 8)
+    if with_strings:
+        pool = np.array([f"key#{i:05d}" for i in range(nd)])
+        dimk = pool
+        fk = pool[rng.integers(0, nd, n)]
+        missing = np.array([f"zzz#{i:05d}" for i in range(50)])
+        fk[rng.integers(0, n, 50)] = missing[np.arange(50)]
+    else:
+        dimk = np.arange(nd) * 7 + 3
+        fk = dimk[rng.integers(0, nd, n)]
+        fk[rng.integers(0, n, n // 20)] = -1  # misses
+    jl = pd.DataFrame({"k": fk, "v": rng.normal(size=n).astype(np.float32)})
+    jr = pd.DataFrame({"k": np.repeat(dimk, dup_right),
+                       "w": rng.normal(size=nd * dup_right).astype(np.float32)})
+    return jl, jr
+
+
+def _cmp(out_tbl, exp, sort_cols):
+    got = out_tbl.to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+
+
+class TestDistJoinHows:
+    @pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+    def test_numeric(self, mesh, how):
+        rng = np.random.default_rng(10)
+        jl, jr = _mk(rng)
+        stl = spmd.ShardedTable.from_tables(split_df(jl, 8), mesh)
+        str_ = spmd.ShardedTable.from_tables(split_df(jr, 8), mesh)
+        out = spmd.dist_join(stl, str_, ["k"], ["k"], how)
+        pd_how = "outer" if how == "full" else how
+        exp = jl.merge(jr, on="k", how=pd_how)
+        _cmp(out.concat_to_table(), exp, ["k", "v"])
+
+    @pytest.mark.parametrize("how", ["semi", "anti"])
+    def test_semi_anti(self, mesh, how):
+        rng = np.random.default_rng(11)
+        jl, jr = _mk(rng)
+        stl = spmd.ShardedTable.from_tables(split_df(jl, 8), mesh)
+        str_ = spmd.ShardedTable.from_tables(split_df(jr, 8), mesh)
+        out = spmd.dist_join(stl, str_, ["k"], ["k"], how)
+        mask = jl["k"].isin(set(jr["k"].tolist()))
+        exp = jl[mask] if how == "semi" else jl[~mask]
+        _cmp(out.concat_to_table(), exp, ["k", "v"])
+
+    @pytest.mark.parametrize("how", ["right", "full"])
+    def test_one_to_many(self, mesh, how):
+        rng = np.random.default_rng(12)
+        jl, jr = _mk(rng, dup_right=3)
+        stl = spmd.ShardedTable.from_tables(split_df(jl, 8), mesh)
+        str_ = spmd.ShardedTable.from_tables(split_df(jr, 8), mesh)
+        out = spmd.dist_join(stl, str_, ["k"], ["k"], how)
+        pd_how = "outer" if how == "full" else how
+        exp = jl.merge(jr, on="k", how=pd_how)
+        _cmp(out.concat_to_table(), exp, ["k", "v", "w"])
+
+    @pytest.mark.parametrize("how", ["right", "full"])
+    def test_strings(self, mesh, how):
+        rng = np.random.default_rng(13)
+        jl, jr = _mk(rng, with_strings=True)
+        stl = spmd.ShardedTable.from_tables(split_df(jl, 8), mesh)
+        str_ = spmd.ShardedTable.from_tables(split_df(jr, 8), mesh)
+        out = spmd.dist_join(stl, str_, ["k"], ["k"], how)
+        pd_how = "outer" if how == "full" else how
+        exp = jl.merge(jr, on="k", how=pd_how)
+        _cmp(out.concat_to_table(), exp, ["k", "v"])
+
+    def test_broadcast_semi_anti(self, mesh):
+        rng = np.random.default_rng(14)
+        jl, jr = _mk(rng)
+        stl = spmd.ShardedTable.from_tables(split_df(jl, 8), mesh)
+        rt = Table.from_pandas(jr)
+        for how in ("semi", "anti"):
+            out = spmd.dist_semi_anti_join(stl, None, ["k"], ["k"], how,
+                                           broadcast_right=rt)
+            mask = jl["k"].isin(set(jr["k"].tolist()))
+            exp = jl[mask] if how == "semi" else jl[~mask]
+            _cmp(out.concat_to_table(), exp, ["k", "v"])
+
+
+class TestDeviceResidentStages:
+    def _plan(self, tbl):
+        scan = IRM.DataFrameScan(tbl)
+        filt = IRM.Filter(BinOp("gt", children=(Col("v"), Literal(0.0))),
+                          children=(scan,))
+        sel = IRM.HStack((NamedExpr("v2", BinOp("mul", children=(Col("v"), Literal(2.0)))),),
+                         children=(filt,))
+        gb = IRM.GroupBy(("k",),
+                         (NamedExpr("s", Agg("sum", children=(Col("v2"),))),),
+                         children=(sel,))
+        return gb
+
+    def test_elementwise_stays_on_device(self, mesh, monkeypatch):
+        """Filter/HStack between scan and groupby must NOT round-trip shard
+        data through the host (VERDICT r2 weak #2)."""
+        rng = np.random.default_rng(15)
+        df = pd.DataFrame({"k": rng.integers(0, 40, 4000),
+                           "v": rng.normal(size=4000)})
+        tbl = Table.from_pandas(df)
+        plan = self._plan(tbl)
+
+        calls = {"n": 0}
+        orig = spmd.ShardedTable.to_tables
+
+        def counting(self):
+            calls["n"] += 1
+            return orig(self)
+
+        monkeypatch.setattr(spmd.ShardedTable, "to_tables", counting)
+        out = execute_spmd(plan, mesh=mesh)
+        # exactly ONE to_tables: the final collect
+        assert calls["n"] == 1, f"host round-trips: {calls['n']}"
+        exp = (df[df["v"] > 0].assign(v2=lambda d: d["v"] * 2)
+               .groupby("k", as_index=False).agg(s=("v2", "sum")))
+        _cmp(out, exp, ["k"])
+
+    def test_dist_elementwise_filter_select(self, mesh):
+        rng = np.random.default_rng(16)
+        df = pd.DataFrame({"k": rng.integers(0, 9, 3000),
+                           "v": rng.normal(size=3000)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        filt = IRM.Filter(BinOp("lt", children=(Col("v"), Literal(0.5))),
+                          children=(IRM.Empty(),))
+        out = spmd.dist_elementwise(st, filt)
+        assert out is not None
+        exp = df[df["v"] < 0.5]
+        _cmp(out.concat_to_table(), exp, ["k", "v"])
+
+        sel = IRM.Select((NamedExpr("kk", Col("k")),
+                          NamedExpr("half", BinOp("div", children=(Col("v"), Literal(2.0))))),
+                         children=(IRM.Empty(),))
+        out2 = spmd.dist_elementwise(st, sel)
+        assert out2 is not None
+        exp2 = pd.DataFrame({"kk": df["k"], "half": df["v"] / 2})
+        _cmp(out2.concat_to_table(), exp2, ["kk", "half"])
+
+    def test_dist_distinct(self, mesh):
+        rng = np.random.default_rng(17)
+        df = pd.DataFrame({"k": rng.integers(0, 25, 3000),
+                           "g": rng.integers(0, 3, 3000)})
+        st = spmd.ShardedTable.from_tables(split_df(df, 8), mesh)
+        out = spmd.dist_distinct(st, ["k", "g"])
+        assert out is not None
+        got = out.concat_to_table().to_pandas()
+        exp = df.drop_duplicates(["k", "g"])
+        assert len(got) == len(exp)
+        assert set(map(tuple, got.values.tolist())) == \
+            set(map(tuple, exp.values.tolist()))
+
+    def test_execute_spmd_join_hows_via_plan(self, mesh):
+        rng = np.random.default_rng(18)
+        jl, jr = _mk(rng, n=1500)
+        for how in ("left", "right", "full", "semi", "anti"):
+            plan = IRM.Join(("k",), ("k",), how,
+                            children=(IRM.DataFrameScan(Table.from_pandas(jl)),
+                                      IRM.DataFrameScan(Table.from_pandas(jr))))
+            out = execute_spmd(plan, mesh=mesh)
+            exp = IRM.execute(plan)
+            g = out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            e = exp.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                g[sorted(g.columns)], e[sorted(e.columns)],
+                check_dtype=False, check_like=True)
