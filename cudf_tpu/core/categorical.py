@@ -1,0 +1,166 @@
+"""Categorical columns: dictionary codes + an ORDERED host category list.
+
+Analog of python/cudf/cudf/core/column/categorical.py (CategoricalColumn)
+and cpp dictionary columns (cpp/src/dictionary/). Reuses this engine's
+dictionary machinery (core/column.py string design): the device buffer is
+int32 codes, the category list is host metadata. The one semantic twist vs
+strings: categories keep their DECLARED order (possibly unsorted), and
+because pandas sorts/compares categoricals by category order, "code order
+== semantic order" still holds — every sort/groupby/join kernel works on
+the raw codes unchanged.
+
+Missing values are validity-null codes (pandas code -1 maps to null).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtypes
+from .dtypes import DType, Kind
+from .column import Column, _pad_to
+from ..utils.padding import bucket_capacity
+
+
+def categorical_dtype(ordered: bool = False) -> DType:
+    return DType(Kind.DICTIONARY, 32, ("category", bool(ordered)))
+
+
+def is_categorical(col: Column) -> bool:
+    return col.dtype.kind == Kind.DICTIONARY and \
+        isinstance(col.dtype.param, tuple) and col.dtype.param[0] == "category"
+
+
+def ordered(col: Column) -> bool:
+    return bool(col.dtype.param[1]) if is_categorical(col) else False
+
+
+def from_values(values: np.ndarray, categories: Optional[Sequence] = None,
+                ordered: bool = False) -> Column:
+    """Factorize host values into a categorical column (pd.Categorical)."""
+    vals = np.asarray(values, dtype=object)
+    isnull = np.array([v is None or (isinstance(v, float) and np.isnan(v))
+                       for v in vals])
+    if categories is None:
+        cats = np.array(sorted({v for v, n in zip(vals.tolist(), isnull)
+                                if not n}), dtype=object)
+    else:
+        cats = np.asarray(list(categories), dtype=object)
+    index = {v: i for i, v in enumerate(cats.tolist())}
+    codes = np.array([index.get(v, -1) if not n else -1
+                      for v, n in zip(vals.tolist(), isnull)], np.int32)
+    return from_codes(codes, cats, ordered)
+
+
+def from_codes(codes: np.ndarray, categories: np.ndarray,
+               ordered: bool = False) -> Column:
+    codes = np.asarray(codes, np.int32)
+    n = len(codes)
+    cap = bucket_capacity(max(n, 1))
+    isnull = codes < 0
+    data = _pad_to(np.where(isnull, 0, codes).astype(np.int32), cap)
+    v = _pad_to(~isnull, cap, False) if isnull.any() else None
+    return Column(categorical_dtype(ordered), data, v, n,
+                  dictionary=np.asarray(categories, dtype=object))
+
+
+def from_pandas_categorical(cat) -> Column:
+    """Build from a pandas.Categorical (codes -1 == null)."""
+    return from_codes(np.asarray(cat.codes, np.int32),
+                      np.asarray(cat.categories.to_numpy(), dtype=object),
+                      bool(cat.ordered))
+
+
+def to_pandas_categorical(col: Column):
+    from ..utils.real_pandas import pd
+
+    n = int(col.length)
+    codes = np.asarray(col.data)[:n].astype(np.int64)
+    if col.validity is not None:
+        codes = np.where(np.asarray(col.validity)[:n], codes, -1)
+    return pd.Categorical.from_codes(
+        codes, categories=list(col.dictionary), ordered=ordered(col))
+
+
+def _remap(col: Column, new_cats: np.ndarray, new_ordered: bool) -> Column:
+    """Re-code onto a new category list (tiny host remap table, one device
+    gather over the remap — the dictionary set_keys pattern,
+    cpp/src/dictionary/set_keys.cu)."""
+    old = list(col.dictionary) if col.dictionary is not None else []
+    index = {v: i for i, v in enumerate(np.asarray(new_cats, object).tolist())}
+    table = np.array([index.get(v, -1) for v in old] + [-1], np.int32)
+    tbl = jnp.asarray(table)
+    new_codes = tbl[jnp.clip(col.data, 0, len(table) - 1)]
+    valid = new_codes >= 0
+    if col.validity is not None:
+        valid = valid & col.validity
+    data = jnp.where(valid, new_codes, 0)
+    return Column(categorical_dtype(new_ordered), data, valid, col.length,
+                  dictionary=np.asarray(new_cats, dtype=object))
+
+
+def set_categories(col: Column, new_categories, ordered_: Optional[bool] = None) -> Column:
+    return _remap(col, np.asarray(list(new_categories), object),
+                  ordered(col) if ordered_ is None else bool(ordered_))
+
+
+def add_categories(col: Column, new_categories) -> Column:
+    cats = list(col.dictionary) + [c for c in new_categories
+                                   if c not in set(col.dictionary.tolist())]
+    return _remap(col, np.asarray(cats, object), ordered(col))
+
+
+def remove_categories(col: Column, removals) -> Column:
+    rm = set(removals)
+    cats = [c for c in col.dictionary.tolist() if c not in rm]
+    return _remap(col, np.asarray(cats, object), ordered(col))
+
+
+def rename_categories(col: Column, mapping) -> Column:
+    if callable(mapping):
+        cats = [mapping(c) for c in col.dictionary.tolist()]
+    elif isinstance(mapping, dict):
+        cats = [mapping.get(c, c) for c in col.dictionary.tolist()]
+    else:
+        cats = list(mapping)
+    out = Column(col.dtype, col.data, col.validity, col.length,
+                 dictionary=np.asarray(cats, dtype=object))
+    return out
+
+
+def reorder_categories(col: Column, new_categories, ordered_: Optional[bool] = None) -> Column:
+    assert set(new_categories) == set(col.dictionary.tolist()), \
+        "reorder_categories: items differ"
+    return _remap(col, np.asarray(list(new_categories), object),
+                  ordered(col) if ordered_ is None else bool(ordered_))
+
+
+def as_ordered(col: Column, value: bool = True) -> Column:
+    return Column(categorical_dtype(value), col.data, col.validity,
+                  col.length, col.dictionary)
+
+
+def unify_categoricals(cols: Sequence[Column]) -> list:
+    """Re-code categoricals onto the UNION category list (left-to-right
+    declaration order preserved) so codes compare across columns — the
+    categorical analog of strings.unify_dictionaries, used by join key
+    promotion."""
+    seen: dict = {}
+    for c in cols:
+        for v in (c.dictionary.tolist() if c.dictionary is not None else []):
+            if v not in seen:
+                seen[v] = len(seen)
+    union = np.array(list(seen.keys()), dtype=object)
+    ord_ = all(ordered(c) for c in cols)
+    return [_remap(c, union, ord_) for c in cols]
+
+
+def codes_column(col: Column) -> Column:
+    """pandas .cat.codes: int32 codes with -1 for nulls (non-null output)."""
+    data = col.data.astype(jnp.int32)
+    if col.validity is not None:
+        data = jnp.where(col.validity, data, jnp.int32(-1))
+    return Column(dtypes.int32, data, None, col.length)

@@ -276,8 +276,10 @@ class Column:
         """Materialize logical rows on host (nulls become NaN/NaT/None)."""
         n = int(self.length)
         data = np.asarray(self.data)[:n]
-        if self.dtype.is_string:
-            out = self.dictionary[data] if len(self.dictionary) else np.full(n, "", object)
+        if self.dtype.is_string or (self.dtype.kind == Kind.DICTIONARY
+                                    and self.dictionary is not None):
+            safe = np.clip(data, 0, max(len(self.dictionary) - 1, 0))
+            out = self.dictionary[safe] if len(self.dictionary) else np.full(n, "", object)
             out = np.asarray(out, dtype=object)
             if self.validity is not None:
                 mask = ~np.asarray(self.validity)[:n]
@@ -317,6 +319,9 @@ class Column:
     def to_pandas(self, name=None):
         from ..utils.real_pandas import pd
 
+        from .categorical import is_categorical, to_pandas_categorical
+        if is_categorical(self):
+            return pd.Series(to_pandas_categorical(self), name=name)
         return pd.Series(self.to_numpy(), name=name)
 
     # --------------------------------------------------------------- slicing

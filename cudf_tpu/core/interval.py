@@ -1,0 +1,167 @@
+"""Interval columns + cut/qcut binning.
+
+Analog of python/cudf/cudf/core/column/interval.py (IntervalColumn over a
+struct of left/right children) and cudf.cut (python/cudf/cudf/core/cut.py).
+An IntervalColumn is a struct of two numeric child Columns plus a
+``closed`` side; ``cut``/``qcut`` bin on device (small-edge broadcast
+compare — bin counts are tiny by construction, so the (rows x bins)
+comparison is one fused elementwise pass, no gathers) and return a
+categorical whose categories are the interval labels in bin order.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtypes
+from .column import Column
+from .categorical import from_codes
+
+
+@dataclasses.dataclass
+class IntervalColumn:
+    """Struct-of-(left, right) interval rows (closed: left/right/both/neither)."""
+
+    left: Column
+    right: Column
+    closed: str = "right"
+
+    @property
+    def length(self) -> int:
+        return self.left.length
+
+    def mid(self) -> Column:
+        data = (self.left.data.astype(jnp.float64)
+                + self.right.data.astype(jnp.float64)) / 2.0
+        return Column(dtypes.float64, data, self.left.validity, self.length)
+
+    def width(self) -> Column:
+        data = self.right.data - self.left.data
+        return Column(self.left.dtype, data, self.left.validity, self.length)
+
+    def contains(self, value) -> Column:
+        lo = self.left.data <= value if self.closed in ("left", "both") \
+            else self.left.data < value
+        hi = self.right.data >= value if self.closed in ("right", "both") \
+            else self.right.data > value
+        return Column(dtypes.bool_, lo & hi, self.left.validity, self.length)
+
+    def overlaps(self, other: "IntervalColumn") -> Column:
+        # closed-aware pairwise overlap of equal-length interval columns
+        def lt(a, b, strict):
+            return a < b if strict else a <= b
+        strict_l = not (self.closed in ("right", "both")
+                        and other.closed in ("left", "both"))
+        strict_r = not (self.closed in ("left", "both")
+                        and other.closed in ("right", "both"))
+        ok = lt(other.left.data, self.right.data, strict_l) & \
+            lt(self.left.data, other.right.data, strict_r)
+        return Column(dtypes.bool_, ok, self.left.validity, self.length)
+
+    def to_pandas(self):
+        from ..utils.real_pandas import pd
+
+        lo = self.left.to_numpy()
+        hi = self.right.to_numpy()
+        return pd.arrays.IntervalArray.from_arrays(lo, hi, closed=self.closed)
+
+
+def interval_range(start, end, periods: Optional[int] = None,
+                   freq=None, closed: str = "right") -> IntervalColumn:
+    """cudf.interval_range analog."""
+    if freq is None:
+        periods = int(periods)
+        edges = np.linspace(start, end, periods + 1)
+    else:
+        edges = np.arange(start, end + freq, freq)
+    return IntervalColumn(Column.from_numpy(edges[:-1]),
+                          Column.from_numpy(edges[1:]), closed)
+
+
+def _interval_labels(edges: np.ndarray, right: bool, precision: int = 3):
+    lo, hi = ("(", "]") if right else ("[", ")")
+
+    def fmt(x):
+        if float(x) == int(x) and abs(x) < 1e15:
+            return str(int(x)) if isinstance(x, (int, np.integer)) else f"{x:.1f}"
+        return f"{np.round(x, precision)}"
+
+    return np.array([f"{lo}{fmt(a)}, {fmt(b)}{hi}"
+                     for a, b in zip(edges[:-1], edges[1:])], dtype=object)
+
+
+@partial(jax.jit, static_argnames=("right", "include_lowest", "nbins"))
+def _bin_codes(data, validity, length, edges, right, include_lowest, nbins):
+    cap = data.shape[0]
+    x = data.astype(jnp.float64)
+    if right:
+        cnt = jnp.sum(x[:, None] > edges[None, :], axis=1)
+        if include_lowest:
+            cnt = jnp.where(x == edges[0], 1, cnt)
+    else:
+        cnt = jnp.sum(x[:, None] >= edges[None, :], axis=1)
+    code = (cnt - 1).astype(jnp.int32)
+    ok = (code >= 0) & (code < nbins) & ~jnp.isnan(x)
+    ok = ok & (jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(length, jnp.int32))
+    if validity is not None:
+        ok = ok & validity
+    return jnp.where(ok, code, 0), ok
+
+
+def cut(col: Column, bins, right: bool = True, labels=None,
+        include_lowest: bool = False, precision: int = 3) -> Column:
+    """pandas.cut analog: bin values into intervals -> ordered categorical.
+
+    ``bins``: int (equal-width over the data range) or explicit edges.
+    """
+    if isinstance(bins, (int, np.integer)):
+        host = col.to_numpy().astype(np.float64)
+        host = host[~np.isnan(host)] if len(host) else host
+        mn = float(host.min()) if len(host) else 0.0
+        mx = float(host.max()) if len(host) else 1.0
+        if mn == mx:
+            mn -= 0.001 * abs(mn) if mn != 0 else 0.001
+            mx += 0.001 * abs(mx) if mx != 0 else 0.001
+        edges = np.linspace(mn, mx, int(bins) + 1)
+        adj = (mx - mn) * 0.001
+        edges_eff = edges.copy()
+        edges_eff[0] -= adj  # pandas widens the first edge for int bins
+        include_lowest = False
+        right = right
+        edges_use = edges_eff
+    else:
+        edges = np.asarray(list(bins), np.float64)
+        edges_use = edges
+    nbins = len(edges) - 1
+    codes, ok = _bin_codes(col.data, col.validity, col.length,
+                           jnp.asarray(edges_use), right, include_lowest,
+                           nbins)
+    if labels is None:
+        cats = _interval_labels(np.round(edges, precision), right, precision)
+    elif labels is False:
+        data = jnp.where(ok, codes, 0)
+        return Column(dtypes.int32, jnp.where(ok, codes, -1), None, col.length)
+    else:
+        cats = np.asarray(list(labels), dtype=object)
+        assert len(cats) == nbins
+    from .categorical import categorical_dtype
+
+    return Column(categorical_dtype(True), codes, ok, col.length,
+                  dictionary=cats)
+
+
+def qcut(col: Column, q, precision: int = 3, labels=None) -> Column:
+    """pandas.qcut analog: quantile-based binning."""
+    host = col.to_numpy().astype(np.float64)
+    if isinstance(q, (int, np.integer)):
+        qs = np.linspace(0, 1, int(q) + 1)
+    else:
+        qs = np.asarray(list(q), np.float64)
+    edges = np.unique(np.nanquantile(host, qs))
+    return cut(col, edges, right=True, labels=labels,
+               include_lowest=True, precision=precision)

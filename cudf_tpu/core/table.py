@@ -88,6 +88,11 @@ class Table:
         cols = {}
         for name in df.columns:
             s = df[name]
+            if str(s.dtype) == "category":
+                from .categorical import from_pandas_categorical
+
+                cols[str(name)] = from_pandas_categorical(s.values)
+                continue
             vals = s.to_numpy()
             if vals.dtype.kind == "f":
                 # pandas uses NaN for missing; cudf treats NaN as value. We
@@ -128,8 +133,11 @@ class Table:
 
     def to_pandas(self):
         from ..utils.real_pandas import pd
+        from .categorical import is_categorical, to_pandas_categorical
 
-        return pd.DataFrame({n: c.to_numpy() for n, c in self._columns.items()})
+        return pd.DataFrame({
+            n: (to_pandas_categorical(c) if is_categorical(c) else c.to_numpy())
+            for n, c in self._columns.items()})
 
     def to_arrow(self):
         import pyarrow as pa

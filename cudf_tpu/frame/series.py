@@ -38,8 +38,14 @@ class Series:
 
                 self._index = index_mod.from_pandas(data.index)
                 name = name if name is not None else data.name
+                if str(data.dtype) == "category":
+                    from ..core.categorical import from_pandas_categorical
+
+                    self._col = from_pandas_categorical(data.values)
+                    self.name = name
+                    return
                 vals = data.to_numpy()
-                if vals.dtype == object or str(data.dtype) in ("string", "category"):
+                if vals.dtype == object or str(data.dtype) in ("string",):
                     isnull = data.isna().to_numpy()
                     self._col = Column.from_numpy(vals, ~isnull if isnull.any() else None)
                 else:
@@ -196,8 +202,30 @@ class Series:
         return Series(column=unaryop.replace_nulls(col, value), name=self.name)
 
     def astype(self, dtype):
+        from ..core import categorical as cat_mod
+
+        if isinstance(dtype, str) and dtype == "category":
+            if cat_mod.is_categorical(self._col):
+                return self
+            return Series(column=cat_mod.from_values(self._col.to_numpy()),
+                          name=self.name)
+        if cat_mod.is_categorical(self._col):
+            # decode first (pandas: categorical -> values, then cast)
+            vals = self._col.to_numpy()
+            base = Series(column=Column.from_numpy(
+                np.asarray(vals, dtype=object)
+                if np.asarray(vals).dtype == object else np.asarray(vals)),
+                name=self.name)
+            return base.astype(dtype)
         target = dtypes.from_numpy(np.dtype(dtype) if not isinstance(dtype, str) or dtype != "str" else np.dtype(object))
         return Series(column=unaryop.cast(self._col, target), name=self.name)
+
+    @property
+    def cat(self):
+        from ..core import categorical as cat_mod
+
+        assert cat_mod.is_categorical(self._col), "not a categorical Series"
+        return _CategoricalAccessor(self)
 
     def clip(self, lower=None, upper=None):
         return Series(column=unaryop.clamp(self._col, lower, upper), name=self.name)
@@ -428,14 +456,67 @@ class Series:
 
     def to_pandas(self):
         from ..utils.real_pandas import pd
+        from ..core.categorical import is_categorical, to_pandas_categorical
 
-        out = pd.Series(self.to_numpy(), name=self.name)
+        if is_categorical(self._col):
+            out = pd.Series(to_pandas_categorical(self._col), name=self.name)
+        else:
+            out = pd.Series(self.to_numpy(), name=self.name)
         if self._index is not None:
             out.index = self._index.to_pandas()
         return out
 
     def to_arrow(self):
         return self._col.to_arrow()
+
+
+class _CategoricalAccessor:
+    """pandas Series.cat analog (python/cudf/cudf/core/column/categorical.py
+    CategoricalAccessor)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+        from ..core import categorical as cat_mod
+
+        self._m = cat_mod
+
+    def _wrap(self, col):
+        return Series(column=col, name=self._s.name)
+
+    @property
+    def categories(self):
+        return list(self._s._col.dictionary)
+
+    @property
+    def ordered(self) -> bool:
+        return self._m.ordered(self._s._col)
+
+    @property
+    def codes(self):
+        return self._wrap(self._m.codes_column(self._s._col))
+
+    def set_categories(self, new_categories, ordered=None):
+        return self._wrap(self._m.set_categories(self._s._col, new_categories,
+                                                 ordered))
+
+    def add_categories(self, new_categories):
+        return self._wrap(self._m.add_categories(self._s._col, new_categories))
+
+    def remove_categories(self, removals):
+        return self._wrap(self._m.remove_categories(self._s._col, removals))
+
+    def rename_categories(self, mapping):
+        return self._wrap(self._m.rename_categories(self._s._col, mapping))
+
+    def reorder_categories(self, new_categories, ordered=None):
+        return self._wrap(self._m.reorder_categories(self._s._col,
+                                                     new_categories, ordered))
+
+    def as_ordered(self):
+        return self._wrap(self._m.as_ordered(self._s._col, True))
+
+    def as_unordered(self):
+        return self._wrap(self._m.as_ordered(self._s._col, False))
 
 
 class _StringAccessor:

@@ -1,0 +1,341 @@
+"""DECIMAL128 fixed-point arithmetic: two-u64-limb emulation with cudf
+scale rules.
+
+Analog of include/cudf/fixed_point/fixed_point.hpp's decimal128 (__int128
+unscaled + power-of-ten scale). TPU has no 128-bit integers, so a
+Decimal128Column carries two device limbs (hi: int64 two's-complement high
+half, lo: uint64 low half; value = hi * 2**64 + lo) — the same limb
+emulation the crypto hashes use for 64-bit math on u32 words
+(ops/crypto_hash.py), one level up.
+
+Scale rules match ops/decimal.py (i.e. cudf::binary_operation on
+fixed_point):
+  add/sub : rescale both to min(scale_l, scale_r); scale_out = min
+  mul     : scale_out = scale_l + scale_r (no rescale)
+  div     : scale_out = scale_l - scale_r (truncate toward zero)
+  compare : rescale to min scale, compare unscaled
+
+Device ops: add/sub/neg/mul/compare/rescale/round (rescale divides by
+10^k in <=10^9 chunks so every long-division step fits u64). General
+division is exact on host python ints (documented host path, like string
+formatting); everything else runs on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core.column import Column
+from ..utils.padding import bucket_capacity
+
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def decimal128(scale: int = 0):
+    return dtypes.DType(dtypes.Kind.DECIMAL, 128, scale)
+
+
+@dataclasses.dataclass
+class Decimal128Column:
+    """Two-limb decimal column: value = (hi << 64 | lo) * 10**scale."""
+
+    hi: jnp.ndarray      # int64 high limb (sign lives here)
+    lo: jnp.ndarray      # uint64 low limb
+    scale: int
+    validity: Optional[jnp.ndarray]
+    length: int
+
+    @property
+    def capacity(self) -> int:
+        return self.hi.shape[0]
+
+    @property
+    def dtype(self):
+        return decimal128(self.scale)
+
+    # ------------------------------------------------------------ construct
+    @classmethod
+    def from_ints(cls, values, scale: int = 0,
+                  validity: Optional[np.ndarray] = None) -> "Decimal128Column":
+        """Host python ints (arbitrary precision) -> limbs."""
+        vals = [int(v) if v is not None else 0 for v in values]
+        isnull = np.array([v is None for v in values])
+        n = len(vals)
+        cap = bucket_capacity(max(n, 1))
+        hi = np.zeros(cap, np.int64)
+        lo = np.zeros(cap, np.uint64)
+        for i, v in enumerate(vals):
+            u = v & ((1 << 128) - 1)  # two's complement
+            lo[i] = np.uint64(u & ((1 << 64) - 1))
+            hi[i] = np.int64(np.uint64(u >> 64).astype(np.int64))
+        v_arr = None
+        if validity is not None:
+            isnull = isnull | ~np.asarray(validity, bool)
+        if isnull.any():
+            v_arr = jnp.asarray(np.pad(~isnull, (0, cap - n)))
+        return cls(jnp.asarray(hi), jnp.asarray(lo), int(scale), v_arr, n)
+
+    @classmethod
+    def from_decimal64(cls, col: Column) -> "Decimal128Column":
+        assert col.dtype.kind == dtypes.Kind.DECIMAL and col.dtype.bits <= 64
+        d = col.data.astype(jnp.int64)
+        hi = jnp.where(d < 0, jnp.int64(-1), jnp.int64(0))
+        return cls(hi, d.astype(jnp.uint64), int(col.dtype.param or 0),
+                   col.validity, col.length)
+
+    def to_python(self) -> List:
+        """Exact host python ints * 10**scale (None for nulls)."""
+        hi = np.asarray(self.hi)[: self.length].astype(object)
+        lo = np.asarray(self.lo)[: self.length].astype(object)
+        v = None if self.validity is None else np.asarray(self.validity)[: self.length]
+        out = []
+        for i in range(self.length):
+            if v is not None and not v[i]:
+                out.append(None)
+                continue
+            out.append((int(hi[i]) << 64) | int(lo[i]))
+        return out
+
+    def to_decimals(self):
+        """python decimal.Decimal values (exact)."""
+        import decimal
+
+        out = []
+        for u in self.to_python():
+            if u is None:
+                out.append(None)
+            else:
+                out.append(decimal.Decimal(u).scaleb(self.scale))
+        return out
+
+    def to_floats(self) -> Column:
+        x = self.hi.astype(jnp.float64) * (2.0 ** 64) + self.lo.astype(jnp.float64)
+        return Column(dtypes.float64, x * (10.0 ** self.scale), self.validity,
+                      self.length)
+
+    def to_strings(self) -> Column:
+        vals = self.to_python()
+        s = self.scale
+        out = []
+        for u in vals:
+            if u is None:
+                out.append(None)
+            elif s >= 0:
+                out.append(str(u * 10 ** s))
+            else:
+                d = 10 ** (-s)
+                sign = "-" if u < 0 else ""
+                a = abs(u)
+                out.append(f"{sign}{a // d}.{a % d:0{-s}d}")
+        return Column.from_numpy(np.array(out, object))
+
+
+# ---------------------------------------------------------------------------
+# limb primitives (all jit-traced; u64 arithmetic wraps mod 2^64 under x64)
+# ---------------------------------------------------------------------------
+
+def _add128(hl, ll, hr, lr):
+    lo = ll + lr
+    carry = (lo < ll).astype(jnp.uint64)
+    hi = hl + hr + carry.astype(jnp.int64)
+    return hi, lo
+
+
+def _neg128(h, l):
+    lo = (~l) + jnp.uint64(1)
+    hi = (~h) + jnp.where(lo == 0, jnp.int64(1), jnp.int64(0))
+    return hi, lo
+
+
+def _sub128(hl, ll, hr, lr):
+    nh, nl = _neg128(hr, lr)
+    return _add128(hl, ll, nh, nl)
+
+
+def _mulu64_full(a, b):
+    """(hi, lo) of a*b for u64 operands, via 32-bit halves."""
+    a0 = a & _MASK32
+    a1 = a >> jnp.uint64(32)
+    b0 = b & _MASK32
+    b1 = b >> jnp.uint64(32)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> jnp.uint64(32)) + (p01 & _MASK32) + (p10 & _MASK32)
+    lo = (p00 & _MASK32) | (mid << jnp.uint64(32))
+    hi = p11 + (p01 >> jnp.uint64(32)) + (p10 >> jnp.uint64(32)) + \
+        (mid >> jnp.uint64(32))
+    return hi, lo
+
+
+def _mul128(hl, ll, hr, lr):
+    """low 128 bits of the signed product (cudf overflow semantics: wrap)."""
+    hi_u, lo = _mulu64_full(ll, lr)
+    cross = hl.astype(jnp.uint64) * lr + ll * hr.astype(jnp.uint64)
+    hi = (hi_u + cross).astype(jnp.int64)
+    return hi, lo
+
+
+def _lt128(hl, ll, hr, lr):
+    return (hl < hr) | ((hl == hr) & (ll < lr))
+
+
+def _muldiv_chunks(k: int) -> List[int]:
+    """10**k as factors each < 2**32 (long-division steps stay in u64)."""
+    out = []
+    while k > 9:
+        out.append(10 ** 9)
+        k -= 9
+    if k:
+        out.append(10 ** k)
+    return out
+
+
+def _mul128_u32const(h, l, c: int):
+    cc = jnp.uint64(c)
+    hi_u, lo = _mulu64_full(l, cc)
+    hi = (hi_u + h.astype(jnp.uint64) * cc).astype(jnp.int64)
+    return hi, lo
+
+
+def _divmod128_u32const(h, l, c: int):
+    """unsigned (h,l) // c and remainder, c < 2**32: four 32-bit limb steps."""
+    cc = jnp.uint64(c)
+    limbs = [h.astype(jnp.uint64) >> jnp.uint64(32),
+             h.astype(jnp.uint64) & _MASK32,
+             l >> jnp.uint64(32), l & _MASK32]
+    r = jnp.zeros_like(l)
+    q = []
+    for limb in limbs:
+        acc = (r << jnp.uint64(32)) | limb  # r < c < 2^32 => acc < 2^64
+        q.append(acc // cc)
+        r = acc % cc
+    hi = ((q[0] << jnp.uint64(32)) | (q[1] & _MASK32)).astype(jnp.int64)
+    lo = (q[2] << jnp.uint64(32)) | (q[3] & _MASK32)
+    return hi, lo, r
+
+
+def _rescale128(h, l, from_scale: int, to_scale: int, round_half: bool):
+    if to_scale == from_scale:
+        return h, l
+    if to_scale < from_scale:
+        for c in _muldiv_chunks(from_scale - to_scale):
+            h, l = _mul128_u32const(h, l, c)
+        return h, l
+    # divide by 10^(to-from), sign-aware, optional round-half-away-from-zero
+    neg = h < 0
+    ah, al = _neg128(h, l)
+    ah = jnp.where(neg, ah, h)
+    al = jnp.where(neg, al, l)
+    chunks = _muldiv_chunks(to_scale - from_scale)
+    if round_half:
+        # add half of the total divisor before chunked division
+        total = 10 ** (to_scale - from_scale)
+        half = total // 2
+        hh = jnp.int64(half >> 64)
+        hl_ = jnp.uint64(half & ((1 << 64) - 1))
+        ah, al = _add128(ah, al, hh, hl_)
+    for c in chunks:
+        ah, al, _ = _divmod128_u32const(ah, al, c)
+    nh, nl = _neg128(ah, al)
+    return jnp.where(neg, nh, ah), jnp.where(neg, nl, al)
+
+
+@partial(jax.jit, static_argnames=("sl", "sr", "op"))
+def _binop128(hl, ll, hr, lr, v, sl, sr, op):
+    if op in ("add", "sub", "eq", "ne", "lt", "le", "gt", "ge"):
+        s = min(sl, sr)
+        hl, ll = _rescale128(hl, ll, sl, s, False)
+        hr, lr = _rescale128(hr, lr, sr, s, False)
+        if op == "add":
+            h, l = _add128(hl, ll, hr, lr)
+            return h, l, v
+        if op == "sub":
+            h, l = _sub128(hl, ll, hr, lr)
+            return h, l, v
+        lt = _lt128(hl, ll, hr, lr)
+        eq = (hl == hr) & (ll == lr)
+        cmp = {"eq": eq, "ne": ~eq, "lt": lt, "le": lt | eq,
+               "gt": ~(lt | eq), "ge": ~lt}[op]
+        return cmp, None, v
+    if op == "mul":
+        h, l = _mul128(hl, ll, hr, lr)
+        return h, l, v
+    raise ValueError(op)
+
+
+def binary_op(lhs: Decimal128Column,
+              rhs: Union[Decimal128Column, int], op: str):
+    """cudf fixed_point binary op on decimal128 columns."""
+    if isinstance(rhs, int):
+        rhs = Decimal128Column.from_ints([rhs] * lhs.length, 0)
+        # broadcast to lhs capacity
+        if rhs.capacity != lhs.capacity:
+            pad = lhs.capacity - rhs.capacity
+            rhs = Decimal128Column(
+                jnp.concatenate([rhs.hi, jnp.zeros((pad,), jnp.int64)]),
+                jnp.concatenate([rhs.lo, jnp.zeros((pad,), jnp.uint64)]),
+                rhs.scale, None, lhs.length)
+    v = lhs.validity
+    if rhs.validity is not None:
+        v = rhs.validity if v is None else v & rhs.validity
+    sl, sr = lhs.scale, rhs.scale
+
+    if op == "div":
+        # exact host division (truncate toward zero), scale = sl - sr
+        lvals = lhs.to_python()
+        rvals = rhs.to_python()
+        out = []
+        valid = []
+        for a, b in zip(lvals, rvals):
+            if a is None or b is None or b == 0:
+                out.append(None)
+                valid.append(False)
+            else:
+                q = abs(a) // abs(b)
+                out.append(-q if (a < 0) != (b < 0) else q)
+                valid.append(True)
+        res = Decimal128Column.from_ints(out, sl - sr)
+        return res
+    res = _binop128(lhs.hi, lhs.lo, rhs.hi, rhs.lo,
+                    v if v is not None else jnp.ones(lhs.hi.shape, jnp.bool_),
+                    sl, sr, op)
+    h, l, vv = res
+    if l is None:  # comparison
+        return Column(dtypes.bool_, h,
+                      v, lhs.length)
+    out_scale = {"add": min(sl, sr), "sub": min(sl, sr),
+                 "mul": sl + sr}[op]
+    return Decimal128Column(h, l, out_scale, v, lhs.length)
+
+
+@partial(jax.jit, static_argnames=("from_scale", "to_scale"))
+def _rescale_jit(h, l, from_scale, to_scale):
+    return _rescale128(h, l, from_scale, to_scale, True)
+
+
+def rescale(col: Decimal128Column, to_scale: int) -> Decimal128Column:
+    """fixed_point::rescaled (round half away from zero on narrowing)."""
+    h, l = _rescale_jit(col.hi, col.lo, col.scale, int(to_scale))
+    return Decimal128Column(h, l, int(to_scale), col.validity, col.length)
+
+
+def order_operands(col: Decimal128Column) -> List[jnp.ndarray]:
+    """u32 sort/equality operands (rowcodes-compatible): sign-flipped hi
+    then lo halves — decimal128 columns participate in sort/groupby keys."""
+    sign = np.uint32(1 << 31)
+    h = col.hi.astype(jnp.int64)
+    ops = [
+        ((h >> 32).astype(jnp.int32).view(jnp.uint32) ^ sign),
+        (h & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32),
+        ((col.lo >> jnp.uint64(32)) & _MASK32).astype(jnp.uint32),
+        (col.lo & _MASK32).astype(jnp.uint32),
+    ]
+    return ops

@@ -46,10 +46,16 @@ def _promote_keys(left: Table, lk: Sequence[str], right: Table, rk: Sequence[str
     """Cast key pairs to a common dtype; unify string dictionaries."""
     from .strings import unify_dictionaries
 
+    from ..core.categorical import is_categorical, unify_categoricals
+
     lcols, rcols = [], []
     for ln, rn in zip(lk, rk):
         lc, rc = left[ln], right[rn]
-        if lc.dtype.is_string or rc.dtype.is_string:
+        if is_categorical(lc) or is_categorical(rc):
+            assert is_categorical(lc) and is_categorical(rc), \
+                "categorical keys must be categorical on both sides"
+            lc, rc = unify_categoricals([lc, rc])
+        elif lc.dtype.is_string or rc.dtype.is_string:
             assert lc.dtype.is_string and rc.dtype.is_string
             lc, rc = unify_dictionaries([lc, rc])
         elif lc.dtype != rc.dtype:
@@ -243,6 +249,7 @@ def _probe_combined_sorted(lcols, rcols, nulls_equal):
 @partial(jax.jit, static_argnames=("widths", "nwords", "nulls_equal"))
 def _probe_combined_impl(lcols, rcols, widths, nwords, nulls_equal):
     from .sortprim import _pack_words64, tiled_cumsum, tiled_cummax
+    from . import sortprim as sortprim_mod
 
     capL = lcols[0].capacity
     capR = rcols[0].capacity
@@ -271,33 +278,7 @@ def _probe_combined_impl(lcols, rcols, widths, nwords, nulls_equal):
     ops.append(side)
     mins = tuple(jnp.uint32(0) for _ in ops)
     words = list(_pack_words64(tuple(ops), mins, widths))
-
-    # LSD passes, least significant word first; current-position tiebreak
-    # keeps the passes stable. The combined row id rides as the only payload.
-    pos_iota = jnp.arange(cap, dtype=jnp.uint32)
-    pos = pos_iota
-    first = True
-    for wi in range(nwords - 1, -1, -1):
-        others = [words[j] for j in range(nwords) if j != wi]
-        tiebreak = pos if first else pos_iota
-        extra = [] if first else [pos]
-        res = jax.lax.sort(tuple([words[wi], tiebreak] + extra + others),
-                           num_keys=2, is_stable=False)
-        base = 2
-        if not first:
-            pos = res[2]
-            base = 3
-        else:
-            pos = res[1]
-        words = [None] * nwords
-        words[wi] = res[0]
-        rest = list(res[base:])
-        oi = 0
-        for j in range(nwords):
-            if j != wi:
-                words[j] = rest[oi]
-                oi += 1
-        first = False
+    words, pos, _ = sortprim_mod.lsd_payload_sort(words, [])
 
     perm = pos.astype(jnp.int32)  # combined row ids, key-sorted
     spos = jnp.arange(cap, dtype=jnp.int32)
@@ -323,10 +304,13 @@ def _probe_combined_impl(lcols, rcols, widths, nwords, nulls_equal):
                 anynull_r = anynull_r | ~c.validity
         r_valid = r_valid & ~anynull_r[r_row]
 
-    grp_start = tiled_cummax(jnp.where(key_newgrp, spos, 0))
     rights_incl = tiled_cumsum(r_valid.astype(jnp.int32))
     rights_excl = rights_incl - r_valid.astype(jnp.int32)
-    lb_here = rights_excl[grp_start]
+    # rights-before-mine-in-group: first-value segmented broadcast (a scan,
+    # ~free) instead of a 4M-row random gather at the group starts
+    from .sortprim import segmented_scan
+
+    lb_here = segmented_scan(rights_excl, key_newgrp, lambda a, b: a)
     counts_sorted = rights_incl - lb_here
 
     lidx = jnp.where(is_left, l_row, 0)
@@ -538,6 +522,206 @@ def _semi_anti_mask(counts, linb, anti: bool):
     return (counts == 0) if anti else (counts > 0)
 
 
+# How many arrays may ride the N:1 sort-join's payload sorts. Wider tables
+# fall back to the gather-based retrieve (carrying every column through 3
+# sort passes stops paying off around here).
+MAX_SORTJOIN_PAYLOADS = 12
+
+
+def _try_sorted_nto1_join(left: Table, right: Table, left_on, right_on,
+                          lcols, rcols, how: str, nulls_equal: bool,
+                          suffixes) -> Optional[Table]:
+    """Gather-free sparse-key join for the N:1 (fact->dim) hot case.
+
+    Measured on the axon TPU (memory: axon-tpu-cost-model), random gathers
+    from large tables run ~7.5-15ns/row while flat-sort payload passes and
+    segmented scans run ~2ns/row-operand. The gather-based retrieve
+    (_expand + _materialize) costs ~6 large gathers; this lane instead:
+
+      1. ONE combined (right ++ left) LSD word sort carrying EVERY output
+         column as payload (keys + left payloads + right payloads);
+      2. per key group, rights sort first, so each right payload broadcasts
+         to the group's left rows with a segmented first-value SCAN;
+      3. one more payload sort by (drop, original position) restores left
+         order and compacts dropped rows to the tail.
+
+    Exact for match counts <= 1 per left row (cudf's distinct join,
+    cpp/src/join/distinct_hash_join.cu); the same fused program computes
+    max match count, and >1 falls back to the gather retrieve. ONE host
+    sync total.
+    """
+    widths: List[int] = [1]
+    for c in lcols:
+        w = _op_widths_join(c)
+        if w is None:
+            return None
+        widths.extend(w)
+    widths.append(1)  # side flag
+    from .widegroup import MAX_WORDS
+
+    total_bits = sum(widths)
+    nwords = -(-total_bits // 64)
+    if nwords > MAX_WORDS:
+        return None
+    key_pairs = dict(zip(left_on, right_on))
+    rpay_names = [n for n in right.names
+                  if not (n in key_pairs.values() and n in left_on)]
+    n_payload = sum(1 + (left[n].validity is not None) for n in left.names)
+    n_payload += sum(1 + (right[n].validity is not None) for n in rpay_names)
+    if n_payload > MAX_SORTJOIN_PAYLOADS:
+        return None
+
+    l_out = tuple(left[n] for n in left.names)
+    rpay = tuple(right[n] for n in rpay_names)
+    capL = lcols[0].capacity
+    out_cap = capL
+    outs, meta = _sorted_nto1_impl(
+        l_out, tuple(lcols), tuple(rcols), rpay, tuple(widths), nwords,
+        nulls_equal, how, out_cap)
+    total, maxcnt = (int(x) for x in np.asarray(jax.device_get(meta)))
+    if maxcnt > 1:
+        return None  # 1:N keys: gather-based retrieve handles expansion
+    n_out = total
+
+    out: Dict[str, Column] = {}
+    rnames = set(right.names)
+    lnames = set(left.names)
+    for i, name in enumerate(left.names):
+        cname = name if name not in rnames or name in key_pairs else name + suffixes[0]
+        col = fix_lengths(outs[i], n_out)
+        col.dictionary = left[name].dictionary
+        out[cname] = col
+    for j, name in enumerate(rpay_names):
+        cname = name if name not in lnames else name + suffixes[1]
+        col = fix_lengths(outs[len(left.names) + j], n_out)
+        col.dictionary = right[name].dictionary
+        out[cname] = col
+    return Table(out)
+
+
+@partial(jax.jit, static_argnames=("widths", "nwords", "nulls_equal", "how",
+                                   "out_cap"))
+def _sorted_nto1_impl(l_out, lkey, rkey, rpay, widths, nwords, nulls_equal,
+                      how, out_cap):
+    from .sortprim import (_pack_words64, lsd_payload_sort, segmented_scan,
+                           tiled_cumsum)
+
+    capL = lkey[0].capacity
+    capR = rkey[0].capacity
+    total_rows = capL + capR
+    cap = bucket_capacity(total_rows)
+    pad = cap - total_rows
+
+    def comb(r_arr, l_arr, padval=0):
+        parts = [r_arr, l_arr]
+        if pad:
+            parts.append(jnp.full((pad,), padval, r_arr.dtype))
+        return jnp.concatenate(parts)
+
+    posL = jnp.arange(capL, dtype=jnp.int32)
+    posR = jnp.arange(capR, dtype=jnp.int32)
+    # inactive rights: out-of-bounds OR (pandas null semantics) null-key —
+    # they sort last and leave their key group, so null groups see no rights
+    r_inactive = posR >= jnp.asarray(rkey[0].length, jnp.int32)
+    if not nulls_equal:
+        for c in rkey:
+            if c.validity is not None:
+                r_inactive = r_inactive | ~c.validity
+    l_inactive = posL >= jnp.asarray(lkey[0].length, jnp.int32)
+    oob = comb(r_inactive.astype(jnp.uint32), l_inactive.astype(jnp.uint32),
+               np.uint32(1))
+    l_ops = _join_key_operands(lkey)
+    r_ops = _join_key_operands(rkey)
+    ops = [oob]
+    for r, l in zip(r_ops, l_ops):
+        ops.append(comb(r, l))
+    side = comb(jnp.zeros((capR,), jnp.uint32),
+                jnp.ones((capL,), jnp.uint32), np.uint32(1))
+    ops.append(side)
+    words = list(_pack_words64(tuple(ops), tuple(jnp.uint32(0) for _ in ops),
+                               widths))
+
+    payloads: List[jnp.ndarray] = []
+    spec: List[Tuple[str, int, bool]] = []
+    for i, c in enumerate(l_out):
+        payloads.append(comb(jnp.zeros((capR,), c.data.dtype), c.data))
+        spec.append(("l", i, False))
+        if c.validity is not None:
+            payloads.append(comb(jnp.zeros((capR,), jnp.bool_), c.validity))
+            spec.append(("l", i, True))
+    for j, c in enumerate(rpay):
+        payloads.append(comb(c.data, jnp.zeros((capL,), c.data.dtype)))
+        spec.append(("r", j, False))
+        if c.validity is not None:
+            payloads.append(comb(c.validity, jnp.zeros((capL,), jnp.bool_)))
+            spec.append(("r", j, True))
+
+    words, pos, carried = lsd_payload_sort(words, payloads)
+
+    flagshift = 63 if sum(widths) >= 64 else sum(widths) - 1
+    act = ((words[0] >> jnp.uint64(flagshift)) & jnp.uint64(1)) == 0
+    is_right = ((words[-1] & jnp.uint64(1)) == 0) & act
+    is_left = act & ~is_right
+    masked = list(words)
+    masked[-1] = masked[-1] >> jnp.uint64(1)
+    key_newgrp = rowcodes.adjacent_neq(masked)
+
+    first = lambda a, b: a  # noqa: E731 — first-value broadcast semigroup
+    rights_incl = tiled_cumsum(is_right.astype(jnp.int32))
+    lb_here = segmented_scan(rights_incl - is_right.astype(jnp.int32),
+                             key_newgrp, first)
+    cnt_here = rights_incl - lb_here
+    matched = is_left & (cnt_here > 0)
+    maxcnt = jnp.max(jnp.where(is_left, cnt_here, 0))
+    if how == "left":
+        total = jnp.sum(is_left.astype(jnp.int64))
+        keep = is_left
+    else:
+        total = jnp.sum(matched.astype(jnp.int64))
+        keep = matched
+    meta = jnp.stack([total, maxcnt.astype(jnp.int64)])
+
+    # broadcast right payloads (first row of a matched group IS its right)
+    out_data: List[jnp.ndarray] = []
+    out_valid: List[Optional[jnp.ndarray]] = []
+    srt: Dict[Tuple[str, int, bool], jnp.ndarray] = dict(zip(spec, carried))
+    for i, c in enumerate(l_out):
+        out_data.append(srt[("l", i, False)])
+        out_valid.append(srt.get(("l", i, True)))
+    for j, c in enumerate(rpay):
+        b = segmented_scan(srt[("r", j, False)], key_newgrp, first)
+        v = srt.get(("r", j, True))
+        bv = matched if v is None else matched & segmented_scan(v, key_newgrp,
+                                                                first)
+        if how == "inner" and c.validity is None:
+            bv = None  # every kept row matched
+        out_data.append(b)
+        out_valid.append(bv)
+
+    # restore original left order + compact drops to the tail: ONE pass
+    pb = max(1, (cap - 1).bit_length())
+    key2 = ((~keep).astype(jnp.uint64) << jnp.uint64(pb)) | pos.astype(jnp.uint64)
+    final_payloads = list(out_data) + [v for v in out_valid if v is not None]
+    res = jax.lax.sort(tuple([key2] + final_payloads), num_keys=1,
+                       is_stable=False)
+    rest = list(res[1:])
+    nd = len(out_data)
+    sorted_data = rest[:nd]
+    it = iter(rest[nd:])
+    sorted_valid = [next(it) if v is not None else None for v in out_valid]
+
+    cols = []
+    k = 0
+    for src in list(l_out) + list(rpay):
+        d = jax.lax.slice(sorted_data[k], (0,), (out_cap,))
+        v = sorted_valid[k]
+        if v is not None:
+            v = jax.lax.slice(v, (0,), (out_cap,))
+        cols.append(Column(src.dtype, d, v, total, src.dictionary))
+        k += 1
+    return tuple(cols), meta
+
+
 def join(
     left: Table,
     right: Table,
@@ -575,6 +759,24 @@ def join(
         return fast
 
     lcols, rcols = _promote_keys(left, left_on, right, right_on)
+
+    if how in ("inner", "left") and not any(
+            isinstance(c.data, jax.core.Tracer) for c in list(lcols) + list(rcols)):
+        # static per-dtype widths (no sync): reaching this point at all means
+        # the stats-compressed direct-address lane already bailed, so wide
+        # static widths == genuinely sparse keys
+        from . import hashgroup
+
+        ws = [_op_widths_join(c) for c in lcols]
+        if all(w is not None for w in ws) and \
+                sum(sum(w) for w in ws) > hashgroup.DIRECT_BITS:
+            # sparse/wide keys: gather-free N:1 sort-join hot lane
+            res = _try_sorted_nto1_join(left, right, left_on, right_on,
+                                        lcols, rcols, how, nulls_equal,
+                                        suffixes)
+            if res is not None:
+                return res
+
     counts, lb, r_perm, linb = _probe_auto(tuple(lcols), tuple(rcols), nulls_equal)
 
     if how in ("semi", "anti"):

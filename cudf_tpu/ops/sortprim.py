@@ -168,6 +168,46 @@ def multisort_perm(
     return perm
 
 
+def lsd_payload_sort(words: Sequence[jnp.ndarray], payloads: Sequence[jnp.ndarray]):
+    """Stable lexicographic sort by u64 words (most significant first),
+    carrying arbitrary payload arrays. One flat ``lax.sort`` per word, least
+    significant first; every pass is stable via a CURRENT-position tiebreak
+    (fresh iota), so ties keep the previous pass's order — original row
+    order on the first pass. Returns (sorted_words, orig_pos_u32, payloads)
+    where orig_pos is each sorted row's original index.
+    """
+    words = list(words)
+    nwords = len(words)
+    cap = words[0].shape[0]
+    pos_iota = jnp.arange(cap, dtype=jnp.uint32)
+    pos = pos_iota
+    carried = list(payloads)
+    first = True
+    for wi in range(nwords - 1, -1, -1):
+        others = [words[j] for j in range(nwords) if j != wi]
+        tiebreak = pos if first else pos_iota
+        extra = [] if first else [pos]
+        res = jax.lax.sort(tuple([words[wi], tiebreak] + extra + others + carried),
+                           num_keys=2, is_stable=False)
+        base = 2
+        if not first:
+            pos = res[2]
+            base = 3
+        else:
+            pos = res[1]
+        words = [None] * nwords
+        words[wi] = res[0]
+        rest = list(res[base:])
+        oi = 0
+        for j in range(nwords):
+            if j != wi:
+                words[j] = rest[oi]
+                oi += 1
+        carried = rest[oi:]
+        first = False
+    return words, pos, carried
+
+
 def tiled_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     """cumsum with tile-width compile cost (flat cumsum compiles slowly at 2M
     on the axon stack; the batched per-tile form is sub-second)."""

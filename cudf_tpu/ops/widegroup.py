@@ -116,38 +116,11 @@ def _wide_pass1(kcols, vdatas, vvalids, widths, kinds, dropna, nwords,
             payloads.append(v)
             spec.append(("v", i, True))
 
-    # LSD passes, least-significant word first; every pass is stable via a
-    # CURRENT-position tiebreak second key (fresh iota per pass), so ties
-    # keep the previous pass's order — original row order on the first pass,
-    # hence intra-group original order at the end. The original row id rides
-    # as a payload (`pos`) for first/nth/argmin-style aggregations.
-    pos = pos_iota
-    carried = payloads
-    first = True
-    for wi in range(nwords - 1, -1, -1):
-        others = [words[j] for j in range(nwords) if j != wi]
-        # on the first pass the iota tiebreak IS the original row id, so it
-        # serves as both; later passes need a fresh iota, with `pos` carried
-        tiebreak = pos if first else pos_iota
-        extra = [] if first else [pos]
-        res = jax.lax.sort(tuple([words[wi], tiebreak] + extra + others + carried),
-                           num_keys=2, is_stable=False)
-        base = 2
-        if not first:
-            pos = res[2]
-            base = 3
-        else:
-            pos = res[1]
-        words = [None] * nwords
-        words[wi] = res[0]
-        rest = list(res[base:])
-        oi = 0
-        for j in range(nwords):
-            if j != wi:
-                words[j] = rest[oi]
-                oi += 1
-        carried = rest[oi:]
-        first = False
+    # stable LSD payload sort: intra-group original row order; the original
+    # row id (`pos`) rides out for first/nth/argmin-style aggregations
+    from .sortprim import lsd_payload_sort
+
+    words, pos, carried = lsd_payload_sort(words, payloads)
 
     sorted_pos = pos.astype(jnp.int32)  # original row ids, key-sorted
     skd: List[jnp.ndarray] = [None] * len(kcols)

@@ -69,45 +69,101 @@ def global_mesh(axis: str = "shards"):
 
 
 # ---------------------------------------------------------------------------
-# DCN host-exchange fallback: pack -> allgather across processes -> unpack.
-# Cross-slice TPU jobs have no ICI path between slices; packed partitions go
-# through host DCN. v1 transport is the process allgather built on the
-# distributed KV service (every process receives every blob and keeps its
-# own); a p2p transport can drop in behind the same API.
+# DCN host exchange: addressed point-to-point blobs through the
+# jax.distributed key-value service. Cross-slice TPU jobs have no ICI path
+# between slices; packed partitions go through host DCN. Each blob is
+# WRITTEN ONCE by its sender and READ ONCE by its addressee — total traffic
+# and per-rank memory are O(bytes actually addressed to each rank), not the
+# v1 padded allgather's O(P^2 * max_blob). Large blobs stream in bounded
+# chunks and KV entries are deleted as soon as they are consumed.
+# Reference semantics: rapidsmpf's buffered rank-to-rank shuffler
+# (partition_utils.hpp:50-82); wire format = ops/pack.py (the
+# contiguous_split analog, include/cudf/contiguous_split.hpp:93).
 # ---------------------------------------------------------------------------
 
-def host_exchange(partitions_by_dest: Sequence[Table]) -> List[Table]:
+_CHUNK_BYTES = 2 << 20  # 2MB per KV entry: stays under gRPC message limits
+_exchange_epoch = [0]   # collective call counter: all ranks call in lockstep
+
+
+def _to_blob(t: Table) -> bytes:
+    from ..ops.pack import pack
+
+    p = pack(t)
+    return len(p.metadata).to_bytes(8, "little") + p.metadata + p.buffer
+
+
+def _from_blob(b: bytes) -> Table:
+    from ..ops.pack import PackedColumns, unpack
+
+    mlen = int.from_bytes(b[:8], "little")
+    return unpack(PackedColumns(b[8 : 8 + mlen], b[8 + mlen:]))
+
+
+def host_exchange(partitions_by_dest: Sequence[Table],
+                  timeout_ms: int = 600_000,
+                  spill_store=None) -> List[Table]:
     """Send partitions_by_dest[p] to process p; returns the Tables every
-    other process addressed to THIS process (in sender order)."""
-    from jax.experimental import multihost_utils
-    from ..ops.pack import pack, unpack
+    other process addressed to THIS process (in sender order).
+
+    ``spill_store``: optional ``utils.native.PartitionStore`` — oversized
+    received blobs (> its memory budget) stage through the RAM->disk LRU
+    store instead of living on the Python heap while later sources drain.
+    """
+    from jax._src import distributed as _dist
 
     nproc = jax.process_count()
     assert len(partitions_by_dest) == nproc, (len(partitions_by_dest), nproc)
     me = jax.process_index()
+    client = getattr(_dist.global_state, "client", None)
+    if client is None or nproc == 1:
+        return [partitions_by_dest[me]]
 
-    def to_blob(t: Table) -> bytes:
-        p = pack(t)
-        return len(p.metadata).to_bytes(8, "little") + p.metadata + p.buffer
+    epoch = _exchange_epoch[0]
+    _exchange_epoch[0] += 1
+    pfx = f"cudf_tpu_x/{epoch}"
 
-    def from_blob(b: bytes) -> Table:
-        from ..ops.pack import PackedColumns
+    # ---- send: one addressed, chunked KV stream per destination ----------
+    for dest in range(nproc):
+        if dest == me:
+            continue
+        b = _to_blob(partitions_by_dest[dest])
+        nchunks = max(1, -(-len(b) // _CHUNK_BYTES))
+        for ci in range(nchunks):
+            client.key_value_set_bytes(
+                f"{pfx}/{me}/{dest}/c{ci}",
+                bytes(b[ci * _CHUNK_BYTES: (ci + 1) * _CHUNK_BYTES]))
+        # header LAST: its presence implies every chunk is readable
+        client.key_value_set(f"{pfx}/{me}/{dest}/hdr", f"{nchunks}:{len(b)}")
 
-        mlen = int.from_bytes(b[:8], "little")
-        return unpack(PackedColumns(b[8 : 8 + mlen], b[8 + mlen:]))
-
-    blobs = [to_blob(t) for t in partitions_by_dest]
-    # fixed-size exchange: allgather needs equal shapes — pad to the global
-    # max blob size with a length header
-    lens = np.array([len(b) for b in blobs], np.int64)
-    all_lens = np.asarray(multihost_utils.process_allgather(lens))  # (nproc, nproc)
-    maxlen = int(all_lens.max()) if all_lens.size else 0
-    buf = np.zeros((nproc, maxlen), np.uint8)
-    for p, b in enumerate(blobs):
-        buf[p, : len(b)] = np.frombuffer(b, np.uint8)
-    gathered = np.asarray(multihost_utils.process_allgather(buf))  # (nproc, nproc, maxlen)
-    out = []
+    # ---- receive: blocking reads of the streams addressed to me ----------
+    out: List[Table] = []
+    staged: List[Optional[bytes]] = []
     for src in range(nproc):
-        n = int(all_lens[src, me])
-        out.append(from_blob(bytes(gathered[src, me, :n].tobytes())))
+        if src == me:
+            out.append(partitions_by_dest[me])
+            staged.append(None)
+            continue
+        hdr = client.blocking_key_value_get(f"{pfx}/{src}/{me}/hdr", timeout_ms)
+        nchunks, total = (int(x) for x in hdr.split(":"))
+        parts = []
+        for ci in range(nchunks):
+            key = f"{pfx}/{src}/{me}/c{ci}"
+            parts.append(client.blocking_key_value_get_bytes(key, timeout_ms))
+            client.key_value_delete(key)
+        client.key_value_delete(f"{pfx}/{src}/{me}/hdr")
+        b = b"".join(parts)
+        del parts
+        assert len(b) == total, (len(b), total)
+        if spill_store is not None:
+            staged.append(spill_store.put(np.frombuffer(b, np.uint8)))
+            out.append(None)
+        else:
+            out.append(_from_blob(b))
+            staged.append(None)
+        del b
+    if spill_store is not None:
+        for i, pid in enumerate(staged):
+            if pid is not None:
+                out[i] = _from_blob(spill_store.get(pid).tobytes())
+                spill_store.drop(pid)
     return out

@@ -1,0 +1,223 @@
+"""Round-3 dtype coverage: categorical, interval/cut, decimal128.
+
+VERDICT r2 item 6. References: python/cudf/cudf/core/column/categorical.py,
+column/interval.py, include/cudf/fixed_point/fixed_point.hpp (decimal128).
+"""
+import decimal
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.core import categorical as cat_mod
+from cudf_tpu.core import interval as iv_mod
+from cudf_tpu.core.table import Table
+from cudf_tpu.frame.series import Series
+from cudf_tpu.ops import decimal128 as d128
+from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+from cudf_tpu.ops.join import join as tpu_join
+from cudf_tpu.ops import sorting
+
+
+# ---------------------------------------------------------------- categorical
+class TestCategorical:
+    def test_roundtrip_and_codes(self):
+        pc = pd.Categorical(["b", "a", None, "c", "a"],
+                            categories=["c", "b", "a"], ordered=True)
+        s = Series(pd.Series(pc))
+        assert s.cat.categories == ["c", "b", "a"]
+        assert s.cat.ordered
+        np.testing.assert_array_equal(s.cat.codes.to_pandas().to_numpy(),
+                                      pc.codes)
+        rt = s.to_pandas()
+        pd.testing.assert_series_equal(rt, pd.Series(pc), check_names=False)
+
+    def test_astype_category_and_back(self):
+        s = Series(pd.Series(["x", "y", "x", "z"]))
+        c = s.astype("category")
+        assert cat_mod.is_categorical(c._col)
+        assert c.cat.categories == ["x", "y", "z"]
+        back = c.astype(str).to_pandas()
+        assert back.tolist() == ["x", "y", "x", "z"]
+
+    def test_category_management(self):
+        s = Series(pd.Series(pd.Categorical(["a", "b", "a"],
+                                            categories=["a", "b"])))
+        s2 = s.cat.add_categories(["c"])
+        assert s2.cat.categories == ["a", "b", "c"]
+        s3 = s2.cat.remove_categories(["b"])
+        got = s3.to_pandas()
+        assert got.isna().tolist() == [False, True, False]
+        s4 = s.cat.rename_categories({"a": "A"})
+        assert s4.cat.categories == ["A", "b"]
+        s5 = s.cat.reorder_categories(["b", "a"], ordered=True)
+        assert s5.cat.categories == ["b", "a"] and s5.cat.ordered
+        # values preserved under reorder
+        assert s5.to_pandas().astype(str).tolist() == ["a", "b", "a"]
+
+    def test_sort_respects_category_order(self):
+        pc = pd.Categorical(["lo", "hi", "mid", "hi", "lo"],
+                            categories=["lo", "mid", "hi"], ordered=True)
+        df = pd.DataFrame({"k": pc, "v": np.arange(5.0)})
+        t = Table.from_pandas(df)
+        out = sorting.sort_by_key(t, ["k"]).to_pandas()
+        exp = df.sort_values("k", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_groupby_and_join_on_categorical(self):
+        rng = np.random.default_rng(3)
+        cats = ["red", "green", "blue"]
+        pc = pd.Categorical(rng.choice(cats, 500), categories=cats)
+        df = pd.DataFrame({"k": pc, "v": rng.normal(size=500)})
+        t = Table.from_pandas(df)
+        g = groupby_aggregate(t, ["k"], [AggSpec("v", "mean", "m")])
+        got = g.to_pandas()
+        exp = (df.groupby("k", as_index=False, observed=True)
+               .agg(m=("v", "mean")))
+        got2 = got.sort_values("k").reset_index(drop=True)
+        exp2 = exp.sort_values("k").reset_index(drop=True)
+        np.testing.assert_allclose(got2["m"].to_numpy(), exp2["m"].to_numpy())
+
+        # join with DIFFERENT category declarations unifies codes
+        jr = pd.DataFrame({"k": pd.Categorical(cats, categories=cats[::-1]),
+                           "w": [1.0, 2.0, 3.0]})
+        out = tpu_join(t, Table.from_pandas(jr), ["k"], ["k"], "inner")
+        exp = df.assign(k=df["k"].astype(str)).merge(
+            jr.assign(k=jr["k"].astype(str)), on="k")
+        assert out.num_rows == len(exp)
+        assert abs(out.to_pandas()["w"].sum() - exp["w"].sum()) < 1e-9
+
+
+# ------------------------------------------------------------------- interval
+class TestInterval:
+    def test_cut_matches_pandas_codes(self):
+        rng = np.random.default_rng(4)
+        x = rng.uniform(0, 100, 1000)
+        edges = [0, 25, 50, 75, 100]
+        got = iv_mod.cut(ct.Table.from_pandas(pd.DataFrame({"x": x}))["x"],
+                         edges)
+        exp = pd.cut(x, edges)
+        np.testing.assert_array_equal(
+            cat_mod.codes_column(got).to_numpy()[:1000], exp.codes)
+        assert cat_mod.is_categorical(got) and cat_mod.ordered(got)
+
+    def test_cut_int_bins_and_labels_false(self):
+        x = np.array([1.0, 7.0, 5.0, 4.0, 6.0, 3.0])
+        got = iv_mod.cut(ct.Table.from_pandas(pd.DataFrame({"x": x}))["x"],
+                         3, labels=False)
+        exp = pd.cut(x, 3, labels=False)
+        np.testing.assert_array_equal(got.to_numpy()[:6], exp)
+
+    def test_qcut(self):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=500)
+        got = iv_mod.qcut(ct.Table.from_pandas(pd.DataFrame({"x": x}))["x"], 4)
+        exp = pd.qcut(x, 4)
+        np.testing.assert_array_equal(
+            cat_mod.codes_column(got).to_numpy()[:500], exp.codes)
+
+    def test_interval_column_ops(self):
+        ivc = iv_mod.interval_range(0, 10, periods=5)
+        assert ivc.length == 5
+        np.testing.assert_allclose(ivc.mid().to_numpy()[:5],
+                                   [1, 3, 5, 7, 9])
+        c = ivc.contains(4.0)
+        np.testing.assert_array_equal(c.to_numpy()[:5],
+                                      [False, True, False, False, False])
+        pa = ivc.to_pandas()
+        assert str(pa[1]) == "(2.0, 4.0]"
+
+
+# ----------------------------------------------------------------- decimal128
+def _d(x):
+    return decimal.Decimal(x)
+
+
+class TestDecimal128:
+    def mk(self, ints, scale):
+        return d128.Decimal128Column.from_ints(ints, scale)
+
+    def test_roundtrip_big(self):
+        vals = [0, 1, -1, 10**30, -(10**37), 2**100, -(2**120)]
+        c = self.mk(vals, -4)
+        assert c.to_python() == vals
+        decs = c.to_decimals()
+        assert decs[3] == _d(10**30).scaleb(-4)
+
+    @pytest.mark.parametrize("op,sl,sr", [
+        ("add", -2, -4), ("sub", -4, -2), ("mul", -2, -3),
+    ])
+    def test_arith_scale_rules(self, op, sl, sr):
+        rng = np.random.default_rng(6)
+        a = [int(x) for x in rng.integers(-10**12, 10**12, 50)]
+        a += [10**18, -(10**17), 0]
+        b = [int(x) for x in rng.integers(-10**12, 10**12, 50)]
+        b += [-(10**18), 10**17, 5]
+        ca, cb = self.mk(a, sl), self.mk(b, sr)
+        out = d128.binary_op(ca, cb, op)
+        # cudf scale rules
+        exp_scale = {"add": min(sl, sr), "sub": min(sl, sr),
+                     "mul": sl + sr}[op]
+        assert out.scale == exp_scale
+        got = out.to_python()
+        for x, y, g in zip(a, b, got):
+            if op == "add":
+                e = x * 10 ** (sl - exp_scale) + y * 10 ** (sr - exp_scale)
+            elif op == "sub":
+                e = x * 10 ** (sl - exp_scale) - y * 10 ** (sr - exp_scale)
+            else:
+                e = x * y
+            assert g == e, (x, y, g, e)
+
+    def test_compare(self):
+        a = self.mk([10**20, -5, 0, 123], -2)     # value * 1e-2
+        b = self.mk([10**18, -6, 0, 1], 0)        # value * 1e0
+        lt = d128.binary_op(a, b, "lt").to_numpy()[:4]
+        # a values: 1e18, -0.05, 0, 1.23 ; b values: 1e18, -6, 0, 1
+        np.testing.assert_array_equal(lt, [False, False, False, False])
+        ge = d128.binary_op(a, b, "ge").to_numpy()[:4]
+        np.testing.assert_array_equal(ge, [True, True, True, True])
+        eq = d128.binary_op(a, b, "eq").to_numpy()[:4]
+        np.testing.assert_array_equal(eq, [True, False, True, False])
+
+    def test_div_exact_host(self):
+        a = self.mk([10**25, -(10**25), 7, -7], -3)
+        b = self.mk([3, 3, 2, 2], 0)
+        q = d128.binary_op(a, b, "div")
+        assert q.scale == -3
+        got = q.to_python()
+        assert got[0] == 10**25 // 3
+        assert got[1] == -(10**25 // 3)  # truncation toward zero
+        assert got[2] == 3 and got[3] == -3
+
+    def test_rescale_round_half(self):
+        c = self.mk([12345, -12345, 12350, -12350], -4)
+        r = d128.rescale(c, -2)
+        assert r.to_python() == [123, -123, 124, -124]  # half away from zero
+        up = d128.rescale(r, -4)
+        assert up.to_python() == [12300, -12300, 12400, -12400]
+
+    def test_rescale_wide_chunks(self):
+        c = self.mk([10**30 + 55555, -(10**30 + 55555)], -20)
+        r = d128.rescale(c, 0)  # divide by 10^20
+        assert r.to_python() == [10**10, -(10**10)]
+
+    def test_from_decimal64(self):
+        from cudf_tpu.ops.decimal import from_integers
+        from cudf_tpu.core.column import Column
+
+        base = Column.from_numpy(np.array([123, -456], np.int64))
+        d64 = from_integers(base, scale=-2)
+        c = d128.Decimal128Column.from_decimal64(d64)
+        assert c.to_python() == [123, -456] and c.scale == -2
+
+    def test_order_operands_sortable(self):
+        import jax
+        vals = [-(10**25), -1, 0, 1, 10**25, 2**90, -(2**90)]
+        c = self.mk(vals, 0)
+        ops = d128.order_operands(c)
+        from cudf_tpu.ops.sortprim import multisort_perm
+        perm = [i for i in np.asarray(multisort_perm(ops)) if i < len(vals)]
+        got = [vals[i] for i in perm]
+        assert got == sorted(vals)
