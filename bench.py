@@ -148,6 +148,16 @@ def main():
         g = groupby_aggregate(t_gb_i64, ["k"], [AggSpec("C", "mean", "C")])
         _force(g["C"].data)
 
+    def run_regex_hc():
+        from cudf_tpu.ops.strings import contains
+        m = contains(t_gb_hc["k"], r"url/0{3}[0-9a-f]{6}/page", regex=True)
+        _force(m.data)
+
+    def run_tokens_hc():
+        from cudf_tpu.ops.text import count_tokens
+        c = count_tokens(t_gb_hc["k"], "/")
+        _force(c.data)
+
     def run_join():
         out = tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")
         _force(out["w"].data)
@@ -168,6 +178,7 @@ def main():
         ("groupby", run_groupby), ("groupby_str", run_groupby_str),
         ("groupby_str_hc", run_groupby_str_hc),
         ("groupby_i64", run_groupby_i64),
+        ("regex_hc", run_regex_hc), ("tokens_hc", run_tokens_hc),
         ("join", run_join), ("join_i64", run_join_i64),
         ("join_filter", run_join_filter),
     ]
@@ -196,6 +207,11 @@ def main():
         lambda: gb_str_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
     pd_results["groupby_str_hc"] = timeit(
         lambda: gb_hc_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
+    pd_results["regex_hc"] = timeit(
+        lambda: gb_hc_df["k"].str.contains(r"url/0{3}[0-9a-f]{6}/page",
+                                           regex=True).sum(), 3)
+    pd_results["tokens_hc"] = timeit(
+        lambda: gb_hc_df["k"].str.split("/").str.len().sum(), 3)
     pd_results["groupby_i64"] = timeit(
         lambda: gb_i64_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
     pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), 3)
@@ -219,6 +235,8 @@ def main():
         "groupby_str": 2 * (4 + 8),
         "groupby_str_hc": 2 * (4 + 8),
         "groupby_i64": 2 * (8 + 8),
+        "regex_hc": 2 * 4 + 1,   # codes read + bool write (host regex amortized)
+        "tokens_hc": 2 * 4 + 4,
         "join": 2 * (8 + 4) + 4,        # left read+write + probe reads
         "join_i64": 2 * (8 + 4) + 4,
         "join_filter": 2 * (8 + 4) + 4 + 8,

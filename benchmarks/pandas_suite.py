@@ -1,0 +1,98 @@
+"""Upstream pandas test-suite compatibility metric for the accelerator.
+
+The reference's compatibility gate runs the whole pandas test suite under
+cudf.pandas (ci/cudf_pandas_scripts/pandas-tests/run_tests.sh) and reports
+the pass rate. This runner does the same for a defined slice of upstream
+modules: each runs in a subprocess with the cudf_tpu.pandas_accel facade
+installed (pandas.tests callers SEE the proxy layer — pandas_accel.py's
+caller-sensitivity exempts them), pass/fail counts aggregate into one JSON
+line. The 49-case battery (benchmarks/pandas_compat.py) stays the fast CI
+gate; this is the unknown-unknowns metric.
+
+Usage: python benchmarks/pandas_suite.py [quick|full]
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+MODULES_QUICK = [
+    "pandas.tests.reductions",
+    "pandas.tests.frame.methods.test_sort_values",
+    "pandas.tests.series.methods.test_sort_values",
+    "pandas.tests.groupby.test_reductions",
+    "pandas.tests.groupby.test_counting",
+]
+MODULES_FULL = MODULES_QUICK + [
+    "pandas.tests.groupby.test_groupby",
+    "pandas.tests.reshape.merge.test_merge",
+    "pandas.tests.frame.methods.test_drop_duplicates",
+    "pandas.tests.series.methods.test_value_counts",
+]
+
+_CONFTEST = """
+import sys
+sys.path.insert(0, {repo!r})
+import cudf_tpu.pandas_accel as accel
+accel.install()
+"""
+
+
+def run_module(mod: str, workdir: str, timeout: int = 2400):
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--pyargs", mod, "-q",
+         "-p", "no:cacheprovider", "--no-header",
+         "--continue-on-collection-errors"],
+        cwd=workdir, capture_output=True, text=True, timeout=timeout,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    tail = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    counts = {"passed": 0, "failed": 0, "errors": 0, "skipped": 0,
+              "xfailed": 0, "xpassed": 0}
+    for key in counts:
+        m = re.search(rf"(\d+) {key[:-1] if key.endswith('s') else key}",
+                      tail)
+        if m:
+            counts[key] = int(m.group(1))
+    counts["summary"] = tail[-200:]
+    return counts
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    mods = MODULES_FULL if mode == "full" else MODULES_QUICK
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as wd:
+        with open(os.path.join(wd, "conftest.py"), "w") as f:
+            f.write(_CONFTEST.format(repo=repo))
+        total_pass = total_fail = 0
+        per_mod = {}
+        for mod in mods:
+            try:
+                c = run_module(mod, wd)
+            except subprocess.TimeoutExpired:
+                c = {"passed": 0, "failed": 0, "summary": "TIMEOUT"}
+            per_mod[mod] = c
+            total_pass += c.get("passed", 0)
+            total_fail += c.get("failed", 0) + c.get("errors", 0)
+            print(f"{mod}: {c.get('summary','')}", file=sys.stderr, flush=True)
+        total = total_pass + total_fail
+        rate = total_pass / total if total else 0.0
+        print(json.dumps({
+            "metric": "pandas_suite_pass_rate",
+            "mode": mode,
+            "tests": total,
+            "passed": total_pass,
+            "failed": total_fail,
+            "rate": round(rate, 4),
+            "per_module": {m: {k: v for k, v in c.items() if k != "summary"}
+                           for m, c in per_mod.items()},
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,15 @@ def fallback_stats() -> dict:
     return dict(_FALLBACKS)
 
 
+def _is_proxy(obj: Any) -> bool:
+    # isinstance() is unreliable once proxies lie about __class__ (the
+    # cudf.pandas trick, fast_slow_proxy.py:563): check the real MRO
+    return _ProxyBase in type(obj).__mro__
+
+
 def _wrap(obj: Any):
+    if _is_proxy(obj):
+        return obj
     if isinstance(obj, _pd.DataFrame):
         try:
             return XDataFrame._from_fast(_FastDF.from_pandas(obj), slow=obj)
@@ -100,6 +108,8 @@ class _ProxyBase:
         return self._slow
 
     def _rewrap(self, result):
+        if _is_proxy(result):
+            return result
         if isinstance(result, _pd.DataFrame):
             return XDataFrame._from_fast(None, slow=result)
         if isinstance(result, _pd.Series):
@@ -187,6 +197,13 @@ class _SeriesMeta(_XMeta):
 
 
 class XDataFrame(_ProxyBase, metaclass=_DFMeta):
+    @property
+    def __class__(self):
+        # lie like cudf.pandas (fast_slow_proxy.py:563): isinstance(proxy,
+        # real pd.DataFrame) passes via the __class__ fallback, so pandas
+        # internals and third-party type checks accept proxies
+        return _pd.DataFrame
+
     def __init__(self, *args, **kwargs):
         try:
             self._fast = _FastDF(*args, **kwargs)
@@ -224,6 +241,10 @@ class XDataFrame(_ProxyBase, metaclass=_DFMeta):
 
 
 class XSeries(_ProxyBase, metaclass=_SeriesMeta):
+    @property
+    def __class__(self):
+        return _pd.Series
+
     def __init__(self, *args, **kwargs):
         try:
             self._fast = _FastSeries(*args, **kwargs)
@@ -368,7 +389,8 @@ class _AccelModule(types.ModuleType):
                 caller = sys._getframe(1).f_globals.get("__name__", "")
             except ValueError:  # no caller frame (C API)
                 caller = ""
-            if caller == "pandas" or caller.startswith("pandas."):
+            if (caller == "pandas" or caller.startswith("pandas.")) and \
+                    not caller.startswith("pandas.tests"):
                 return getattr(_pd, name)
             return over[name]
         return types.ModuleType.__getattribute__(self, name)
