@@ -863,43 +863,159 @@ def cross_join(left: Table, right: Table) -> Table:
     return Table(out)
 
 
+class _RecordingPairs:
+    """Table facade that records which pair columns a predicate reads, so the
+    cross tiles only gather those columns (AST column pruning, the analog of
+    conditional_join.cu evaluating the expression over device views rather
+    than a materialized cross table)."""
+
+    def __init__(self, tbl: Table):
+        self._tbl = tbl
+        self.accessed: set = set()
+        self.saw_all = False
+
+    @property
+    def names(self):
+        self.saw_all = True
+        return self._tbl.names
+
+    @property
+    def num_rows(self):
+        return self._tbl.num_rows
+
+    def __contains__(self, name):
+        return name in self._tbl
+
+    def __getitem__(self, name):
+        self.accessed.add(name)
+        return self._tbl[name]
+
+    def __iter__(self):
+        self.saw_all = True
+        return iter(self._tbl)
+
+
 def conditional_join(left: Table, right: Table, predicate,
                      how: str = "inner", block_rows: int = 4096) -> Table:
-    """Join on an arbitrary row-pair predicate (cudf::conditional_inner_join,
-    cpp/src/join/conditional_join.cu).
+    """Join on an arbitrary row-pair predicate (cudf::conditional_*_join,
+    cpp/src/join/conditional_join.cu — size-then-retrieve, two kernel passes).
 
-    ``predicate(left_block: Table, right_broadcast: Table) -> Column[bool]``
-    evaluates pairs blockwise: for each block of left rows the right table
-    broadcasts against it (cross-product tiles), the predicate mask compacts
-    matches, and blocks concatenate. O(|L|*|R|) like the reference — use
-    equi-joins (or mixed_join) when any equality key exists.
+    ``predicate(pairs: Table) -> Column[bool]`` sees each block of left rows
+    crossed against the whole right table, with columns gathered lazily (only
+    the names the predicate actually reads). Memory discipline:
+
+    * pass 1 (size estimation) keeps ONLY a per-block match-count scalar —
+      and, for left/semi/anti, a per-left-row matched-flag scatter — so the
+      O(block x |R|) tiles are transient and freed as the device drains;
+    * one host sync fetches every block count at once;
+    * pass 2 (retrieve) recomputes non-empty blocks and flag-sorts just the
+      (left, right) int32 index pair at its known size;
+    * one final gather materializes output columns at exactly the output
+      size. Peak device memory is O(block x |R|) transient +
+      O(|L| + |R| + out) retained, never O(|L| x |R|).
     """
     from .copying import concatenate_tables
-    from .stream_compaction import compact_known_count
+    from .stream_compaction import compact_known_count, apply_boolean_mask
+    from .unaryop import unary_op
 
-    nl = left.num_rows
-    # pass 1: evaluate every block's predicate WITHOUT host syncs, then
-    # fetch ALL match counts in one round trip (the size-estimation pass of
-    # conditional_join.cu, batched)
-    blocks = []
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"conditional_join: unsupported how {how!r}")
+
+    nl, nr = left.num_rows, right.num_rows
+    lset = set(left.names)
+    rmap = {n: (n if n not in lset else n + "_y") for n in right.names}
+
+    # --- discover which pair columns the predicate reads (1x1 probe) ------
+    probe = cross_join(left.slice(0, min(nl, 1)), right.slice(0, min(nr, 1)))
+    rec = _RecordingPairs(probe)
+    try:
+        predicate(rec)
+        needed = set(probe.names) if rec.saw_all else set(rec.accessed)
+    except Exception:
+        needed = set(probe.names)
+    if not needed and probe.names:  # constant predicate still needs a length
+        needed = {probe.names[0]}
+
+    def _block(start: int, blen: int):
+        """Cross tile of left[start:start+blen] x right, pruned to `needed`.
+        Gathers straight from the FULL left columns via global row ids (no
+        slice dispatch); returns (pairs, global left idx, right idx, n_out).
+        """
+        n_out = blen * nr
+        out_cap = bucket_capacity(max(n_out, 1))
+        j = jnp.arange(out_cap, dtype=jnp.int32)
+        li = j // max(nr, 1) + start
+        ri = j % max(nr, 1)
+        cols = {}
+        for name in left.names:
+            if name in needed:
+                cols[name] = gather(left[name], li, n_out)
+        for rname, cname in rmap.items():
+            if cname in needed:
+                cols[cname] = gather(right[rname], ri, n_out)
+        return Table(cols), li, ri, n_out
+
+    # --- pass 1: sizes (+ matched flags), cross tiles transient -----------
+    need_flags = how in ("left", "semi", "anti")
+    cap_l = left.columns[0].capacity if left.num_columns else bucket_capacity(max(nl, 1))
+    matched = jnp.zeros(cap_l + 1, dtype=jnp.bool_) if need_flags else None
+    count_parts = []
+    spans = []
     for start in range(0, max(nl, 1), block_rows):
-        lblk = left.slice(start, min(block_rows, nl - start))
-        pairs = cross_join(lblk, right)
+        blen = min(block_rows, max(nl - start, 0))
+        pairs, li, ri, n_out = _block(start, blen)
         mask = predicate(pairs)
-        blocks.append((pairs, mask))
-    counts_dev = jnp.stack([
-        jnp.sum(m.valid_mask() & m.data.astype(jnp.bool_)) for _, m in blocks
-    ])
-    counts = np.asarray(jax.device_get(counts_dev))  # the ONE sync
-    # pass 2: compact each non-empty block at its known size (sync-free)
-    out_blocks = [
-        compact_known_count(pairs, mask, int(c))
-        for (pairs, mask), c in zip(blocks, counts) if c > 0
-    ]
-    if not out_blocks:
-        empty = cross_join(left.slice(0, 0), right.slice(0, 0))
-        return empty
-    return concatenate_tables(out_blocks) if len(out_blocks) > 1 else out_blocks[0]
+        keep = mask.valid_mask() & mask.data.astype(jnp.bool_)
+        count_parts.append(jnp.sum(keep))
+        if need_flags:
+            matched = matched.at[jnp.where(keep, li, cap_l)].max(True)
+        spans.append((start, blen))
+
+    if how in ("semi", "anti"):
+        flags = Column(dtypes.bool_, matched[:cap_l], None, nl)
+        if how == "anti":
+            flags = unary_op(flags, "not")
+        return apply_boolean_mask(left, flags)
+
+    counts = np.asarray(jax.device_get(jnp.stack(count_parts)))  # the ONE sync
+    total = int(counts.sum())
+
+    if total == 0:
+        inner = cross_join(left.slice(0, 0), right.slice(0, 0))
+    else:
+        # --- pass 2: recompute non-empty blocks, compact index pairs ------
+        idx_blocks = []
+        for (start, blen), c in zip(spans, counts):
+            if c == 0:
+                continue
+            pairs, li, ri, n_out = _block(start, blen)
+            mask = predicate(pairs)
+            idx_tbl = Table({
+                "__l": Column(dtypes.int32, li, None, n_out),
+                "__r": Column(dtypes.int32, ri, None, n_out),
+            })
+            idx_blocks.append(compact_known_count(idx_tbl, mask, int(c)))
+        idx = concatenate_tables(idx_blocks) if len(idx_blocks) > 1 else idx_blocks[0]
+        # --- final gather: every output column exactly once, at out size --
+        lg = gather_table(left, idx["__l"].data, total)
+        rg = gather_table(right, idx["__r"].data, total)
+        inner = Table({**{n: lg[n] for n in left.names},
+                       **{rmap[n]: rg[n] for n in right.names}})
+
+    if how == "inner":
+        return inner
+    # left: inner pairs ++ unmatched left rows with null right columns
+    no_match = unary_op(Column(dtypes.bool_, matched[:cap_l], None, nl), "not")
+    unmatched = apply_boolean_mask(left, no_match)
+    cols = {}
+    for name in inner.names:
+        if name in lset:
+            cols[name] = unmatched[name]
+        else:
+            src = inner[name]
+            cols[name] = Column.from_scalar(None, unmatched.num_rows, src.dtype)
+            cols[name].dictionary = src.dictionary
+    return concatenate_tables([inner, Table({k: cols[k] for k in inner.names})])
 
 
 def mixed_join(left: Table, right: Table, left_on, right_on, predicate,

@@ -199,3 +199,85 @@ def test_mixed_join_hows():
     assert mixed_join(tl, tr, ["k"], ["k"], pred, "anti").num_rows == len(l) - len(matched)
     assert mixed_join(tl, tr, ["k"], ["k"], pred, "left").num_rows == \
         len(m) + (len(l) - len(matched))
+
+
+def test_conditional_join_hows_and_pruning():
+    """Size-then-retrieve conditional join (conditional_join.cu): all hows vs
+    pandas, multi-block, and predicate-driven column pruning."""
+    import numpy as np
+    import pandas as pd
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.ops.join import conditional_join
+    from cudf_tpu.expr.expressions import col, evaluate
+
+    rng = np.random.default_rng(7)
+    nl, nr = 3000, 400  # several 4096-pair blocks at block_rows=8
+    l = pd.DataFrame({"a": rng.integers(0, 50, nl),
+                      "x": rng.normal(size=nl),
+                      "wide1": rng.normal(size=nl)})
+    r = pd.DataFrame({"b": rng.integers(0, 50, nr),
+                      "y": rng.normal(size=nr),
+                      "wide2": rng.normal(size=nr)})
+    tl, tr = Table.from_pandas(l), Table.from_pandas(r)
+    pred = lambda t: evaluate((col("a") + col("b")) > 80, t)
+
+    cross = l.merge(r, how="cross")
+    want_inner = cross[(cross.a + cross.b) > 80]
+    matched = set(np.nonzero(
+        ((l.a.values[:, None] + r.b.values[None, :]) > 80).any(axis=1))[0])
+
+    out = conditional_join(tl, tr, pred, "inner", block_rows=64)
+    assert out.num_rows == len(want_inner)
+    got = out.to_pandas()
+    assert set(got.columns) == set(cross.columns)
+    assert ((got.a + got.b) > 80).all()
+    # every output row is consistent: (a,x) pairs come from the same left row
+    lx = dict(zip(l.a.astype(str) + "/" + l.x.round(9).astype(str), [1] * nl))
+    keys = got.a.astype(str) + "/" + got.x.round(9).astype(str)
+    assert all(k in lx for k in keys)
+
+    semi = conditional_join(tl, tr, pred, "semi", block_rows=64)
+    assert semi.num_rows == len(matched)
+    anti = conditional_join(tl, tr, pred, "anti", block_rows=64)
+    assert anti.num_rows == nl - len(matched)
+    assert set(semi.names) == set(l.columns) and set(anti.names) == set(l.columns)
+
+    lj = conditional_join(tl, tr, pred, "left", block_rows=64)
+    assert lj.num_rows == len(want_inner) + (nl - len(matched))
+    nulls = lj.to_pandas()
+    assert nulls["y"].isna().sum() == nl - len(matched)
+
+    # pruning: only the columns the predicate reads are gathered per tile
+    from cudf_tpu.ops.join import _RecordingPairs
+    rec_names = []
+    orig = evaluate
+    def spy(t):
+        c = evaluate(col("a") + col("b") > 80, t)
+        if not isinstance(t, _RecordingPairs):
+            rec_names.append(set(t.names))
+        return c
+    out2 = conditional_join(tl, tr, spy, "inner", block_rows=1024)
+    assert out2.num_rows == len(want_inner)
+    assert all(ns == {"a", "b"} for ns in rec_names)
+
+
+def test_conditional_join_empty_sides():
+    import numpy as np
+    import pandas as pd
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.ops.join import conditional_join
+    from cudf_tpu.expr.expressions import col, evaluate
+
+    l = pd.DataFrame({"a": np.arange(5), "x": np.arange(5.0)})
+    r = pd.DataFrame({"b": np.array([], dtype=np.int64)})
+    tl, tr = Table.from_pandas(l), Table.from_pandas(r)
+    pred = lambda t: evaluate(col("a") < col("b"), t)
+    assert conditional_join(tl, tr, pred, "inner").num_rows == 0
+    assert conditional_join(tl, tr, pred, "semi").num_rows == 0
+    assert conditional_join(tl, tr, pred, "anti").num_rows == 5
+    assert conditional_join(tl, tr, pred, "left").num_rows == 5
+    # never-true predicate on non-empty sides
+    r2 = Table.from_pandas(pd.DataFrame({"b": np.full(7, -100)}))
+    never = conditional_join(tl, r2, pred, "inner")
+    assert never.num_rows == 0
+    assert conditional_join(tl, r2, pred, "left").num_rows == 5
