@@ -55,6 +55,22 @@ def read_parquet(paths, columns: Optional[Sequence[str]] = None,
     return Table.from_arrow(at)
 
 
+def read_parquet_chunked(path, columns: Optional[Sequence[str]] = None,
+                         predicates=None,
+                         chunk_read_limit: int = 256 << 20,
+                         pass_read_limit: int = 1 << 30,
+                         prefetch: bool = True):
+    """Budget-bounded chunked read (cudf chunked_parquet_reader analog,
+    cpp/src/io/parquet/reader_impl_chunking.hpp pass/subpass planning).
+    Returns an iterator of Tables; each chunk's estimated decoded size fits
+    ``chunk_read_limit`` and source bytes held at once fit
+    ``pass_read_limit``. Decode of chunk k+1 overlaps device work on k."""
+    from .parquet_ext import ChunkedParquetReader
+
+    return ChunkedParquetReader(path, columns, predicates,
+                                chunk_read_limit, pass_read_limit, prefetch)
+
+
 def read_csv(path, columns=None, **kwargs) -> Table:
     import pyarrow.csv as pc
 

@@ -71,13 +71,68 @@ class HTTPDatasource(Datasource):
     """HTTP(S) range-request source (datasource.cpp remote analog).
 
     Falls back to a full download when the server ignores Range headers.
+    Transient failures retry with exponential backoff; ``prefetch_ranges``
+    fetches many ranges in parallel threads into a range cache (the
+    kvikio parallel-read analog), so a chunked reader can overlap the
+    next pass's network fetch with the current pass's decode+device work.
     """
 
-    def __init__(self, url: str, timeout: float = 60.0):
+    def __init__(self, url: str, timeout: float = 60.0, retries: int = 3,
+                 backoff: float = 0.5):
         self.url = url
         self.timeout = timeout
+        self.retries = retries
+        self.backoff = backoff
         self._size: Optional[int] = None
         self._full: Optional[bytes] = None
+        self._range_cache: list = []  # [(offset, bytes)] non-overlapping
+
+    def _retrying(self, fn):
+        import time as _time
+
+        last = None
+        for attempt in range(self.retries + 1):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — urllib raises many types
+                last = e
+                if attempt < self.retries:
+                    _time.sleep(self.backoff * (2 ** attempt))
+        raise last
+
+    def _cached(self, offset: int, size: int) -> Optional[bytes]:
+        for off, blob in self._range_cache:
+            if off <= offset and offset + size <= off + len(blob):
+                return blob[offset - off : offset - off + size]
+        return None
+
+    def prefetch_ranges(self, ranges, max_workers: int = 8) -> None:
+        """Fetch [(offset, size), ...] concurrently into the range cache."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [(o, s) for o, s in ranges
+                if s > 0 and self._cached(o, s) is None and self._full is None]
+        if not todo:
+            return
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(todo))) as ex:
+            blobs = list(ex.map(lambda r: self._fetch(r[0], r[1]), todo))
+        for (o, _), b in zip(todo, blobs):
+            if self._full is None:
+                self._range_cache.append((o, b))
+
+    def _fetch(self, offset: int, size: int) -> bytes:
+        def go():
+            req = urllib.request.Request(
+                self.url,
+                headers={"Range": f"bytes={offset}-{offset + size - 1}"})
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return r.read()
+        data = self._retrying(go)
+        if len(data) > size:  # server ignored Range: cache the full body
+            self._full = data
+            self._size = len(data)
+            return data[offset : offset + size]
+        return data
 
     def size(self) -> int:
         if self._size is None:
@@ -94,21 +149,18 @@ class HTTPDatasource(Datasource):
     def read(self, offset: int, size: int) -> bytes:
         if self._full is not None:
             return self._full[offset : offset + size]
-        req = urllib.request.Request(
-            self.url, headers={"Range": f"bytes={offset}-{offset + size - 1}"})
-        with urllib.request.urlopen(req, timeout=self.timeout) as r:
-            data = r.read()
-        if len(data) > size:  # server ignored Range: cache the full body
-            self._full = data
-            self._size = len(data)
-            return data[offset : offset + size]
-        return data
+        hit = self._cached(offset, size)
+        if hit is not None:
+            return hit
+        return self._fetch(offset, size)
 
     def read_all(self) -> bytes:
         if self._full is None:
-            with urllib.request.urlopen(self.url, timeout=self.timeout) as r:
-                self._full = r.read()
-                self._size = len(self._full)
+            def go():
+                with urllib.request.urlopen(self.url, timeout=self.timeout) as r:
+                    return r.read()
+            self._full = self._retrying(go)
+            self._size = len(self._full)
         return self._full
 
 

@@ -128,6 +128,140 @@ def _apply_predicates(t: Table, predicates: Sequence[Pred]) -> Table:
     return apply_boolean_mask(t, mask)
 
 
+class ChunkedParquetReader:
+    """Budget-driven chunked parquet reader — the pass/subpass planner of
+    cpp/src/io/parquet/reader_impl_chunking.hpp:24-100, re-planned for a
+    host-decode pipeline.
+
+    Planning happens from row-group METADATA only, before any data pages
+    are read, at two levels:
+
+    * a **pass** is a maximal run of surviving row groups whose summed
+      *compressed* size (selected columns only) fits ``pass_read_limit`` —
+      the bytes held from the source at once. For remote sources the whole
+      pass's byte range prefetches in parallel (datasource.prefetch_ranges)
+      while the previous pass decodes;
+    * a **subpass** is a slice of the pass's row groups whose summed
+      *uncompressed* size estimate fits ``chunk_read_limit`` — one yielded
+      Table.
+
+    A one-deep decode prefetch thread runs subpass k+1's host decode while
+    the caller's device work consumes subpass k (the reference's
+    decode-stream/compute overlap).
+    """
+
+    def __init__(self, path_or_ds: Union[str, "Datasource"],
+                 columns: Optional[Sequence[str]] = None,
+                 predicates: Optional[Sequence[Pred]] = None,
+                 chunk_read_limit: int = 256 << 20,
+                 pass_read_limit: int = 1 << 30,
+                 prefetch: bool = True,
+                 exact: bool = True):
+        import pyarrow.parquet as pq
+
+        self.ds = Datasource.open(path_or_ds)
+        self._pf = pq.ParquetFile(self.ds.as_file())
+        self.columns = list(columns) if columns else None
+        self.predicates = list(predicates) if predicates else None
+        self.exact = exact
+        self.prefetch = prefetch
+        md = self._pf.metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        col_idx = (list(range(md.num_columns)) if self.columns is None else
+                   [names.index(c) for c in self.columns if c in names])
+        keep, _ = prune_row_groups(self.ds, self.predicates)
+
+        def rg_sizes(i):
+            rg = md.row_group(i)
+            comp = sum(rg.column(j).total_compressed_size for j in col_idx)
+            unc = sum(rg.column(j).total_uncompressed_size for j in col_idx)
+            return comp, unc
+
+        # --- pass planning (compressed-byte budget) -----------------------
+        passes: List[List[int]] = []
+        cur, cur_comp = [], 0
+        for i in keep:
+            comp, _ = rg_sizes(i)
+            if cur and cur_comp + comp > pass_read_limit:
+                passes.append(cur)
+                cur, cur_comp = [], 0
+            cur.append(i)
+            cur_comp += comp
+        if cur:
+            passes.append(cur)
+        # --- subpass planning (uncompressed-byte budget) ------------------
+        self.plan: List[List[int]] = []  # each entry = one yielded chunk
+        self.plan_bytes: List[int] = []
+        self._chunk_pass: List[int] = []  # chunk idx -> owning pass idx
+        for pi, p in enumerate(passes):
+            sub, sub_unc = [], 0
+            for i in p:
+                _, unc = rg_sizes(i)
+                if sub and sub_unc + unc > chunk_read_limit:
+                    self.plan.append(sub)
+                    self.plan_bytes.append(sub_unc)
+                    self._chunk_pass.append(pi)
+                    sub, sub_unc = [], 0
+                sub.append(i)
+                sub_unc += unc
+            if sub:
+                self.plan.append(sub)
+                self.plan_bytes.append(sub_unc)
+                self._chunk_pass.append(pi)
+        self.passes = passes
+        self._prefetch_pass_bytes(0)
+
+    def _prefetch_pass_bytes(self, pass_idx: int) -> None:
+        """Parallel-range prefetch of one pass's data pages (remote only)."""
+        if not hasattr(self.ds, "prefetch_ranges") or pass_idx >= len(self.passes):
+            return
+        md = self._pf.metadata
+        ranges = []
+        for i in self.passes[pass_idx]:
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                off = c.dictionary_page_offset or c.data_page_offset
+                end = c.data_page_offset + c.total_compressed_size
+                ranges.append((int(off), int(end - off)))
+        try:
+            self.ds.prefetch_ranges(ranges)
+        except Exception:
+            pass  # prefetch is best-effort; reads fall back to range GETs
+
+    def _decode(self, rgs: List[int]) -> Table:
+        at = self._pf.read_row_groups(rgs, columns=self.columns)
+        t = Table.from_arrow(at)
+        if self.exact and self.predicates:
+            t = _apply_predicates(t, self.predicates)
+        return t
+
+    def __iter__(self):
+        if not self.plan:
+            empty = self._pf.schema_arrow.empty_table()
+            if self.columns:
+                empty = empty.select(self.columns)
+            yield Table.from_arrow(empty)
+            return
+        if not self.prefetch:
+            for rgs in self.plan:
+                yield self._decode(rgs)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        pass_of = self._chunk_pass
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self._decode, self.plan[0])
+            for k in range(len(self.plan)):
+                nxt = None
+                if k + 1 < len(self.plan):
+                    if pass_of[k + 1] != pass_of[k]:
+                        self._prefetch_pass_bytes(pass_of[k + 1])
+                    nxt = ex.submit(self._decode, self.plan[k + 1])
+                yield fut.result()
+                fut = nxt
+
+
 class ParquetChunkedWriter:
     """Incremental parquet writer (cudf chunked_parquet_writer analog).
 

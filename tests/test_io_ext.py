@@ -122,3 +122,135 @@ def test_http_datasource_range_reads(pq_file):
             assert ranges, "no Range requests made"
         finally:
             srv.shutdown()
+
+
+def test_chunked_reader_budget_and_parity(tmp_path):
+    """ChunkedParquetReader: every chunk fits the decoded-byte budget, chunks
+    concatenate to the full read, pruning composes (reader_impl_chunking.hpp
+    pass/subpass analog)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cudf_tpu.io import read_parquet_chunked
+    from cudf_tpu.io.parquet_ext import ChunkedParquetReader
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n),
+        "s": np.array([f"id{i%97:03d}" for i in range(n)]),
+    })
+    path = str(tmp_path / "big.parquet")
+    pq.write_table(pa.Table.from_pandas(df), path, row_group_size=10_000,
+                   compression="snappy")
+
+    budget = 1 << 20  # 1MB decoded — forces many subpasses
+    rd = ChunkedParquetReader(path, chunk_read_limit=budget,
+                              pass_read_limit=4 << 20)
+    assert len(rd.plan) > 3
+    md = pq.ParquetFile(path).metadata
+    one_rg = sum(md.row_group(0).column(j).total_uncompressed_size
+                 for j in range(md.num_columns))
+    for est in rd.plan_bytes:
+        assert est <= max(budget, one_rg)  # single oversized rg still reads
+    # plan covers every row group exactly once, in order
+    flat = [i for c in rd.plan for i in c]
+    assert flat == list(range(md.num_row_groups))
+
+    chunks = [t.to_pandas() for t in read_parquet_chunked(
+        path, chunk_read_limit=budget, pass_read_limit=4 << 20)]
+    assert len(chunks) == len(rd.plan)
+    got = pd.concat(chunks, ignore_index=True)
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
+
+    # predicates prune row groups before planning + refine exactly
+    rd2 = ChunkedParquetReader(path, predicates=[("k", ">=", 150_000)],
+                               chunk_read_limit=budget)
+    kept = {i for c in rd2.plan for i in c}
+    assert kept == set(range(15, 20))
+    got2 = pd.concat([t.to_pandas() for t in rd2], ignore_index=True)
+    want2 = df[df.k >= 150_000].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+    # column selection shrinks the plan (budget counts selected columns only)
+    rd3 = ChunkedParquetReader(path, columns=["k"], chunk_read_limit=budget)
+    assert len(rd3.plan) < len(rd.plan)
+    got3 = pd.concat([t.to_pandas() for t in rd3], ignore_index=True)
+    pd.testing.assert_frame_equal(got3, df[["k"]], check_dtype=False)
+
+
+def test_chunked_reader_decode_overlap(tmp_path):
+    """The k+1 decode must run while chunk k is being consumed."""
+    import threading
+    import time
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cudf_tpu.io.parquet_ext import ChunkedParquetReader
+
+    n = 120_000
+    df = pd.DataFrame({"v": np.random.default_rng(1).normal(size=n)})
+    path = str(tmp_path / "o.parquet")
+    pq.write_table(pa.Table.from_pandas(df), path, row_group_size=10_000)
+
+    rd = ChunkedParquetReader(path, chunk_read_limit=100_000)
+    decoding_threads = set()
+    orig = rd._decode
+    def spy(rgs):
+        decoding_threads.add(threading.get_ident())
+        return orig(rgs)
+    rd._decode = spy
+    total = 0
+    for t in rd:
+        total += t.num_rows
+        time.sleep(0.01)  # "device work"
+    assert total == n
+    assert threading.get_ident() not in decoding_threads  # decodes off-thread
+
+
+def test_http_datasource_retry_and_prefetch():
+    """Retry with backoff + parallel range prefetch served from cache."""
+    from cudf_tpu.io.datasource import HTTPDatasource
+
+    blob = bytes(range(256)) * 40
+    calls = {"n": 0}
+
+    class FakeDS(HTTPDatasource):
+        def __init__(self):
+            super().__init__("http://x/test", retries=3, backoff=0.0)
+        # patch the network layer only
+    ds = FakeDS()
+
+    real_fetch_fail_once = {"failed": False}
+    import urllib.request as ur
+    def fake_urlopen(req, timeout=None):
+        calls["n"] += 1
+        if not real_fetch_fail_once["failed"]:
+            real_fetch_fail_once["failed"] = True
+            raise OSError("transient")
+        rng_hdr = req.headers.get("Range")
+        assert rng_hdr.startswith("bytes=")
+        lo, hi = map(int, rng_hdr[len("bytes="):].split("-"))
+        class R:
+            def __enter__(self): return self
+            def __exit__(self, *a): return False
+            def read(self): return blob[lo:hi + 1]
+        return R()
+
+    orig = ur.urlopen
+    ur.urlopen = fake_urlopen
+    try:
+        out = ds._fetch(10, 50)
+        assert out == blob[10:60]
+        assert calls["n"] == 2  # one failure + one retry
+        ds.prefetch_ranges([(0, 100), (1000, 200)])
+        n_before = calls["n"]
+        assert ds._cached(20, 50) == blob[20:70]
+        assert ds._cached(1050, 100) == blob[1050:1150]
+        assert calls["n"] == n_before  # cache hits: no new requests
+        assert ds._cached(500, 10) is None
+    finally:
+        ur.urlopen = orig
