@@ -1,5 +1,7 @@
 """Dtype-cartesian sweeps for join/groupby/sort (reference TESTING.md policy:
 typed test lists over dtypes, null/NaN edges, boundary sizes)."""
+import zlib
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -13,6 +15,13 @@ from cudf_tpu.ops import sorting
 KEY_DTYPES = ["int8", "int16", "int32", "int64", "uint32", "float32",
               "float64", "bool", "str", "datetime64[ns]"]
 VAL_DTYPES = ["int32", "int64", "float32", "float64"]
+
+
+def _seed(s):
+    # Python's str hash() is randomized per process (PYTHONHASHSEED) — a
+    # hash-derived seed makes the drawn data, and thus float tolerances,
+    # nondeterministic across runs. crc32 is stable.
+    return zlib.crc32(s.encode()) % 2**31
 
 
 def _key_values(dtype, n, rng, with_nulls):
@@ -37,7 +46,7 @@ def _key_values(dtype, n, rng, with_nulls):
 @pytest.mark.parametrize("kdt", KEY_DTYPES)
 @pytest.mark.parametrize("with_nulls", [False, True])
 def test_groupby_sum_mean_every_key_dtype(kdt, with_nulls):
-    rng = np.random.default_rng(hash(kdt) % 2**31)
+    rng = np.random.default_rng(_seed(kdt))
     n = 500
     df = pd.DataFrame({"k": _key_values(kdt, n, rng, with_nulls),
                        "v": rng.normal(size=n)})
@@ -53,7 +62,7 @@ def test_groupby_sum_mean_every_key_dtype(kdt, with_nulls):
 @pytest.mark.parametrize("kdt", KEY_DTYPES)
 @pytest.mark.parametrize("how", ["inner", "left"])
 def test_join_every_key_dtype(kdt, how):
-    rng = np.random.default_rng(hash(kdt + how) % 2**31)
+    rng = np.random.default_rng(_seed(kdt + how))
     n = 400
     l = pd.DataFrame({"k": _key_values(kdt, n, rng, False),
                       "v": rng.normal(size=n)})
@@ -73,19 +82,21 @@ def test_join_every_key_dtype(kdt, how):
 @pytest.mark.parametrize("kind", ["sum", "min", "max", "count", "first",
                                   "last", "var"])
 def test_groupby_agg_value_dtypes(vdt, kind):
-    rng = np.random.default_rng(hash(vdt + kind) % 2**31)
+    rng = np.random.default_rng(_seed(vdt + kind))
     n = 600
     vals = (rng.normal(size=n) * 100).astype(vdt)
     df = pd.DataFrame({"k": rng.integers(0, 9, n), "v": vals})
     got = groupby_aggregate(Table.from_pandas(df), ["k"],
                             [AggSpec("v", kind, "o")]).to_pandas()
     want = df.groupby("k", as_index=False).agg(o=("v", kind))
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6)
+    # float32 sums/vars accumulate in a different order than pandas
+    rtol = 2e-5 if vdt == "float32" and kind in ("sum", "var") else 1e-6
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=rtol)
 
 
 @pytest.mark.parametrize("kdt", KEY_DTYPES)
 def test_sort_every_key_dtype(kdt):
-    rng = np.random.default_rng(hash(kdt) % 2**31)
+    rng = np.random.default_rng(_seed(kdt))
     n = 300
     df = pd.DataFrame({"k": _key_values(kdt, n, rng, True), "v": np.arange(n)})
     got = (ct.DataFrame.from_pandas(df).sort_values("k")
