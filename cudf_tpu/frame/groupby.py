@@ -52,6 +52,23 @@ class DataFrameGroupBy:
             tbl = Table({n: (nans_to_nulls(c) if n in conv else c)
                          for n, c in tbl})
         out = groupby_aggregate(tbl, self._keys, specs, self._dropna)
+        # pandas min_count=0 semantics: sum/prod over an all-null group is
+        # the reduction identity (0 / 1), not null (the cudf/ops-layer
+        # result) — python/cudf mode.pandas_compatible does the same fill.
+        import jax.numpy as jnp
+        from ..core.column import Column
+
+        fill = {"sum": 0, "product": 1}
+        fixed = {}
+        for s in specs:
+            c = out[s.out_name]
+            if s.kind in fill and c.validity is not None:
+                data = jnp.where(c.validity,
+                                 c.data, jnp.asarray(fill[s.kind], c.data.dtype))
+                fixed[s.out_name] = Column(c.dtype, data, None, c.length,
+                                           c.dictionary)
+        if fixed:
+            out = Table({n: fixed.get(n, c) for n, c in out})
         df = DataFrame._from_table(out)
         if self._as_index:
             return df.set_index(self._keys if len(self._keys) > 1 else self._keys[0])

@@ -285,7 +285,8 @@ def _probe_combined_impl(lcols, rcols, widths, nwords, nulls_equal):
     # derive flags from the sorted words (no gathers): the padding flag is
     # the stream MSB; the side flag is the stream's final bit = bit 0 of the
     # last word (_pack_words64 keeps a partial final word LSB-aligned)
-    flagshift = 63 if total >= 64 else sum(widths) - 1
+    nbits = sum(widths)
+    flagshift = 63 if nbits >= 64 else nbits - 1
     act = ((words[0] >> jnp.uint64(flagshift)) & jnp.uint64(1)) == 0
     is_right = (((words[-1] & jnp.uint64(1)) == 0) & act)
     is_left = act & ~is_right

@@ -206,3 +206,15 @@ class TestGroupBy:
         out = groupby_aggregate(t2, ["A", "B"], [AggSpec("C", "mean", "C")]).to_pandas()
         exp = df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean"))
         pd.testing.assert_frame_equal(out, exp, rtol=1e-12)
+
+
+def test_all_null_group_sum_prod_pandas_identity():
+    """pandas min_count=0: sum/prod of an all-null group is 0/1, not null."""
+    import cudf_tpu as ct
+
+    an = pd.DataFrame({"k": [1, 1, 2],
+                       "v": pd.array([None, None, None], dtype="Float64")})
+    got = (ct.DataFrame.from_pandas(an).groupby("k", as_index=False)
+           .agg(s=("v", "sum"), p=("v", "prod")).to_pandas())
+    want = an.groupby("k", as_index=False).agg(s=("v", "sum"), p=("v", "prod"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -108,6 +108,29 @@ class TestDistJoin:
         exp = fact.merge(dim, on="k").sort_values(["k", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(res, exp, rtol=1e-12)
 
+    def test_broadcast_join_narrow_string_key(self, mesh):
+        """Regression: narrow dict-coded keys pack to <64 bits, and the
+        in-trace combined-sort probe must read the padding flag from the
+        REAL packed width (join.py flagshift), not assume bit 63 — the bug
+        made right-capacity padding rows join as real rows."""
+        rng = np.random.default_rng(11)
+        rows = 2048 * 8
+        fact = pd.DataFrame({
+            "s": np.array([f"grp{i:02d}" for i in range(40)])[
+                rng.integers(0, 40, rows)],
+            "v": rng.normal(size=rows),
+        })
+        dim = pd.DataFrame({"s": [f"grp{i:02d}" for i in range(40)],
+                            "tag": np.arange(40.0)})
+        stf = spmd.ShardedTable.from_tables(split_df(fact, 8), mesh)
+        out = spmd.broadcast_join(stf, Table.from_pandas(dim), ["s"], ["s"])
+        assert int(np.asarray(out.lengths).sum()) == rows
+        res = out.concat_to_table().to_pandas().sort_values(
+            ["s", "v"]).reset_index(drop=True)
+        exp = fact.merge(dim, on="s").sort_values(
+            ["s", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(res, exp, rtol=1e-12)
+
 
 class TestDistSort:
     def test_global_sort(self, mesh):
