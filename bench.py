@@ -30,6 +30,10 @@ import pandas as pd
 
 N = int(float(os.environ.get("CUDF_TPU_BENCH_ROWS", "2000000")))
 REPS = int(os.environ.get("CUDF_TPU_BENCH_REPS", "5"))
+# pandas reference timings: best-of-3 is affordable at the 2M contract
+# size; at 16M+ a single rep (pandas sort alone is ~36s) keeps the driver
+# inside its timeout without changing our own warm best-of-REPS
+PD_REPS = 3 if N <= 8_000_000 else 1
 HBM_BW = 819e9  # v5e HBM bytes/s
 
 def log(*a):
@@ -198,30 +202,30 @@ def main():
     # ---------------- pandas baseline ----------------
     pd_results = {}
     pd_results["sort"] = timeit(
-        lambda: sort_df.sort_values(["k1", "k2"], kind="stable"), 3)
+        lambda: sort_df.sort_values(["k1", "k2"], kind="stable"), PD_REPS)
     pd_results["sort_str"] = timeit(
-        lambda: sort_str_df.sort_values(["k"], kind="stable"), 3)
+        lambda: sort_str_df.sort_values(["k"], kind="stable"), PD_REPS)
     pd_results["groupby"] = timeit(
-        lambda: gb_df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean")), 3)
+        lambda: gb_df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean")), PD_REPS)
     pd_results["groupby_str"] = timeit(
-        lambda: gb_str_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
+        lambda: gb_str_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), PD_REPS)
     pd_results["groupby_str_hc"] = timeit(
-        lambda: gb_hc_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
+        lambda: gb_hc_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), PD_REPS)
     pd_results["regex_hc"] = timeit(
         lambda: gb_hc_df["k"].str.contains(r"url/0{3}[0-9a-f]{6}/page",
-                                           regex=True).sum(), 3)
+                                           regex=True).sum(), PD_REPS)
     pd_results["tokens_hc"] = timeit(
-        lambda: gb_hc_df["k"].str.split("/").str.len().sum(), 3)
+        lambda: gb_hc_df["k"].str.split("/").str.len().sum(), PD_REPS)
     pd_results["groupby_i64"] = timeit(
-        lambda: gb_i64_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), 3)
-    pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), 3)
+        lambda: gb_i64_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), PD_REPS)
+    pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), PD_REPS)
     pd_results["join_i64"] = timeit(
-        lambda: join_i64_left.merge(join_i64_right, on="k"), 3)
+        lambda: join_i64_left.merge(join_i64_right, on="k"), PD_REPS)
 
     def pd_join_filter():
         out = join_left.merge(join_right, on="k")
         return len(out[out["w"] > 0.0])
-    pd_results["join_filter"] = timeit(pd_join_filter, 3)
+    pd_results["join_filter"] = timeit(pd_join_filter, PD_REPS)
     for k in pd_results:
         log(f"bench: pandas {k} {pd_results[k]*1e3:.1f} ms")
 

@@ -1,0 +1,125 @@
+"""Phase-level timing probe for the core ops at large N on the real chip.
+
+Times each phase of groupby/join/sort separately so we can see where the
+milliseconds go once the ~25ms tunnel RTT stops dominating (VERDICT r3
+item 1). Writes progress to stderr immediately (unbuffered)."""
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+N = int(float(os.environ.get("ROWS", "16000000")))
+REPS = int(os.environ.get("REPS", "3"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def t(tag, fn, reps=REPS):
+    # first call = compile+run (cold), then warm best-of
+    t0 = time.perf_counter()
+    fn()
+    cold = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    log(f"{tag:28s} cold {cold*1e3:9.1f} ms   warm {best*1e3:9.1f} ms "
+        f"({N/best/1e6:8.1f}M rows/s)")
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import cudf_tpu as ct
+    from cudf_tpu.ops import sorting
+    from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+    from cudf_tpu.ops import stream_compaction as sc
+    from cudf_tpu.ops.join import join as tpu_join
+    from cudf_tpu.ops.unaryop import nans_to_nulls
+
+    log(f"probe_bigN backend={jax.default_backend()} N={N}")
+    rng = np.random.default_rng(0)
+
+    def force(arr):
+        return float(jnp.sum(arr.astype(jnp.float32)))
+
+    # ---- raw primitive: flat u64 sort at N ----
+    key = jnp.asarray(rng.integers(0, 2**62, N, dtype=np.int64).view(np.uint64))
+    pay = jnp.asarray(rng.normal(size=N).astype(np.float64))
+    s1 = jax.jit(lambda k: jax.lax.sort((k,), num_keys=1, is_stable=False)[0])
+    t("lax.sort u64 (key only)", lambda: force(s1(key)))
+    s2 = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1, is_stable=False)[1])
+    t("lax.sort u64 + f64 payload", lambda: force(s2(key, pay)))
+    s3 = jax.jit(lambda k, p, q: jax.lax.sort((k, p, q), num_keys=1,
+                                              is_stable=False)[1])
+    t("lax.sort u64 + 2 payloads", lambda: force(s3(key, pay, pay)))
+
+    # ---- raw primitive: scatter-add at N into 64k slots ----
+    slots = jnp.asarray(rng.integers(0, 65536, N).astype(np.int32))
+    v32 = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    v64 = jnp.asarray(rng.normal(size=N).astype(np.float64))
+    sc32 = jax.jit(lambda s, v: jnp.zeros((65536,), jnp.float32).at[s].add(v))
+    t("scatter-add f32 -> 64k", lambda: force(sc32(slots, v32)))
+    sc64 = jax.jit(lambda s, v: jnp.zeros((65536,), jnp.float64).at[s].add(v))
+    t("scatter-add f64 -> 64k", lambda: force(sc64(slots, v64)))
+
+    # ---- raw primitive: gather at N ----
+    idx = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+    g1 = jax.jit(lambda x, i: x[i])
+    t("gather f64 NxN", lambda: force(g1(pay, idx)))
+
+    # ---- prefix scan ----
+    cs = jax.jit(lambda x: jnp.cumsum(x))
+    t("cumsum f64", lambda: force(cs(pay)))
+    from cudf_tpu.ops.sortprim import tiled_cumsum
+    tc = jax.jit(lambda x: tiled_cumsum(x))
+    t("tiled_cumsum f64", lambda: force(tc(pay)))
+
+    # ---- the bench workloads, phase by phase ----
+    gb_df = pd.DataFrame({
+        "A": rng.integers(0, 1000, N).astype(np.float64),
+        "B": rng.integers(0, 50, N),
+        "C": rng.normal(size=N),
+    })
+    gb_df.loc[rng.choice(N, N // 100, replace=False), "A"] = np.nan
+    t_gb = ct.Table.from_pandas(gb_df)
+    t_gb = ct.Table({"A": nans_to_nulls(t_gb["A"]), "B": t_gb["B"],
+                     "C": t_gb["C"]})
+
+    t("drop_nulls (3 cols)", lambda: force(sc.drop_nulls(t_gb)["C"].data))
+    t2 = sc.drop_nulls(t_gb)
+    t("groupby.mean (post-drop)", lambda: force(
+        groupby_aggregate(t2, ["A", "B"], [AggSpec("C", "mean", "C")])["C"].data))
+    t("groupby dropna direct", lambda: force(
+        groupby_aggregate(t_gb, ["A", "B"], [AggSpec("C", "mean", "C")],
+                          dropna_keys=True)["C"].data))
+
+    n_dim = max(N // 20, 1)
+    join_left = pd.DataFrame({"k": rng.integers(0, n_dim, N),
+                              "v": rng.normal(size=N).astype(np.float32)})
+    join_right = pd.DataFrame({"k": np.arange(n_dim),
+                               "w": rng.normal(size=n_dim).astype(np.float32)})
+    t_jl = ct.Table.from_pandas(join_left)
+    t_jr = ct.Table.from_pandas(join_right)
+    t("join fact-dim", lambda: force(
+        tpu_join(t_jl, t_jr, ["k"], ["k"], "inner")["w"].data))
+
+    k1 = rng.integers(0, 100_000, N).astype(np.float64)
+    k1[rng.choice(N, N // 50, replace=False)] = np.nan
+    sort_df = pd.DataFrame({"k1": k1,
+                            "k2": rng.normal(size=N).astype(np.float32),
+                            "v": rng.normal(size=N).astype(np.float32)})
+    t_sort = ct.Table.from_pandas(sort_df)
+    t("sort multi-key", lambda: force(
+        sorting.sort_by_key(t_sort, ["k1", "k2"])["v"].data))
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Probe: gather/scatter micro-variants at large N (informs fastjoin/fastgroup
+pass structure at 16M+ rows)."""
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(float(os.environ.get("ROWS", "16000000")))
+T = int(float(os.environ.get("SLOTS", "1048576")))
+REPS = int(os.environ.get("REPS", "3"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def t(tag, fn, reps=REPS):
+    t0 = time.perf_counter()
+    fn()
+    cold = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    log(f"{tag:34s} cold {cold*1e3:9.1f} ms  warm {best*1e3:8.1f} ms "
+        f"({N/best/1e6:7.1f}M/s)")
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log(f"probe_gather backend={jax.default_backend()} N={N} T={T}")
+    rng = np.random.default_rng(0)
+
+    def force(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    idx = jnp.asarray(rng.integers(0, T, N).astype(np.int32))
+    tab3 = jnp.asarray(rng.integers(0, 2**20, (T, 3)).astype(np.int32))
+    tab1_64 = jnp.asarray(rng.integers(0, 2**48, T).astype(np.int64))
+    tab1_32 = jnp.asarray(rng.integers(0, 2**20, T).astype(np.int32))
+
+    g_rows = jax.jit(lambda t, i: t[i, :])
+    t("gather (T,3)i32 rows", lambda: force(g_rows(tab3, idx)[:, 0]))
+
+    g3 = jax.jit(lambda t, i: (t[i, 0], t[i, 1], t[i, 2]))
+    t("gather 3x separate cols", lambda: force(g3(tab3, idx)[0]))
+
+    g64 = jax.jit(lambda t, i: t[i])
+    t("gather packed i64", lambda: force(g64(tab1_64, idx)))
+    t("gather i32", lambda: force(g64(tab1_32, idx)))
+
+    # sorted (monotone) index gather — fastgroup's pass2 gathers at starts
+    sidx = jnp.sort(idx)
+    t("gather i32 sorted idx", lambda: force(g64(tab1_32, sidx)))
+
+    # scatter-max i32 N -> N (fastgroup starts_full analog)
+    rowpos = jnp.arange(N, dtype=jnp.int32)
+    smax = jax.jit(lambda i: jnp.zeros((N,), jnp.int32).at[i].max(rowpos))
+    t("scatter-max i32 N->N", lambda: force(smax(idx)))
+
+    # searchsorted: out_cap queries over sorted N (the replacement)
+    big_sorted = jnp.sort(jnp.asarray(rng.integers(0, 2**31, N).astype(np.int32)))
+    q = jnp.asarray(np.arange(65536, dtype=np.int32))
+    ss = jax.jit(lambda a, v: jnp.searchsorted(a, v))
+    t("searchsorted 64k over N", lambda: force(ss(big_sorted, q)))
+
+    # i32 cumsum vs i64 packed-pair cumsum (fastgroup scan fusion)
+    from cudf_tpu.ops.sortprim import tiled_cumsum
+    ones = jnp.ones((N,), jnp.int32)
+    tc32 = jax.jit(lambda x: tiled_cumsum(x))
+    t("tiled_cumsum i32", lambda: force(tc32(ones)))
+    ones64 = jnp.ones((N,), jnp.int64)
+    t("tiled_cumsum i64", lambda: force(tc32(ones64)))
+
+    # two i32 scans vs one fused i64 scan
+    a = jnp.asarray(rng.integers(0, 2, N).astype(np.int32))
+    b = jnp.asarray(rng.integers(0, 2, N).astype(np.int32))
+    two = jax.jit(lambda a, b: (tiled_cumsum(a), tiled_cumsum(b)))
+    t("2x tiled_cumsum i32", lambda: force(two(a, b)[0]))
+    packed = jax.jit(lambda a, b: tiled_cumsum(
+        (a.astype(jnp.int64) << 32) | b.astype(jnp.int64)))
+    t("1x packed i64 cumsum", lambda: force(packed(a, b)))
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Probe: row-gather width scaling + narrow-key sort costs at large N."""
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(float(os.environ.get("ROWS", "16000000")))
+T = int(float(os.environ.get("SLOTS", "1048576")))
+REPS = int(os.environ.get("REPS", "3"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def t(tag, fn, reps=REPS):
+    t0 = time.perf_counter()
+    fn()
+    cold = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    log(f"{tag:34s} cold {cold*1e3:9.1f} ms  warm {best*1e3:8.1f} ms "
+        f"({N/best/1e6:7.1f}M/s)")
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log(f"probe_width backend={jax.default_backend()} N={N} T={T}")
+    rng = np.random.default_rng(0)
+
+    def force(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    idx = jnp.asarray(rng.integers(0, T, N).astype(np.int32))
+    for w in (1, 2, 4, 8):
+        tab = jnp.asarray(rng.integers(0, 2**20, (T, w)).astype(np.int32))
+        g = jax.jit(lambda t, i: t[i, :])
+        t(f"gather (T,{w})i32 rows", lambda: force(g(tab, idx)[:, 0]))
+
+    key32 = jnp.asarray(rng.integers(0, 2**16, N).astype(np.uint32))
+    pay64 = jnp.asarray(rng.normal(size=N))
+    pay32 = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    key64 = key32.astype(jnp.uint64)
+
+    s = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1, is_stable=False)[1])
+    t("sort u32 key + f64 payload", lambda: force(s(key32, pay64)))
+    t("sort u64 key + f64 payload", lambda: force(s(key64, pay64)))
+    t("sort u32 key + f32 payload", lambda: force(s(key32, pay32)))
+    s3 = jax.jit(lambda k, p, q: jax.lax.sort((k, p, q), num_keys=1,
+                                              is_stable=False)[1])
+    t("sort u32 + f64 + i32pos", lambda: force(s3(key32, pay64, idx)))
+
+    # stable variant (needed when no rowid embedded)
+    ss = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1, is_stable=True)[1])
+    t("STABLE sort u32 + f64", lambda: force(ss(key32, pay64)))
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -283,7 +283,7 @@ class Column:
             out = np.asarray(out, dtype=object)
             if self.validity is not None:
                 mask = ~np.asarray(self.validity)[:n]
-                out[mask] = None
+                out[mask] = None  # arrow-compatible string null
             return out
         np_dt = dtypes.to_numpy(self.dtype)
         if self.dtype.is_temporal:
@@ -298,8 +298,11 @@ class Column:
             if out.dtype.kind == "f":
                 out[mask] = np.nan
             elif mask.any():
+                # pandas uses np.nan (not None) as the missing marker in
+                # object columns produced by merges/reindexing — match it so
+                # assert_frame_equal agrees cell-for-cell
                 out = out.astype(object)
-                out[mask] = None
+                out[mask] = np.nan
         return out
 
     def to_arrow(self):

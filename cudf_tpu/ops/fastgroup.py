@@ -147,15 +147,11 @@ def _pass1(key, vdatas, vvalids, kinds, tbits, pb):
     n_active = jnp.sum(act.astype(jnp.int32))
     gid = jnp.where(act, gid, _I32MAX)  # keep sorted; inactive rows past all
     rowpos = jnp.arange(cap, dtype=jnp.int32)
-    # per-group start positions (sorted-row index), scattered by group id:
-    # one i32 scatter beats binary search on this stack (probe4)
-    starts_full = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(newgrp, gid, cap - 1)].max(jnp.where(newgrp, rowpos, 0))
 
     cols_out = []
     for sv, svalid, kset in zip(svs, svalids, kinds):
         cols_out.append(build_scan_arrays(sv, svalid, act, newgrp, rowpos, kset))
-    return scode, gid, pos, n_groups, n_active, starts_full, cols_out
+    return scode, gid, pos, n_groups, n_active, cols_out
 
 
 def build_scan_arrays(sv, svalid, act, newgrp, rowpos, kset) -> Dict[str, jnp.ndarray]:
@@ -168,7 +164,13 @@ def build_scan_arrays(sv, svalid, act, newgrp, rowpos, kset) -> Dict[str, jnp.nd
     valid = act if svalid is None else act & svalid
     arrs: Dict[str, jnp.ndarray] = {}
     arrs["sv"] = sv
-    arrs["cs_cnt"] = tiled_cumsum(valid.astype(jnp.int32))  # i32: native, not emulated
+    if svalid is None:
+        # act is sorted (actives first): its prefix sum is a clipped iota —
+        # saves a full O(N) scan pass (~33ms at 16M, probe_gather.py)
+        n_act = jnp.sum(act.astype(jnp.int32))
+        arrs["cs_cnt"] = jnp.minimum(rowpos + 1, n_act)
+    else:
+        arrs["cs_cnt"] = tiled_cumsum(valid.astype(jnp.int32))  # i32: native
     needs_sum = kset & {"sum", "mean", "var", "std", "m2", "sum_of_squares"}
     if needs_sum:
         acc = _acc_dtype_from(sv)
@@ -222,11 +224,24 @@ def _ident(dt, for_min: bool):
     return jnp.asarray(info.max if for_min else info.min, dt)
 
 
-def _boundaries(starts_full, n_groups, n_active, out_cap):
-    """Per-group (start, end) sorted-row indices from the P1 scatter."""
-    cap = starts_full.shape[0]
+def _boundaries(gid, n_groups, n_active, out_cap):
+    """Per-group (start, end) sorted-row indices.
+
+    Low cardinality (out_cap << N): vectorized binary search over the
+    sorted group ids — O(out_cap·log N), ~80ms at 64k queries/16M rows vs
+    ~200ms for an O(N) scatter (measured, benchmarks/probe_gather.py).
+    High cardinality (out_cap ~ N, e.g. ~unique string keys): searchsorted
+    cost grows with the query count past the scatter's, so fall back to ONE
+    O(N) scatter-min of row positions keyed by group id."""
+    cap = gid.shape[0]
     q = jnp.arange(out_cap, dtype=jnp.int32)
-    starts = jax.lax.slice(starts_full, (0,), (out_cap,))
+    if out_cap <= max(cap >> 5, 1 << 16):
+        starts = jnp.searchsorted(gid, q).astype(jnp.int32)
+    else:
+        rowpos = jnp.arange(cap, dtype=jnp.int32)
+        tgt = jnp.minimum(gid, jnp.int32(out_cap))  # inactive -> overflow slot
+        starts = jnp.full((out_cap + 1,), cap, jnp.int32).at[tgt].min(
+            rowpos)[:out_cap]
     nxt = jnp.concatenate([starts[1:], jnp.zeros((1,), jnp.int32)])
     ends = jnp.where(q + 1 < n_groups, nxt - 1, n_active - 1)
     ok = q < n_groups
@@ -297,7 +312,7 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
             kinds.append(set())
         kinds[vmap[cname]].add(s.kind)
 
-    scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col = _pass1(
+    scode, gid, pos, ng_dev, n_act, arrs_by_col = _pass1(
         key, tuple(vdatas), tuple(vvalids),
         tuple(frozenset(k) for k in kinds), tbits, pb)
 
@@ -316,7 +331,7 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
             pass
         out_cap = bucket_capacity(max(n_bound, 1))
         out_cols = _pass2(
-            scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col,
+            scode, gid, pos, ng_dev, n_act, arrs_by_col,
             tuple(aggs), agg_vidx, tuple(vcols), kcols, tuple(keys), mins,
             widths, nan_flags, null_flags, ranges, out_cap, tbits)
         n_groups = int(ng_dev)  # overlapped with pass2's device execution
@@ -324,7 +339,7 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
         n_groups = int(ng_dev)  # the ONE host sync
         out_cap = bucket_capacity(max(n_groups, 1))
         out_cols = _pass2(
-            scode, gid, pos, ng_dev, n_act, starts_full, arrs_by_col,
+            scode, gid, pos, ng_dev, n_act, arrs_by_col,
             tuple(aggs), agg_vidx, tuple(vcols), kcols, tuple(keys), mins,
             widths, nan_flags, null_flags, ranges, out_cap, tbits)
     # dictionaries / lengths are host metadata: rebind outside jit (the
@@ -342,11 +357,11 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
 
 @partial(jax.jit, static_argnames=("aggs", "agg_vidx", "keynames", "widths",
                                    "nan_flags", "null_flags", "out_cap", "tbits"))
-def _pass2(scode, gid, pos, n_groups, n_active, starts_full, arrs_by_col,
+def _pass2(scode, gid, pos, n_groups, n_active, arrs_by_col,
            aggs, agg_vidx, vcols, kcols, keynames, mins, widths, nan_flags,
            null_flags, ranges, out_cap, tbits):
     cap = gid.shape[0]
-    starts, ends, ok = _boundaries(starts_full, n_groups, n_active, out_cap)
+    starts, ends, ok = _boundaries(gid, n_groups, n_active, out_cap)
     out: Dict[str, Column] = {}
 
     # ---- key columns: decode codes at group starts -------------------------

@@ -103,10 +103,60 @@ def _codes(cols, specs, mins, ranges, nulls_equal):
     return slot, inb & ok
 
 
-@partial(jax.jit, static_argnames=("specs", "tbits", "how", "nulls_equal"))
-def _probe_direct(lcols, rcols, mins, ranges, specs, tbits, how, nulls_equal):
+MAX_FOLD_LANES = 9  # row table width cap: 3 meta cols + 9 payload lanes
+
+
+def _fold_plan(col: Column) -> Optional[str]:
+    """Static transport tag for a <=32-bit-physical column, or None.
+
+    Payload values ride the probe row table verbatim (bit transport, not
+    order codes): folded columns come back with the SAME (T, k) row gather
+    that fetches (cnt, starts, rep) — measured ~free vs a separate
+    per-column gather (~165ms each at 16M rows, benchmarks/probe_width.py:
+    row gathers cost the same at width 1 and width 8)."""
+    d = np.dtype(col.dtype.physical)
+    if d == np.bool_:
+        return "bool"
+    if d.itemsize == 4:
+        if d.kind == "f":
+            return "f32"
+        if d == np.uint32:
+            return "u32"
+        return str(d)
+    if d.itemsize <= 2 and d.kind in ("i", "u"):
+        return str(d)
+    return None
+
+
+def _fold_lane(col: Column, tag: str) -> jnp.ndarray:
+    d = col.data
+    if tag == "bool":
+        return d.astype(jnp.int32)
+    if tag in ("f32", "u32"):
+        return jax.lax.bitcast_convert_type(d, jnp.int32)
+    return d.astype(jnp.int32)
+
+
+def _unfold_lane(raw: jnp.ndarray, tag: str) -> jnp.ndarray:
+    if tag == "bool":
+        return raw.astype(jnp.bool_)
+    if tag == "f32":
+        return jax.lax.bitcast_convert_type(raw, jnp.float32)
+    if tag == "u32":
+        return jax.lax.bitcast_convert_type(raw, jnp.uint32)
+    return raw.astype(np.dtype(tag))
+
+
+@partial(jax.jit, static_argnames=("specs", "tbits", "how", "nulls_equal",
+                                   "fold_tags"))
+def _probe_direct(lcols, rcols, mins, ranges, specs, tbits, how, nulls_equal,
+                  fold_cols=(), fold_tags=()):
     """Fused build + probe + size pass. Returns per-left-row match info and
-    a small i64 meta vector [total, max_count] for ONE host sync."""
+    a small i64 meta vector [total, max_count] for ONE host sync.
+
+    ``fold_cols``: right payload columns whose i32 transport lanes (plus
+    validity lanes) scatter into the slot table and come back gathered per
+    left row — the distinct-lane payloads then need ZERO extra gathers."""
     T = 1 << tbits
     capR = rcols[0].capacity
     slotR, actR = _codes(rcols, specs, mins, ranges, nulls_equal)
@@ -120,13 +170,36 @@ def _probe_direct(lcols, rcols, mins, ranges, specs, tbits, how, nulls_equal):
     rkey = (slotR_s.astype(jnp.uint64) << jnp.uint64(pbR)) | rowR.astype(jnp.uint64)
     r_perm = (jax.lax.sort((rkey,), num_keys=1, is_stable=False)[0]
               & jnp.uint64((1 << pbR) - 1)).astype(jnp.int32)
-    tab = jnp.stack([cnt, starts, rep], axis=1)
+    pay_lanes = []
+    for c, tag in zip(fold_cols, fold_tags):
+        pay_lanes.append(_fold_lane(c, tag))
+        if c.validity is not None:
+            pay_lanes.append(c.validity.astype(jnp.int32))
+    lanetabs = [
+        jnp.zeros((T + 1,), jnp.int32).at[slotR_s].set(lane)[:T]
+        for lane in pay_lanes
+    ]
+    tab = jnp.stack([cnt, starts, rep] + lanetabs, axis=1)
 
     slotL, actL = _codes(lcols, specs, mins, ranges, nulls_equal)
     row = tab[jnp.clip(slotL, 0, T - 1), :]
     counts = jnp.where(actL, row[:, 0], 0)
     lb = row[:, 1]
     rep_l = jnp.where(counts > 0, row[:, 2], -1)
+    matched = counts > 0
+    folded = []
+    j = 3
+    for c, tag in zip(fold_cols, fold_tags):
+        data = _unfold_lane(row[:, j], tag)
+        j += 1
+        if c.validity is not None:
+            v = matched & (row[:, j] != 0)
+            j += 1
+        elif how == "left":
+            v = matched
+        else:
+            v = None
+        folded.append((data, v))
     capL = lcols[0].capacity
     linb = jnp.arange(capL, dtype=jnp.int32) < jnp.asarray(lcols[0].length, jnp.int32)
     if how == "left":
@@ -135,7 +208,7 @@ def _probe_direct(lcols, rcols, mins, ranges, specs, tbits, how, nulls_equal):
         eff = counts
     meta = jnp.stack([jnp.sum(eff.astype(jnp.int64)),
                       jnp.max(counts).astype(jnp.int64)])
-    return counts, lb, rep_l, r_perm, linb, meta
+    return counts, lb, rep_l, r_perm, linb, meta, tuple(folded)
 
 
 @partial(jax.jit, static_argnames=("check",))
@@ -173,30 +246,56 @@ def try_fast_join(left: Table, right: Table, left_on: Sequence[str],
     mins = tuple(jnp.float64(sp.vmin) for sp in specs)
     ranges = tuple(jnp.int32(sp.value_range) for sp in specs)
     probe_how = how if how in ("inner", "left") else "inner"
-    counts, lb, rep_l, r_perm, linb, meta = _probe_direct(
+    key_pairs = dict(zip(left_on, right_on))
+
+    # Fold <=32-bit right payload columns into the probe row table: their
+    # values come back with the SAME row gather that fetches (cnt, starts,
+    # rep) — the fact->dim distinct lane then needs ZERO per-column gathers
+    # (each ~165ms at 16M probes, benchmarks/probe_width.py).
+    pay_names = [] if how in ("semi", "anti") else [
+        n for n in right.names
+        if not (n in key_pairs.values() and n in left_on)]
+    fold_names: List[str] = []
+    fold_tags: List[str] = []
+    lanes_used = 0
+    for n in pay_names:
+        try:
+            tag = _fold_plan(right[n])
+        except TypeError:
+            tag = None  # list/struct physicals
+        w = 1 + (1 if right[n].validity is not None else 0)
+        if tag is not None and lanes_used + w <= MAX_FOLD_LANES:
+            fold_names.append(n)
+            fold_tags.append(tag)
+            lanes_used += w
+
+    counts, lb, rep_l, r_perm, linb, meta, folded = _probe_direct(
         tuple(lcols), tuple(rcols), mins, ranges, tuple(specs), tbits,
-        probe_how, nulls_equal)
+        probe_how, nulls_equal,
+        tuple(right[n] for n in fold_names), tuple(fold_tags))
 
     if how in ("semi", "anti"):
         keep = (counts == 0) if how == "anti" else (counts > 0)
         mask = Column(dtypes.bool_, keep, None, left.num_rows)
         return apply_boolean_mask(left, mask)
 
-    # Speculatively dispatch the distinct-lane payload gathers BEFORE the
-    # size sync: the fact->dim case (every probe matches <=1 build row) is
-    # the hot path, and its gathers then execute during the ~25ms tunnel
-    # round trip that fetches `meta`. If the speculation is wrong the
-    # gathered arrays are dropped unread — a few ms of wasted device work
-    # vs a full RTT saved on the common case.
+    # Speculatively dispatch the remaining (64-bit) distinct-lane payload
+    # gathers BEFORE the size sync: the fact->dim case (every probe matches
+    # <=1 build row) is the hot path, and its gathers then execute during
+    # the ~25ms tunnel round trip that fetches `meta`. If the speculation
+    # is wrong the gathered arrays are dropped unread — a few ms of wasted
+    # device work vs a full RTT saved on the common case.
     try:
         meta.copy_to_host_async()
     except Exception:
         pass
-    key_pairs = dict(zip(left_on, right_on))
     check = how == "left"
     spec_gathers: Dict[str, Column] = {}
-    for name in right.names:
-        if name in key_pairs.values() and name in left_on:
+    for n, (data, v) in zip(fold_names, folded):
+        rc = right[n]
+        spec_gathers[n] = Column(rc.dtype, data, v, rc.length, rc.dictionary)
+    for name in pay_names:
+        if name in spec_gathers:
             continue
         spec_gathers[name] = _gather_payload(right[name], rep_l, check)
 

@@ -146,22 +146,20 @@ def _wide_pass1(kcols, vdatas, vvalids, widths, kinds, dropna, nwords,
     n_active = jnp.sum(act.astype(jnp.int32))
     gid = jnp.where(act, gid, _I32MAX)
     rowpos = jnp.arange(cap, dtype=jnp.int32)
-    starts_full = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(newgrp, gid, cap - 1)].max(jnp.where(newgrp, rowpos, 0))
 
     arrs_by_col = []
     for sv, svalid, kset in zip(svs, svalids, kinds):
         arrs_by_col.append(build_scan_arrays(sv, svalid, act, newgrp, rowpos,
                                              kset))
-    return (gid, sorted_pos, n_groups, n_active, starts_full, arrs_by_col,
+    return (gid, sorted_pos, n_groups, n_active, arrs_by_col,
             tuple(skd), tuple(skv))
 
 
 @partial(jax.jit, static_argnames=("aggs", "agg_vidx", "keynames", "out_cap"))
-def _wide_pass2(gid, sorted_pos, n_groups, n_active, starts_full, arrs_by_col,
+def _wide_pass2(gid, sorted_pos, n_groups, n_active, arrs_by_col,
                 skd, skv, aggs, agg_vidx, vcols, kcols, keynames, out_cap):
     cap = gid.shape[0]
-    starts, ends, ok = _boundaries(starts_full, n_groups, n_active, out_cap)
+    starts, ends, ok = _boundaries(gid, n_groups, n_active, out_cap)
     out: Dict[str, Column] = {}
     for i, (name, c) in enumerate(zip(keynames, kcols)):
         data = skd[i][starts]
@@ -218,7 +216,7 @@ def wide_groupby(tbl: Table, keys: Sequence[str], aggs,
             kinds.append(set())
         kinds[vmap[cname]].add(s.kind)
 
-    (gid, sorted_pos, ng_dev, n_act, starts_full, arrs_by_col, skd, skv) = \
+    (gid, sorted_pos, ng_dev, n_act, arrs_by_col, skd, skv) = \
         _wide_pass1(kcols, tuple(vdatas), tuple(vvalids), tuple(widths),
                     tuple(frozenset(k) for k in kinds), dropna_keys, nwords,
                     flagshift)
@@ -226,7 +224,7 @@ def wide_groupby(tbl: Table, keys: Sequence[str], aggs,
     out_cap = bucket_capacity(max(n_groups, 1))
 
     agg_vidx = tuple(vmap[s.column if s.column else keys[0]] for s in aggs)
-    out_cols = _wide_pass2(gid, sorted_pos, ng_dev, n_act, starts_full,
+    out_cols = _wide_pass2(gid, sorted_pos, ng_dev, n_act,
                            arrs_by_col, skd, skv, tuple(aggs), agg_vidx,
                            tuple(vcols), kcols, tuple(keys), out_cap)
     out_cols = fix_lengths(out_cols, n_groups)

@@ -31,14 +31,23 @@ def set_partition_store(store) -> None:
 
 @dataclasses.dataclass
 class _Partition:
-    """Either a device Table or a spilled host representation."""
+    """Either a device Table or a spilled host representation.
+
+    Device residency is governed by the HBM budget manager (utils/hbm.py,
+    the rapidsmpf BufferResource analog): unspilling a partition ADMITS its
+    bytes, which may evict LRU-resident partitions back to host."""
 
     table: Optional[Table] = None
     host: Optional[dict] = None  # name -> (np data | store pid, np validity|None, dtype, dict)
     in_store: bool = False
 
     def get(self) -> Table:
+        from ..utils.hbm import get_hbm_budget, table_device_bytes
+
+        budget = get_hbm_budget()
         if self.table is not None:
+            if budget is not None:
+                budget.touch(id(self))
             return self.table
         cols = {}
         for name, (data, validity, dt, dic) in self.host.items():
@@ -50,7 +59,27 @@ class _Partition:
             if dic is not None:
                 c = cols[name]
                 cols[name] = Column(dt, c.data, c.validity, c.length, dic)
-        return Table(cols)
+        tbl = Table(cols)
+        if budget is not None:
+            # keep the device table resident (LRU) under the byte budget;
+            # the eviction callback holds only a weakref so a dropped frame
+            # can be garbage-collected while still registered
+            import weakref
+
+            self.table = tbl
+            ref = weakref.ref(self)
+            budget.admit(id(self), table_device_bytes(tbl),
+                         lambda: (lambda p: p.spill() if p else None)(ref()))
+        return tbl
+
+    def spill(self) -> None:
+        """Drop device references (budget eviction callback)."""
+        if self.table is None:
+            return
+        if self.host is None:
+            repl = _Partition.spilled(self.table)
+            self.host, self.in_store = repl.host, repl.in_store
+        self.table = None
 
     @staticmethod
     def spilled(tbl: Table) -> "_Partition":
@@ -72,6 +101,17 @@ class PartitionedFrame:
     def __init__(self, partitions: List[_Partition], spill: bool = True):
         self._parts = partitions
         self._spill = spill
+
+    def __del__(self):  # release budget registrations with the frame
+        try:
+            from ..utils.hbm import get_hbm_budget
+
+            budget = get_hbm_budget()
+            if budget is not None:
+                for p in self._parts:
+                    budget.release(id(p))
+        except Exception:
+            pass
 
     # ----------------------------------------------------------- construct
     @classmethod

@@ -1,0 +1,121 @@
+"""HBM budget manager: reservation-admission with LRU spill.
+
+TPU rebuild of rapidsmpf's BufferResource / reservation-admission control
+(SURVEY.md §2.7 spill row; reference: rapidsmpf buffer/resource.hpp —
+memory reservations are acquired before a buffer moves to device, and
+admission failure triggers spill of idle buffers). XLA owns the HBM
+allocator itself, so the budget governs the bytes *we* keep live device
+references to: every resident out-of-core partition registers here, and
+admitting a new one evicts least-recently-used victims (spilling them back
+to host / the native disk store) until the reservation fits.
+
+The budget is deliberately an upper bound on *tracked* bytes — transient
+XLA scratch inside a program is the compiler's business, not ours (same
+division of labor as the reference, where cudf kernels allocate from RMM
+inside a reservation the shuffler made).
+"""
+from __future__ import annotations
+
+import os
+import threading
+from collections import OrderedDict
+from typing import Callable, Optional
+
+
+class HbmBudget:
+    """Tracks live device bytes; admission spills LRU victims to fit."""
+
+    def __init__(self, budget_bytes: int):
+        self.budget = int(budget_bytes)
+        self._lock = threading.RLock()
+        self._live: "OrderedDict[int, tuple[int, Callable[[], None]]]" = OrderedDict()
+        self._used = 0
+        self.spill_count = 0
+        self.spilled_bytes = 0
+        self.admitted = 0
+
+    # ------------------------------------------------------------------ api
+    def admit(self, key: int, nbytes: int, spill_fn: Callable[[], None]) -> None:
+        """Reserve ``nbytes`` for ``key``; evict LRU victims as needed.
+
+        ``spill_fn`` must drop every device reference the key holds (it is
+        called WITHOUT the budget lock held for re-entrancy safety of the
+        caller's own locking; keys may exceed the budget alone — a single
+        oversized partition is admitted rather than deadlocked, matching
+        the reference's overbooking escape hatch)."""
+        victims = []
+        with self._lock:
+            if key in self._live:
+                old, _ = self._live.pop(key)
+                self._used -= old
+            while self._used + nbytes > self.budget and self._live:
+                vkey, (vbytes, vfn) = self._live.popitem(last=False)
+                self._used -= vbytes
+                victims.append((vbytes, vfn))
+            self._live[key] = (nbytes, spill_fn)
+            self._used += nbytes
+            self.admitted += 1
+        for vbytes, vfn in victims:
+            self.spill_count += 1
+            self.spilled_bytes += vbytes
+            vfn()
+
+    def touch(self, key: int) -> None:
+        with self._lock:
+            if key in self._live:
+                self._live.move_to_end(key)
+
+    def release(self, key: int) -> None:
+        with self._lock:
+            if key in self._live:
+                nbytes, _ = self._live.pop(key)
+                self._used -= nbytes
+
+    @property
+    def used(self) -> int:
+        return self._used
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "budget": self.budget,
+                "used": self._used,
+                "resident": len(self._live),
+                "spill_count": self.spill_count,
+                "spilled_bytes": self.spilled_bytes,
+                "admitted": self.admitted,
+            }
+
+
+_BUDGET: Optional[HbmBudget] = None
+
+
+def get_hbm_budget() -> Optional[HbmBudget]:
+    """The installed budget, or one bootstrapped from CUDF_TPU_HBM_BUDGET
+    (bytes; supports suffix-free floats like 2e9). None = unmanaged."""
+    global _BUDGET
+    if _BUDGET is None:
+        env = os.environ.get("CUDF_TPU_HBM_BUDGET")
+        if env:
+            _BUDGET = HbmBudget(int(float(env)))
+    return _BUDGET
+
+
+def set_hbm_budget(budget: Optional[HbmBudget]) -> None:
+    global _BUDGET
+    _BUDGET = budget
+
+
+def table_device_bytes(tbl) -> int:
+    """Estimated HBM bytes of a Table's buffers (capacity-padded)."""
+    import numpy as np
+
+    total = 0
+    for _, c in tbl:
+        try:
+            total += c.capacity * np.dtype(c.dtype.physical).itemsize
+        except TypeError:
+            total += c.capacity * 8
+        if c.validity is not None:
+            total += c.capacity  # bool lane
+    return total

@@ -50,7 +50,7 @@ def test_strings_dictionary_sorted():
     assert list(col.dictionary) == sorted(set(["banana", "apple", "cherry", ""]))
     out = col.to_numpy()
     assert list(out[:4]) == ["banana", "apple", "cherry", "apple"]
-    assert out[4] is None
+    assert pd.isna(out[4])
     # code order must equal string order for non-null values
     codes = np.asarray(col.data[:4])
     assert (np.argsort(codes, kind="stable") == np.argsort(out[:4].astype(str), kind="stable")).all()
@@ -135,7 +135,7 @@ class TestListColumn:
         last = lc.extract(-1)
         np.testing.assert_array_equal(last.to_numpy(), [20, 30, 60])
         oob = lc.extract(2).to_numpy()
-        assert oob[0] is None and oob[1] is None and oob[2] == 60
+        assert pd.isna(oob[0]) and pd.isna(oob[1]) and oob[2] == 60
 
     def test_groupby_collect(self):
         from cudf_tpu.core.lists import groupby_collect
@@ -155,7 +155,7 @@ class TestStructColumn:
         sc = StructColumn.from_pydict_rows(rows)
         assert sc.to_pylist() == rows
         x = sc.field("x").to_numpy()
-        assert x[0] == 1 and x[1] is None and x[2] == 3
+        assert x[0] == 1 and pd.isna(x[1]) and x[2] == 3
 
     def test_struct_as_sort_key(self):
         from cudf_tpu.core.structs import StructColumn

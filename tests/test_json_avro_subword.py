@@ -1,5 +1,6 @@
 """JSON path extraction, Avro IO round-trip, subword tokenizers."""
 import numpy as np
+import pandas as pd
 import pytest
 
 from cudf_tpu.core.column import Column
@@ -55,6 +56,9 @@ def test_avro_roundtrip(tmp_path):
         a, b = col.to_numpy(), out[name].to_numpy()
         if getattr(a.dtype, "kind", "O") == "f":
             np.testing.assert_allclose(a.astype(float), b.astype(float))
+        elif a.dtype == object:  # masked ints: nan-aware cellwise compare
+            assert all((pd.isna(x) and pd.isna(y)) or x == y
+                       for x, y in zip(a, b))
         else:
             np.testing.assert_array_equal(a, b)
 

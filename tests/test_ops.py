@@ -22,7 +22,7 @@ class TestBinaryOp:
         b = col([10, 20, 30])
         out = binaryop.binary_op(a, b, "add")
         assert out.null_count == 1
-        assert out.to_numpy()[1] is None or np.isnan(float(out.to_numpy()[1] or np.nan))
+        assert pd.isna(out.to_numpy()[1])
 
     def test_scalar_rhs(self):
         out = binaryop.binary_op(col([1, 2, 3]), 5, "mul")
@@ -51,7 +51,7 @@ class TestBinaryOp:
         out = binaryop.binary_op(a, b, "and")
         # NULL & True = NULL;  False & True = False; True & True = True
         res = out.to_numpy()
-        assert res[0] is None
+        assert pd.isna(res[0])
         assert res[1] == False and res[2] == True
 
     def test_timestamp_sub(self):
@@ -109,7 +109,7 @@ class TestCopying:
         c = col([10, 20, 30])
         idx = jnp.array([5, 0] + [0] * 126, dtype=np.int32)
         out = copying.gather(c, idx, 2, check_bounds=True)
-        assert out.to_numpy()[0] is None
+        assert pd.isna(out.to_numpy()[0])
 
     def test_concat(self):
         out = copying.concatenate([col([1, 2]), col([3, 4, 5])])
@@ -146,9 +146,9 @@ class TestSort:
         c = col([3, 1, 2], validity=[True, False, True])
         out = sorting.sort_column(c)
         res = out.to_numpy()
-        assert res[0] == 2 and res[1] == 3 and res[2] is None
+        assert res[0] == 2 and res[1] == 3 and pd.isna(res[2])
         out2 = sorting.sort_column(c, nulls_last=False)
-        assert out2.to_numpy()[0] is None
+        assert pd.isna(out2.to_numpy()[0])
 
     def test_multi_key_mixed_order(self):
         t = Table.from_pydict({"a": [1, 2, 1, 2], "b": [9.0, 8.0, 7.0, 6.0]})
@@ -193,7 +193,7 @@ class TestStrings:
         assert list(out.to_numpy()[:2]) == ["apple", "banana"]
         m = strings.contains(c, "AN", regex=False)
         res = m.to_numpy()
-        assert res[0] == False and res[1] == True and res[2] is None
+        assert res[0] == False and res[1] == True and pd.isna(res[2])
 
     def test_like(self):
         c = col(np.array(["promo pack", "standard", "promo box"], object))

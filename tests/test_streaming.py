@@ -113,11 +113,11 @@ class TestRolling:
     def test_shift_diff(self):
         c = col([1, 2, 4, 8])
         out = roll.shift(c, 1).to_numpy()
-        assert out[0] is None and list(out[1:]) == [1, 2, 4]
+        assert pd.isna(out[0]) and list(out[1:]) == [1, 2, 4]
         out = roll.shift(c, -1).to_numpy()
-        assert list(out[:3]) == [2, 4, 8] and out[3] is None
+        assert list(out[:3]) == [2, 4, 8] and pd.isna(out[3])
         d = roll.diff(c).to_numpy()
-        assert d[0] is None and list(d[1:]) == [1, 2, 4]
+        assert pd.isna(d[0]) and list(d[1:]) == [1, 2, 4]
 
 
 class TestSearchFilling:
@@ -147,7 +147,7 @@ class TestSearchFilling:
         out = filling.label_bins(c, [0, 1, 2, 3], right=True).to_numpy()
         exp = pd.cut(pd.Series(vals), [0, 1, 2, 3], labels=False, include_lowest=True)
         for g, e in zip(out, exp):
-            assert (g is None and np.isnan(e)) or g == e
+            assert (pd.isna(g) and np.isnan(e)) or g == e
 
     def test_repeat_tile(self):
         t = Table.from_pydict({"a": [1, 2]})
@@ -252,7 +252,7 @@ class TestDictMergeText:
         c = col(np.array(["a", "b", "c"], object))
         out = dct.set_keys(c, np.array(["a", "c"]))
         res = out.to_numpy()
-        assert res[0] == "a" and res[1] is None and res[2] == "c"
+        assert res[0] == "a" and pd.isna(res[1]) and res[2] == "c"
 
     def test_merge_sorted(self):
         from cudf_tpu.ops.merge import merge_sorted
