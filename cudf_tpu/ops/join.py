@@ -575,6 +575,14 @@ def _try_sorted_nto1_join(left: Table, right: Table, left_on, right_on,
     l_out = tuple(left[n] for n in left.names)
     rpay = tuple(right[n] for n in rpay_names)
     capL = lcols[0].capacity
+    capR = rcols[0].capacity
+    # Compile-resource guard: the payload-carrying multi-word sort at a
+    # 32M-row combined bucket builds lax.sort calls with ~10 operand arrays
+    # of 33M u64s — the remote XLA compile helper gets OOM-killed (observed
+    # at 16M left + 800k right). The payload-free combined probe + gather
+    # retrieve compiles fine at that scale; use it instead.
+    if bucket_capacity(capL + capR) > (1 << 24):
+        return None
     out_cap = capL
     outs, meta = _sorted_nto1_impl(
         l_out, tuple(lcols), tuple(rcols), rpay, tuple(widths), nwords,

@@ -1,0 +1,243 @@
+"""Multi-process streaming plan executor: one lowered IR, N controller ranks.
+
+The multi-controller analog of the reference's streaming executor, where
+every IR node materializes as one task sub-network per rank and shuffles
+are buffered rank-to-rank sends (reference: libcudf_streaming
+actor_graph/core.py:203-300 — one actor sub-network per IR node per rank;
+rapidsmpf shuffler semantics for the exchanges). Here:
+
+- every rank walks the SAME lowered plan (deterministic tree walk =
+  identical collective schedule, the multi-controller invariant);
+- each rank owns a slice of every scan and processes its partitions
+  through elementwise stages rank-locally (lazy, partition at a time);
+- ``Shuffle`` re-keys rows to their owner rank with the addressed p2p KV
+  exchange (`multihost.host_exchange` — O(total bytes), not an allgather)
+  and then re-splits locally to the lowered partition count;
+- broadcast/global stages replicate via the same exchange.
+
+Single-process (jax.process_count()==1) degenerates to the out-of-core
+partitioned executor semantics, so this path is testable without a cluster
+and the 2-process gloo fixture covers the exchanges (tests/test_multihost.py).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+
+from ..core.table import Table
+from ..expr import ir as IRM
+from ..expr.lowering import LoweringConfig, lower_ir_graph
+from ..expr.nodebase import CachingVisitor
+from . import multihost
+from .plan_executor import _hash_split, _split_rows
+
+
+def _me() -> int:
+    return jax.process_index()
+
+
+def _nproc() -> int:
+    return jax.process_count()
+
+
+def _concat(tables: List[Table]) -> Table:
+    from ..ops.copying import concatenate_tables
+
+    return concatenate_tables(tables) if len(tables) > 1 else tables[0]
+
+
+def _replicate(tbl: Table) -> Table:
+    """Allgather a (small) table: every rank sends its local piece to every
+    rank; the concatenation is the global table on all ranks."""
+    n = _nproc()
+    if n == 1:
+        return tbl
+    got = multihost.host_exchange([tbl] * n)
+    return _concat(got)
+
+
+def _exchange(parts_by_rank: List[Table]) -> Table:
+    n = _nproc()
+    if n == 1:
+        return parts_by_rank[0]
+    return _concat(multihost.host_exchange(parts_by_rank))
+
+
+def execute_multiproc(root: IRM.IR, config: Optional[LoweringConfig] = None,
+                      collect: str = "local"):
+    """Execute a lowered plan across all processes.
+
+    ``collect``: "local" returns this rank's Table slice of the result;
+    "global" allgathers the full result onto every rank.
+    """
+    plan, info = lower_ir_graph(root, config)
+    me, nproc = _me(), _nproc()
+
+    def _rank_count(n: IRM.IR) -> int:
+        # per-rank partition count: the lowered global count divided across
+        # ranks (>=1 so every rank walks the same schedule)
+        return max(1, info[n].count // nproc)
+
+    def _local(n: IRM.IR, tables: List[Table]) -> Table:
+        sub = n.reconstruct([IRM.DataFrameScan(t) for t in tables])
+        return IRM.execute(sub)
+
+    def _exec(n: IRM.IR, visitor) -> List[Table]:
+        if isinstance(n, IRM.DataFrameScan):
+            mine = _split_rows(n._tbl, nproc)[me]
+            return _split_rows(mine, _rank_count(n))
+        if isinstance(n, IRM.Scan):
+            fmt, paths, columns = n.args
+            from ..io import scan as io_scan
+
+            paths = list(paths)
+            cols = None if columns is None else list(columns)
+            if len(paths) >= nproc:
+                mine_paths = [p for i, p in enumerate(paths)
+                              if i % nproc == me]
+                t = io_scan(fmt, mine_paths, cols)
+                return _split_rows(t, _rank_count(n))
+            t = io_scan(fmt, paths, cols)
+            mine = _split_rows(t, nproc)[me]
+            return _split_rows(mine, _rank_count(n))
+        if isinstance(n, IRM.Shuffle):
+            kids = visitor(n.children[0])
+            keys = list(n.args[0])
+            # rank-owner exchange: hash % nproc picks the owner rank
+            by_rank: List[List[Table]] = [[] for _ in range(nproc)]
+            for t in kids:
+                for r, sub in enumerate(_hash_split(t, keys, nproc)):
+                    by_rank[r].append(sub)
+            sends = [_concat(b) for b in by_rank]
+            mine = _exchange(sends)
+            # co-partition within the rank for downstream partition-wise ops
+            out = [s for s in _hash_split(mine, keys, _rank_count(n))]
+            return out
+        if isinstance(n, IRM.Repartition):
+            kids = visitor(n.children[0])
+            return _split_rows(_concat(kids), _rank_count(n))
+        if isinstance(n, (IRM.Select, IRM.HStack, IRM.Filter, IRM.Projection,
+                          IRM.MapFunction, IRM.Distinct, IRM.GroupBy)):
+            kids = visitor(n.children[0])
+            return [_local(n, [t]) for t in kids]
+        if isinstance(n, IRM.Join):
+            lparts = visitor(n.children[0])
+            rparts = visitor(n.children[1])
+            r_is_small = info[n.children[1]].count == 1
+            if r_is_small:
+                # broadcast join: replicate the small side to every rank
+                rfull = _replicate(_concat(rparts))
+                return [_local(n, [t, rfull]) for t in lparts]
+            assert len(lparts) == len(rparts), "join sides not co-partitioned"
+            return [_local(n, [lt, rt]) for lt, rt in zip(lparts, rparts)]
+        if isinstance(n, IRM.Sort):
+            kids = visitor(n.children[0])
+            by, desc, nl = n.args
+            by = list(by)
+            d0 = list(desc)[0] if desc else False
+            merged = _concat(kids)
+            if nproc == 1:
+                from ..ops.sorting import sort_by_key
+
+                return [sort_by_key(merged, by, list(desc), list(nl))]
+            # distributed sample sort: allgather samples -> global
+            # splitters -> range exchange -> local sort (ranks hold ordered
+            # ranges, ascending by rank)
+            first = by[0]
+            if not merged[first].dtype.is_numeric:
+                # non-numeric first key: replicate-and-slice (exact; the
+                # range-split comparators below are numeric-only)
+                full = _replicate(merged)
+                from ..ops.sorting import sort_by_key
+
+                s = sort_by_key(full, by, list(desc), list(nl))
+                return [_split_rows(s, nproc)[me]]
+            v = merged[first].to_numpy()
+            take = min(len(v), 64 * nproc)
+            samp = (np.asarray(v[np.linspace(0, len(v) - 1, take).astype(int)])
+                    if take else np.array([], dtype=float))
+            samp_t = Table.from_pandas(_pd().DataFrame({first: samp}))
+            allsamp = np.sort(_replicate(samp_t)[first].to_numpy())
+            if d0:
+                allsamp = allsamp[::-1]
+            qs = [allsamp[int(len(allsamp) * (r + 1) / nproc)]
+                  for r in range(nproc - 1)] if len(allsamp) else []
+            sends = _range_split(merged, first, qs, d0, nproc)
+            mine = _exchange(sends)
+            from ..ops.sorting import sort_by_key
+
+            return [sort_by_key(mine, by, list(desc), list(nl))]
+        if isinstance(n, IRM.Union):
+            out: List[Table] = []
+            for c in n.children:
+                out.extend(visitor(c))
+            return out
+        if isinstance(n, (IRM.Reduce, IRM.Slice, IRM.HConcat, IRM.MergeSorted,
+                          IRM.ConditionalJoin, IRM.Rolling, IRM.Sink,
+                          IRM.Empty)):
+            # global-semantics nodes: replicate inputs, compute everywhere
+            # (deterministic; results identical on every rank), keep 1/nproc
+            kid_lists = [visitor(c) for c in n.children]
+            tables = [_replicate(_concat(kl)) for kl in kid_lists]
+            full = _local(n, tables)
+            return [_split_rows(full, nproc)[me]]
+        if isinstance(n, IRM.Cache):
+            return visitor(n.children[0])
+        raise TypeError(f"multiproc engine cannot execute {type(n).__name__}")
+
+    parts = CachingVisitor(_exec)(plan)
+    local = _concat(parts)
+    if collect == "global":
+        return _replicate(local)
+    return local
+
+
+def _pd():
+    import pandas as pd
+
+    return pd
+
+
+def _range_split(tbl: Table, key: str, splitters, descending: bool,
+                 nproc: int) -> List[Table]:
+    """Partition rows into per-rank range buckets by the first sort key."""
+    from ..ops import binaryop
+    from ..ops.stream_compaction import apply_boolean_mask
+
+    if not splitters:
+        return [tbl] + [tbl.slice(0, 0)] * (nproc - 1)
+    out = []
+    lo_op, hi_op = ("ge", "lt") if not descending else ("le", "gt")
+    col = tbl[key]
+    # NaN/null keys compare False against every splitter — route them to
+    # the LAST rank explicitly (nulls-last global order)
+    oob = binaryop.binary_op(col, col, "ne")  # NaN != NaN
+    if col.validity is not None:
+        from ..core import dtypes as _dt
+        from ..core.column import Column as _Col
+        import jax.numpy as _jnp
+
+        oob = _Col(_dt.bool_, oob.data.astype(_jnp.bool_) | ~col.validity,
+                   None, col.length)
+    for r in range(nproc):
+        lo = splitters[r - 1] if r > 0 else None
+        hi = splitters[r] if r < nproc - 1 else None
+        mask = None
+        if lo is not None:
+            mask = binaryop.binary_op(col, lo, lo_op)
+        if hi is not None:
+            m2 = binaryop.binary_op(col, hi, hi_op)
+            mask = m2 if mask is None else binaryop.binary_op(mask, m2, "and")
+        if mask is None:
+            out.append(tbl)
+            continue
+        if r == nproc - 1:
+            mask = binaryop.binary_op(mask, oob, "or")
+        else:
+            notoob = binaryop.binary_op(oob, True, "ne")
+            mask = binaryop.binary_op(mask, notoob, "and")
+        out.append(apply_boolean_mask(tbl, mask))
+    return out

@@ -97,6 +97,39 @@ _WORKER = textwrap.dedent("""
         y = t.to_pandas()["y"].to_numpy()
         assert len(y) == M and y[0] == 1000 * src + pid, (src, y[0])
     print(f"PROC{pid} EXCHANGE OK", flush=True)
+
+    # multi-process streaming plan executor: groupby + shuffle join through
+    # the rank-addressed exchange (parallel/multiproc_stream.py)
+    from cudf_tpu.expr import ir as IRM
+    from cudf_tpu.expr.expressions import Agg, NamedExpr, col
+    from cudf_tpu.expr.lowering import LoweringConfig
+    from cudf_tpu.parallel.multiproc_stream import execute_multiproc
+
+    cfg = LoweringConfig(target_partition_bytes=10_000,
+                         broadcast_limit_bytes=10)
+    mdf = pd.DataFrame({"k": rng.integers(0, 23, 3000),
+                        "v": rng.normal(size=3000)})
+    plan = IRM.GroupBy(("k",),
+                       (NamedExpr("s", Agg("sum", children=(col("v"),))),),
+                       children=(IRM.DataFrameScan(Table.from_pandas(mdf)),))
+    got_g = execute_multiproc(plan, cfg, collect="global").to_pandas()
+    want_g = mdf.groupby("k", as_index=False).agg(s=("v", "sum"))
+    pd.testing.assert_frame_equal(
+        got_g.sort_values("k").reset_index(drop=True),
+        want_g.sort_values("k").reset_index(drop=True), check_dtype=False)
+
+    dim = mdf.drop_duplicates("k")[["k"]].assign(t=lambda d: d["k"] * 2.0)
+    jp = IRM.Join(("k",), ("k",), "inner",
+                  children=(IRM.DataFrameScan(Table.from_pandas(mdf[["k", "v"]])),
+                            IRM.DataFrameScan(Table.from_pandas(dim))))
+    got_j = execute_multiproc(jp, cfg, collect="global").to_pandas()
+    want_j = mdf[["k", "v"]].merge(dim, on="k")
+    cols_j = sorted(got_j.columns)
+    pd.testing.assert_frame_equal(
+        got_j[cols_j].sort_values(cols_j).reset_index(drop=True),
+        want_j[cols_j].sort_values(cols_j).reset_index(drop=True),
+        check_dtype=False, rtol=1e-12)
+    print(f"PROC{pid} MULTIPROC-STREAM OK", flush=True)
 """)
 
 
@@ -128,6 +161,7 @@ def _run_workers(tmp_path, nproc: int, timeout: int = 420):
         assert rc == 0, (rc, out[-2000:], err[-4000:])
         assert "GROUPBY OK" in out, out
         assert "EXCHANGE OK" in out, out
+        assert "MULTIPROC-STREAM OK" in out, out
 
 
 def test_two_process_dist_groupby(tmp_path):

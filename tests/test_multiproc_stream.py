@@ -1,0 +1,105 @@
+"""Multi-process streaming executor (parallel/multiproc_stream.py) — the
+multi-controller task-network engine (reference: libcudf_streaming
+actor_graph/core.py per-rank sub-networks + rapidsmpf shuffler).
+
+Single-process here (exchange degenerates to identity); the 2-process gloo
+leg lives in tests/test_multihost.py's worker."""
+import numpy as np
+import pandas as pd
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.expr import ir as IRM
+from cudf_tpu.expr.expressions import Agg, BinOp, NamedExpr, col, lit
+from cudf_tpu.expr.lowering import LoweringConfig
+from cudf_tpu.parallel.multiproc_stream import execute_multiproc
+
+SMALL = LoweringConfig(target_partition_bytes=20_000, broadcast_limit_bytes=2_000)
+
+
+def _df(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 50, n),
+        "g": rng.integers(0, 7, n),
+        "v": rng.normal(size=n),
+        "w": rng.uniform(1, 2, n),
+    })
+
+
+def _scan(df):
+    return IRM.DataFrameScan(Table.from_pandas(df))
+
+
+def test_groupby_via_shuffle():
+    df = _df()
+    plan = IRM.GroupBy(("k",), (NamedExpr("s", Agg("sum", children=(col("v"),))),),
+                       children=(_scan(df),))
+    got = execute_multiproc(plan, SMALL, collect="global").to_pandas()
+    want = df.groupby("k", as_index=False).agg(s=("v", "sum"))
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_shuffle_join_both_big():
+    a = _df(4000, 1)[["k", "v"]]
+    b2 = _df(4000, 2).drop_duplicates("k")[["k", "w"]]
+    plan = IRM.Join(("k",), ("k",), "inner",
+                    children=(_scan(a), _scan(b2)))
+    cfg = LoweringConfig(target_partition_bytes=10_000, broadcast_limit_bytes=10)
+    got = execute_multiproc(plan, cfg, collect="global").to_pandas()
+    want = a.merge(b2, on="k")
+    gc = sorted(got.columns)
+    got = got[gc].sort_values(gc).reset_index(drop=True)
+    want = want[gc].sort_values(gc).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12)
+
+
+def test_broadcast_join():
+    big = _df(5000)
+    small = pd.DataFrame({"k": np.arange(50), "t": np.arange(50) * 2.0})
+    plan = IRM.Join(("k",), ("k",), "inner",
+                    children=(_scan(big), _scan(small)))
+    got = execute_multiproc(plan, SMALL, collect="global").to_pandas()
+    want = big.merge(small, on="k")
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False, rtol=1e-12)
+
+
+def test_filter_select_pipeline():
+    df = _df()
+    pred = NamedExpr("p", BinOp("gt", children=(col("v"), lit(0.0))))
+    plan = IRM.Select(
+        (NamedExpr("k", col("k")), NamedExpr("vw",
+                                             BinOp("mul", children=(col("v"), col("w"))))),
+        children=(IRM.Filter(pred.expr, children=(_scan(df),)),))
+    got = execute_multiproc(plan, SMALL, collect="global").to_pandas()
+    sub = df[df["v"] > 0.0]
+    want = pd.DataFrame({"k": sub["k"], "vw": sub["v"] * sub["w"]}).reset_index(drop=True)
+    got = got.sort_values(["k", "vw"]).reset_index(drop=True)
+    want = want.sort_values(["k", "vw"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12)
+
+
+def test_sort_global_order():
+    df = _df(3000, 5)
+    plan = IRM.Sort(("v",), (False,), (True,), children=(_scan(df),))
+    got = execute_multiproc(plan, SMALL, collect="global").to_pandas()
+    want = df.sort_values("v", kind="stable").reset_index(drop=True)
+    # global order must hold across rank boundaries
+    assert (np.diff(got["v"].to_numpy()) >= 0).all()
+    pd.testing.assert_frame_equal(
+        got.sort_values(list(got.columns)).reset_index(drop=True),
+        want.sort_values(list(want.columns)).reset_index(drop=True),
+        check_dtype=False, rtol=1e-12)
+
+
+def test_reduce_global():
+    df = _df()
+    plan = IRM.Reduce((NamedExpr("t", Agg("sum", children=(col("v"),))),),
+                      children=(_scan(df),))
+    got = execute_multiproc(plan, SMALL, collect="global").to_pandas()
+    assert np.isclose(float(got["t"].iloc[0]), df["v"].sum())
