@@ -37,6 +37,10 @@ class Datasource:
         if isinstance(src, (bytes, bytearray, memoryview)):
             return BytesDatasource(bytes(src))
         s = str(src)
+        if s.startswith("s3://"):
+            from .s3 import S3Datasource
+
+            return S3Datasource(s)
         if s.startswith("http://") or s.startswith("https://"):
             return HTTPDatasource(s)
         return FileDatasource(s)
@@ -87,6 +91,10 @@ class HTTPDatasource(Datasource):
         self._full: Optional[bytes] = None
         self._range_cache: list = []  # [(offset, bytes)] non-overlapping
 
+    def _headers(self, extra: dict, method: str = "GET") -> dict:
+        """Request-header hook: subclasses add auth (e.g. S3 SigV4)."""
+        return extra
+
     def _retrying(self, fn):
         import time as _time
 
@@ -124,7 +132,8 @@ class HTTPDatasource(Datasource):
         def go():
             req = urllib.request.Request(
                 self.url,
-                headers={"Range": f"bytes={offset}-{offset + size - 1}"})
+                headers=self._headers(
+                    {"Range": f"bytes={offset}-{offset + size - 1}"}))
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return r.read()
         data = self._retrying(go)
@@ -136,7 +145,8 @@ class HTTPDatasource(Datasource):
 
     def size(self) -> int:
         if self._size is None:
-            req = urllib.request.Request(self.url, method="HEAD")
+            req = urllib.request.Request(self.url, method="HEAD",
+                                         headers=self._headers({}, "HEAD"))
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 cl = r.headers.get("Content-Length")
                 if cl is None:
@@ -157,7 +167,9 @@ class HTTPDatasource(Datasource):
     def read_all(self) -> bytes:
         if self._full is None:
             def go():
-                with urllib.request.urlopen(self.url, timeout=self.timeout) as r:
+                req = urllib.request.Request(self.url,
+                                             headers=self._headers({}))
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
                     return r.read()
             self._full = self._retrying(go)
             self._size = len(self._full)

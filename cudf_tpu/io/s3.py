@@ -1,0 +1,127 @@
+"""S3 datasource: AWS Signature V4 range reads with zero dependencies.
+
+The remote-object-store leg of the datasource abstraction (reference:
+cpp/src/io/utilities/datasource.cpp:16-31 — kvikio's S3 endpoint; docs
+name S3/HTTP/HDFS as the remote sources). Implemented directly over the
+S3 REST API with stdlib urllib + hmac so no SDK is required:
+
+- SigV4 canonical request / string-to-sign / signing key per the AWS
+  documentation (tested against AWS's published signature test vectors,
+  tests/test_s3.py);
+- ``s3://bucket/key`` URLs; region + credentials from arguments or the
+  standard AWS_* environment variables; custom ``endpoint_url`` supports
+  any S3-compatible store (minio etc.) and the tests' local fake;
+- byte-range GETs ride the same retry/backoff + range-cache machinery as
+  HTTPDatasource, so parquet row-group pruning never downloads skipped
+  bytes.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import hmac
+import os
+import urllib.parse
+from typing import Dict, Optional, Tuple
+
+from .datasource import Datasource, HTTPDatasource
+
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
+    """AWS SigV4 derived signing key (AWS docs: 'Calculating a signature')."""
+    k_date = _hmac(("AWS4" + secret_key).encode(), date)
+    k_region = _hmac(k_date, region)
+    k_service = _hmac(k_region, service)
+    return _hmac(k_service, "aws4_request")
+
+
+def canonical_request(method: str, path: str, query: str,
+                      headers: Dict[str, str], payload_hash: str
+                      ) -> Tuple[str, str]:
+    """(canonical_request, signed_headers) — AWS SigV4 step 1."""
+    sorted_hdrs = sorted((k.lower(), " ".join(str(v).split()))
+                         for k, v in headers.items())
+    canon_headers = "".join(f"{k}:{v}\n" for k, v in sorted_hdrs)
+    signed = ";".join(k for k, _ in sorted_hdrs)
+    # query: sorted by key, values URI-encoded
+    pairs = urllib.parse.parse_qsl(query, keep_blank_values=True)
+    canon_query = "&".join(
+        f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
+        for k, v in sorted(pairs))
+    cr = "\n".join([method, path or "/", canon_query, canon_headers, signed,
+                    payload_hash])
+    return cr, signed
+
+
+def sign_request(method: str, url: str, headers: Dict[str, str],
+                 region: str, access_key: str, secret_key: str,
+                 amz_date: Optional[str] = None,
+                 payload_hash: str = _EMPTY_SHA256,
+                 service: str = "s3",
+                 session_token: Optional[str] = None) -> Dict[str, str]:
+    """Return ``headers`` plus Authorization/x-amz-* for a SigV4 request."""
+    parsed = urllib.parse.urlsplit(url)
+    now = amz_date or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+    date = now[:8]
+    out = dict(headers)
+    out.setdefault("host", parsed.netloc)
+    out["x-amz-date"] = now
+    out["x-amz-content-sha256"] = payload_hash
+    if session_token:
+        out["x-amz-security-token"] = session_token
+    cr, signed = canonical_request(method, parsed.path, parsed.query, out,
+                                   payload_hash)
+    scope = f"{date}/{region}/{service}/aws4_request"
+    sts = "\n".join(["AWS4-HMAC-SHA256", now, scope,
+                     hashlib.sha256(cr.encode()).hexdigest()])
+    sig = hmac.new(signing_key(secret_key, date, region, service),
+                   sts.encode(), hashlib.sha256).hexdigest()
+    out["Authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed}, Signature={sig}")
+    return out
+
+
+class S3Datasource(HTTPDatasource):
+    """Random-access reads from ``s3://bucket/key`` via signed Range GETs."""
+
+    def __init__(self, url: str, region: Optional[str] = None,
+                 access_key: Optional[str] = None,
+                 secret_key: Optional[str] = None,
+                 session_token: Optional[str] = None,
+                 endpoint_url: Optional[str] = None,
+                 timeout: float = 60.0, retries: int = 3,
+                 backoff: float = 0.5):
+        parsed = urllib.parse.urlsplit(url)
+        assert parsed.scheme == "s3", url
+        self.bucket = parsed.netloc
+        self.key = parsed.path.lstrip("/")
+        self.region = region or os.environ.get("AWS_DEFAULT_REGION", "us-east-1")
+        self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+        self.secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+        self.session_token = session_token or os.environ.get("AWS_SESSION_TOKEN")
+        if endpoint_url is None:
+            endpoint_url = f"https://{self.bucket}.s3.{self.region}.amazonaws.com"
+            http_url = f"{endpoint_url}/{urllib.parse.quote(self.key)}"
+        else:
+            http_url = (f"{endpoint_url.rstrip('/')}/{self.bucket}/"
+                        f"{urllib.parse.quote(self.key)}")
+        super().__init__(http_url, timeout=timeout, retries=retries,
+                         backoff=backoff)
+
+    # HTTPDatasource builds its requests through this hook
+    def _headers(self, extra: Dict[str, str],
+                 method: str = "GET") -> Dict[str, str]:
+        return sign_request(method, self.url, extra, self.region,
+                            self.access_key, self.secret_key,
+                            session_token=self.session_token)
+
+
+def open_s3(url: str, **kw) -> S3Datasource:
+    return S3Datasource(url, **kw)
