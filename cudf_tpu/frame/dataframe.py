@@ -41,6 +41,15 @@ class DataFrame:
                         raise ValueError("scalar dict values need explicit length")
                     if arr.dtype == object:
                         validity = np.array([x is not None for x in v])
+                        numeric = all(
+                            isinstance(x, (int, float, np.integer, np.floating))
+                            and not isinstance(x, bool)
+                            for x in v if x is not None)
+                        if numeric and not validity.all():
+                            # pandas: [1.0, None] infers float64 with NaN
+                            arr = np.array([np.nan if x is None else float(x)
+                                            for x in v], np.float64)
+                            validity = np.ones(len(arr), bool)
                         cols[str(k)] = Column.from_numpy(arr, validity if not validity.all() else None)
                     else:
                         cols[str(k)] = Column.from_numpy(arr)
@@ -413,6 +422,455 @@ class DataFrame:
         from ..utils.real_pandas import pd
 
         return pd.Series({n: Series(column=c, name=n).count() for n, c in self._tbl})
+
+    # ------------------------------------------------- pandas long tail
+    def _map_columns(self, fn, numeric_only=False):
+        """Apply a Series->Series transform column-wise."""
+        from ..core.table import Table
+
+        cols = {}
+        for n, c in self._tbl:
+            if numeric_only and not c.dtype.is_numeric:
+                cols[n] = c
+            else:
+                cols[n] = fn(Series(column=c, name=n))._col
+        return DataFrame._from_table(Table(cols), index=self._index)
+
+    def _binop_frame(self, other, op, reflect=False):
+        from ..core.table import Table
+
+        cols = {}
+        for n, c in self._tbl:
+            s = Series(column=c, name=n)
+            rhs = other[n] if isinstance(other, DataFrame) else other
+            cols[n] = s._binop(rhs, op, reflect)._col
+        return DataFrame._from_table(Table(cols), index=self._index)
+
+    def add(self, o):
+        return self._binop_frame(o, "add")
+
+    def radd(self, o):
+        return self._binop_frame(o, "add", True)
+
+    def sub(self, o):
+        return self._binop_frame(o, "sub")
+
+    def rsub(self, o):
+        return self._binop_frame(o, "sub", True)
+
+    def mul(self, o):
+        return self._binop_frame(o, "mul")
+
+    def rmul(self, o):
+        return self._binop_frame(o, "mul", True)
+
+    def div(self, o):
+        return self._binop_frame(o, "div")
+
+    truediv = div
+    rdiv = rtruediv = lambda self, o: self._binop_frame(o, "div", True)
+
+    def floordiv(self, o):
+        return self._binop_frame(o, "floordiv")
+
+    def rfloordiv(self, o):
+        return self._binop_frame(o, "floordiv", True)
+
+    def mod(self, o):
+        return self._binop_frame(o, "mod")
+
+    def rmod(self, o):
+        return self._binop_frame(o, "mod", True)
+
+    def pow(self, o):
+        return self._binop_frame(o, "pow")
+
+    def rpow(self, o):
+        return self._binop_frame(o, "pow", True)
+
+    def eq(self, o):
+        return self._binop_frame(o, "eq")
+
+    def ne(self, o):
+        return self._binop_frame(o, "ne")
+
+    def lt(self, o):
+        return self._binop_frame(o, "lt")
+
+    def le(self, o):
+        return self._binop_frame(o, "le")
+
+    def gt(self, o):
+        return self._binop_frame(o, "gt")
+
+    def ge(self, o):
+        return self._binop_frame(o, "ge")
+
+    def __add__(self, o):
+        return self.add(o)
+
+    def __sub__(self, o):
+        return self.sub(o)
+
+    def __mul__(self, o):
+        return self.mul(o)
+
+    def __truediv__(self, o):
+        return self.div(o)
+
+    def abs(self):
+        return self._map_columns(lambda s: s.abs(), numeric_only=True)
+
+    def round(self, decimals=0):
+        return self._map_columns(lambda s: s.round(decimals), numeric_only=True)
+
+    def clip(self, lower=None, upper=None):
+        return self._map_columns(lambda s: s.clip(lower, upper),
+                                 numeric_only=True)
+
+    def cumsum(self):
+        return self._map_columns(lambda s: s.cumsum(), numeric_only=True)
+
+    def cummax(self):
+        return self._map_columns(lambda s: s.cummax(), numeric_only=True)
+
+    def cummin(self):
+        return self._map_columns(lambda s: s.cummin(), numeric_only=True)
+
+    def cumprod(self):
+        return self._map_columns(lambda s: s.cumprod(), numeric_only=True)
+
+    def shift(self, periods=1):
+        return self._map_columns(lambda s: s.shift(periods))
+
+    def diff(self, periods=1):
+        return self._map_columns(lambda s: s.diff(periods),
+                                 numeric_only=True)
+
+    def pct_change(self, periods=1):
+        return self._map_columns(lambda s: s.pct_change(periods),
+                                 numeric_only=True)
+
+    def ffill(self):
+        return self._map_columns(lambda s: s.ffill())
+
+    def bfill(self):
+        return self._map_columns(lambda s: s.bfill())
+
+    def rank(self, method="average", ascending=True, pct=False):
+        return self._map_columns(lambda s: s.rank(method, ascending, pct),
+                                 numeric_only=True)
+
+    def where(self, cond, other=np.nan):
+        from ..core.table import Table
+
+        cols = {}
+        for n, c in self._tbl:
+            cc = cond[n] if isinstance(cond, DataFrame) else cond
+            cols[n] = Series(column=c, name=n).where(cc, other)._col
+        return DataFrame._from_table(Table(cols), index=self._index)
+
+    def mask(self, cond, other=np.nan):
+        inv = (~cond if isinstance(cond, Series)
+               else cond._map_columns(lambda s: ~s) if isinstance(cond, DataFrame)
+               else ~np.asarray(cond))
+        return self.where(inv, other)
+
+    def isin(self, values):
+        return self._map_columns(lambda s: s.isin(values))
+
+    def isnull(self):
+        return self.isna()
+
+    def notna(self):
+        return self._map_columns(lambda s: s.notna())
+
+    notnull = notna
+
+    def std(self, ddof=1, numeric_only=True):
+        return self._agg_all("std")
+
+    def var(self, ddof=1, numeric_only=True):
+        return self._agg_all("var")
+
+    def median(self, numeric_only=True):
+        return self._agg_all("median")
+
+    def prod(self, numeric_only=True):
+        return self._agg_all("prod")
+
+    def skew(self, numeric_only=True):
+        return self._agg_all("skew")
+
+    def any(self):
+        from ..utils.real_pandas import pd
+
+        return pd.Series({n: bool(Series(column=c, name=n).any())
+                          for n, c in self._tbl})
+
+    def all(self):
+        from ..utils.real_pandas import pd
+
+        return pd.Series({n: bool(Series(column=c, name=n).all())
+                          for n, c in self._tbl})
+
+    def nunique(self):
+        from ..utils.real_pandas import pd
+
+        return pd.Series({n: Series(column=c, name=n).nunique()
+                          for n, c in self._tbl})
+
+    def quantile(self, q=0.5, numeric_only=True):
+        from ..utils.real_pandas import pd
+
+        return pd.Series({n: Series(column=c, name=n).quantile(q)
+                          for n, c in self._tbl if c.dtype.is_numeric})
+
+    def mode(self):
+        return DataFrame.from_pandas(self.to_pandas().mode())
+
+    def agg(self, arg):
+        """agg("sum") / agg(["sum", "mean"]) / agg({"col": "sum"})."""
+        from ..utils.real_pandas import pd
+
+        if isinstance(arg, str):
+            return getattr(self, arg)()
+        if isinstance(arg, (list, tuple)):
+            return pd.DataFrame({k: getattr(self, k)() for k in arg}).T
+        return pd.Series({n: getattr(Series(column=self._tbl[n], name=n), how)()
+                          for n, how in arg.items()})
+
+    aggregate = agg
+
+    def apply(self, func, axis=0):
+        if axis in (0, "index"):
+            from ..utils.real_pandas import pd
+
+            return pd.Series({n: func(Series(column=c, name=n))
+                              for n, c in self._tbl})
+        # axis=1: host row-wise evaluation (pandas-parity convenience path)
+        pdf = self.to_pandas()
+        return pdf.apply(func, axis=1)
+
+    def duplicated(self, subset=None, keep="first"):
+        from ..ops.stream_compaction import distinct_mask
+
+        names = ([subset] if isinstance(subset, str) else list(subset)
+                 if subset is not None else list(self._tbl.names))
+        m = distinct_mask(self._tbl, names, keep)
+        import jax.numpy as jnp
+
+        from ..core import dtypes as _dt
+        from ..core.column import Column as _C
+
+        return Series(column=_C(_dt.bool_, ~m.data.astype(jnp.bool_), None,
+                                m.length), name=None)
+
+    def take(self, indices):
+        from ..ops.copying import gather_table
+        import jax.numpy as jnp
+
+        idx = np.asarray(indices, np.int32)
+        t = gather_table(self._tbl, jnp.asarray(idx), len(idx))
+        return DataFrame._from_table(t)
+
+    def sample(self, n=None, frac=None, random_state=None):
+        rng = np.random.default_rng(random_state)
+        k = n if n is not None else max(1, int(len(self) * (frac or 1.0)))
+        idx = rng.choice(len(self), size=min(k, len(self)), replace=False)
+        return self.take(np.sort(idx))
+
+    def pop(self, name):
+        s = self[name]
+        t = self._tbl
+        from ..core.table import Table
+
+        self._tbl = Table({n: c for n, c in t if n != name})
+        return s
+
+    def insert(self, loc, name, value):
+        from ..core.table import Table
+
+        col = (value._col if isinstance(value, Series)
+               else Series(value)._col)
+        names = list(self._tbl.names)
+        names.insert(loc, name)
+        cols = {n: (col if n == name else self._tbl[n]) for n in names}
+        self._tbl = Table(cols)
+
+    def items(self):
+        return iter((n, Series(column=c, name=n)) for n, c in self._tbl)
+
+    def iterrows(self):
+        return self.to_pandas().iterrows()
+
+    def itertuples(self, index=True, name="Pandas"):
+        return self.to_pandas().itertuples(index=index, name=name)
+
+    def pipe(self, func, *a, **kw):
+        return func(self, *a, **kw)
+
+    @property
+    def size(self):
+        return len(self) * len(self.columns)
+
+    @property
+    def empty(self):
+        return len(self) == 0
+
+    def squeeze(self, axis=None):
+        names = list(self._tbl.names)
+        if len(names) == 1:
+            return self[names[0]]
+        return self
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    def transpose(self):
+        from ..core.table import Table
+        from ..ops.filling import transpose as _t
+
+        return DataFrame._from_table(_t(self._tbl))
+
+    def join(self, other, on=None, how="left", lsuffix="", rsuffix=""):
+        """index-free positional join convenience: merges on ``on`` or the
+        other frame's index column."""
+        if on is not None:
+            return self.merge(other, left_on=on, right_on=on, how=how,
+                              suffixes=(lsuffix or "_x", rsuffix or "_y"))
+        pdf = self.to_pandas().join(other.to_pandas(), how=how,
+                                    lsuffix=lsuffix, rsuffix=rsuffix)
+        return DataFrame.from_pandas(pdf)
+
+    def filter(self, items=None, like=None, regex=None):
+        import re as _re
+
+        names = list(self._tbl.names)
+        if items is not None:
+            keep = [n for n in names if n in set(items)]
+        elif like is not None:
+            keep = [n for n in names if like in str(n)]
+        else:
+            pat = _re.compile(regex)
+            keep = [n for n in names if pat.search(str(n))]
+        return self[keep]
+
+    def melt(self, id_vars=None, value_vars=None, var_name="variable",
+             value_name="value"):
+        """Wide->long unpivot (cudf::melt, cpp/src/reshape/melt analog —
+        built from tile + interleave on device)."""
+        from ..core.table import Table
+        from ..ops.copying import concatenate_tables
+
+        id_vars = ([id_vars] if isinstance(id_vars, str) else list(id_vars or []))
+        value_vars = ([value_vars] if isinstance(value_vars, str)
+                      else list(value_vars
+                                or [n for n in self._tbl.names
+                                    if n not in set(id_vars)]))
+        pieces = []
+        for v in value_vars:
+            cols = {n: self._tbl[n] for n in id_vars}
+            cols[var_name] = Series([v] * len(self))._col
+            cols[value_name] = self._tbl[v]
+            pieces.append(Table(cols))
+        return DataFrame._from_table(concatenate_tables(pieces))
+
+    def pivot_table(self, values=None, index=None, columns=None,
+                    aggfunc="mean"):
+        """groupby-based pivot (reference python/cudf pivot_table)."""
+        idx = [index] if isinstance(index, str) else list(index)
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        g = (self.groupby(idx + cols, as_index=False)
+             .agg(**{"__v": (values, aggfunc)}))
+        pdf = g.to_pandas()
+        return pdf.pivot(index=idx if len(idx) > 1 else idx[0],
+                         columns=cols if len(cols) > 1 else cols[0],
+                         values="__v").rename_axis(columns=None)
+
+    def value_counts(self, subset=None, ascending=False):
+        names = ([subset] if isinstance(subset, str) else list(subset)
+                 if subset is not None else list(self._tbl.names))
+        g = (self.groupby(names, as_index=False)
+             .agg(count=(names[0], "size")))
+        out = g.to_pandas().sort_values("count", ascending=ascending)
+        return Series(out.set_index(names)["count"])
+
+    def explode(self, column):
+        pdf = self.to_pandas().explode(column).reset_index(drop=True)
+        return DataFrame.from_pandas(pdf)
+
+    def replace(self, to_replace, value=None):
+        from ..core.table import Table
+        from ..ops.unaryop import find_and_replace
+
+        if isinstance(to_replace, dict) and value is None:
+            keys = np.asarray(list(to_replace.keys()))
+            vals = np.asarray(list(to_replace.values()))
+        else:
+            keys = np.asarray([to_replace]).ravel()
+            vals = np.asarray([value]).ravel()
+            if len(vals) == 1 and len(keys) > 1:
+                vals = np.repeat(vals, len(keys))
+        cols = {}
+        for n, c in self._tbl:
+            try:
+                cols[n] = find_and_replace(c, keys.astype(np.asarray(c.to_numpy()).dtype), vals)
+            except (TypeError, ValueError):
+                cols[n] = c
+        return DataFrame._from_table(Table(cols), index=self._index)
+
+    def reindex(self, columns=None):
+        from ..core.table import Table
+        from ..core.column import Column as _C
+
+        if columns is None:
+            return self
+        cols = {}
+        for n in columns:
+            if n in set(self._tbl.names):
+                cols[n] = self._tbl[n]
+            else:
+                cols[n] = _C.from_scalar(None, len(self), dtypes.float64)
+        return DataFrame._from_table(Table(cols), index=self._index)
+
+    def to_dict(self, orient="dict"):
+        return self.to_pandas().to_dict(orient)
+
+    def to_records(self, index=False):
+        return self.to_pandas().to_records(index=index)
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    def to_json(self, path_or_buf=None, **kw):
+        return self.to_pandas().to_json(path_or_buf, **kw)
+
+    def memory_usage(self, deep=False):
+        from ..utils.real_pandas import pd
+
+        return pd.Series({n: c.capacity * np.dtype(
+            np.asarray(c.data).dtype).itemsize for n, c in self._tbl})
+
+    def info(self, buf=None):
+        import sys as _sys
+
+        out = buf or _sys.stdout
+        out.write(f"cudf_tpu.DataFrame: {len(self)} rows x "
+                  f"{len(self.columns)} columns\n")
+        for n, c in self._tbl:
+            out.write(f"  {n}: {c.dtype}\n")
+
+    def eval(self, expr_str):
+        """Column-arithmetic expressions ("a + b * 2") via the expr layer
+        (same sandboxed-eval mechanism as query())."""
+        from ..expr import expressions as E
+
+        env = {n: E.col(n) for n in self._tbl.names}
+        e = eval(expr_str, {"__builtins__": {}}, env)  # noqa: S307
+        out = E.evaluate(e, self._tbl)
+        return Series(column=out, name=None)
 
     def describe(self):
         from ..utils.real_pandas import pd

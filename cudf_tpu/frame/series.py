@@ -57,7 +57,18 @@ class Series:
                 arr = np.asarray(data)
                 if arr.dtype == object:
                     validity = np.array([x is not None for x in data])
-                    self._col = Column.from_numpy(arr, validity if not validity.all() else None)
+                    numeric = all(
+                        isinstance(x, (int, float, np.integer, np.floating))
+                        and not isinstance(x, bool)
+                        for x in data if x is not None)
+                    if numeric and not validity.all():
+                        # pandas: [1.0, None] infers float64 with NaN
+                        arr = np.array([np.nan if x is None else float(x)
+                                        for x in data], np.float64)
+                        validity = None
+                    self._col = Column.from_numpy(
+                        arr, validity if validity is not None
+                        and not validity.all() else None)
                 else:
                     self._col = Column.from_numpy(arr)
         self.name = name
@@ -441,6 +452,291 @@ class Series:
         oc = other._col if isinstance(other, Series) else Series(other)._col
         return Series(column=_ss(self._col, oc, side), name=self.name)
 
+    # ---------------------------------------------------- pandas long tail
+    # named arithmetic/comparison aliases (python/cudf/cudf/core/series.py
+    # exposes the same flexible-binop names)
+    def add(self, o):
+        return self._binop(o, "add")
+
+    def radd(self, o):
+        return self._binop(o, "add", True)
+
+    def sub(self, o):
+        return self._binop(o, "sub")
+
+    def rsub(self, o):
+        return self._binop(o, "sub", True)
+
+    def mul(self, o):
+        return self._binop(o, "mul")
+
+    def rmul(self, o):
+        return self._binop(o, "mul", True)
+
+    def div(self, o):
+        return self._binop(o, "div")
+
+    truediv = div
+
+    def rtruediv(self, o):
+        return self._binop(o, "div", True)
+
+    rdiv = rtruediv
+
+    def floordiv(self, o):
+        return self._binop(o, "floordiv")
+
+    def rfloordiv(self, o):
+        return self._binop(o, "floordiv", True)
+
+    def mod(self, o):
+        return self._binop(o, "mod")
+
+    def rmod(self, o):
+        return self._binop(o, "mod", True)
+
+    def pow(self, o):
+        return self._binop(o, "pow")
+
+    def rpow(self, o):
+        return self._binop(o, "pow", True)
+
+    def eq(self, o):
+        return self._binop(o, "eq")
+
+    def ne(self, o):
+        return self._binop(o, "ne")
+
+    def lt(self, o):
+        return self._binop(o, "lt")
+
+    def le(self, o):
+        return self._binop(o, "le")
+
+    def gt(self, o):
+        return self._binop(o, "gt")
+
+    def ge(self, o):
+        return self._binop(o, "ge")
+
+    def where(self, cond, other=np.nan):
+        from ..ops.copying import copy_if_else
+
+        c = cond._col if isinstance(cond, Series) else cond
+        o = other._col if isinstance(other, Series) else other
+        return Series(column=copy_if_else(self._col, o, c), name=self.name,
+                      index=self._index)
+
+    def mask(self, cond, other=np.nan):
+        inv = ~cond if isinstance(cond, Series) else ~np.asarray(cond)
+        return self.where(inv, other)
+
+    def clip(self, lower=None, upper=None):
+        out = self
+        if lower is not None:
+            m = out._binop(lower, "lt")
+            out = out.where(~m, lower)
+        if upper is not None:
+            m = out._binop(upper, "gt")
+            out = out.where(~m, upper)
+        return out
+
+    def isin(self, values):
+        from ..ops.search import contains as _contains
+
+        hay = values if isinstance(values, Series) else Series(list(values))
+        hc, nc = hay._col, self._col
+        if (hc.dtype.is_numeric and nc.dtype.is_numeric
+                and hc.dtype != nc.dtype):
+            # pandas: 1.0 matches 1 — compare in a common type (f64 exact
+            # for ints < 2^53)
+            hc = unaryop.cast(hc, dtypes.float64)
+            nc = unaryop.cast(nc, dtypes.float64)
+        out = _contains(hc, nc)  # cudf::contains(haystack, needles)
+        return Series(column=out, name=self.name, index=self._index)
+
+    def take(self, indices):
+        from ..ops.copying import gather as _gather
+        import jax.numpy as jnp
+
+        idx = np.asarray(indices, np.int32)
+        g = _gather(self._col, jnp.asarray(idx), len(idx))
+        return Series(column=g, name=self.name)
+
+    def map(self, arg):
+        """dict/callable mapping (host evaluation over unique values, like
+        python/cudf Series.map's dictionary path)."""
+        vals = self.to_numpy()
+        if callable(arg):
+            out = np.array([arg(v) for v in vals], dtype=object)
+        else:
+            get = arg.get if hasattr(arg, "get") else dict(arg).get
+            out = np.array([get(v, np.nan) for v in vals], dtype=object)
+        try:
+            out = out.astype(np.float64)
+        except (TypeError, ValueError):
+            pass
+        return Series(out, name=self.name, index=self._index)
+
+    def idxmax(self):
+        return int(self.argmax())
+
+    def idxmin(self):
+        return int(self.argmin())
+
+    def mode(self):
+        vc = self.value_counts()
+        n = vc.to_numpy()
+        top = n.max() if len(n) else 0
+        vals = np.sort(vc._index.to_pandas().to_numpy()[n == top])
+        return Series(vals, name=self.name)
+
+    def duplicated(self, keep="first"):
+        from ..core.table import Table
+        from ..ops.stream_compaction import distinct_mask
+
+        m = distinct_mask(Table({"v": self._col}), keep=keep)
+        import jax.numpy as jnp
+
+        from ..core import dtypes as _dt
+        from ..core.column import Column as _C
+
+        return Series(column=_C(_dt.bool_, ~m.data.astype(jnp.bool_), None,
+                                m.length), name=self.name)
+
+    def drop_duplicates(self, keep="first"):
+        from ..core.table import Table
+        from ..ops.stream_compaction import distinct
+
+        t = distinct(Table({"v": self._col}), keep=keep)
+        return Series(column=t["v"], name=self.name)
+
+    def nlargest(self, n=5):
+        from ..core.table import Table
+        from ..ops.sorting import sort_by_key
+
+        t = sort_by_key(Table({"v": self._col}), ["v"], [True])
+        return Series(column=t["v"].slice(0, min(n, len(self))), name=self.name)
+
+    def nsmallest(self, n=5):
+        from ..core.table import Table
+        from ..ops.sorting import sort_by_key
+
+        t = sort_by_key(Table({"v": self._col}), ["v"], [False])
+        return Series(column=t["v"].slice(0, min(n, len(self))), name=self.name)
+
+    def pct_change(self, periods=1):
+        prev = self.shift(periods)
+        return (self - prev) / prev
+
+    def ffill(self):
+        from ..ops.filling import fill_forward
+
+        return Series(column=fill_forward(self._col), name=self.name,
+                      index=self._index)
+
+    def bfill(self):
+        from ..ops.filling import fill_backward
+
+        return Series(column=fill_backward(self._col), name=self.name,
+                      index=self._index)
+
+    def skew(self):
+        import pandas as _pd
+
+        return float(_pd.Series(self.to_numpy()).skew())
+
+    def kurt(self):
+        import pandas as _pd
+
+        return float(_pd.Series(self.to_numpy()).kurt())
+
+    kurtosis = kurt
+
+    def sem(self, ddof=1):
+        n = self.count()
+        return float(self.std(ddof) / np.sqrt(n)) if n else np.nan
+
+    def corr(self, other):
+        a, b = self.to_numpy().astype(float), other.to_numpy().astype(float)
+        ok = ~(np.isnan(a) | np.isnan(b))
+        return float(np.corrcoef(a[ok], b[ok])[0, 1])
+
+    def cov(self, other):
+        a, b = self.to_numpy().astype(float), other.to_numpy().astype(float)
+        ok = ~(np.isnan(a) | np.isnan(b))
+        return float(np.cov(a[ok], b[ok])[0, 1])
+
+    def combine_first(self, other):
+        m = self.notna()
+        return self.where(m, other)
+
+    def sample(self, n=None, frac=None, random_state=None):
+        rng = np.random.default_rng(random_state)
+        k = n if n is not None else max(1, int(len(self) * (frac or 1.0)))
+        idx = rng.choice(len(self), size=min(k, len(self)), replace=False)
+        return self.take(np.sort(idx))
+
+    def repeat(self, repeats):
+        vals = np.repeat(self.to_numpy(), repeats)
+        return Series(vals, name=self.name)
+
+    def rename(self, name):
+        return Series(column=self._col, name=name, index=self._index)
+
+    def copy(self, deep=False):
+        return Series(column=self._col, name=self.name, index=self._index)
+
+    def drop(self, labels=None):
+        lab = labels if isinstance(labels, (list, tuple, np.ndarray)) else [labels]
+        idx = (self._index.to_pandas().to_numpy() if self._index is not None
+               else np.arange(len(self)))
+        keep = ~np.isin(idx, np.asarray(lab))
+        return self.take(np.where(keep)[0])
+
+    def describe(self):
+        import pandas as _pd
+
+        return _pd.Series(self.to_numpy()).describe()
+
+    def explode(self):
+        import pandas as _pd
+
+        return Series(_pd.Series(self.to_numpy()).explode().to_numpy(),
+                      name=self.name)
+
+    def pipe(self, func, *a, **kw):
+        return func(self, *a, **kw)
+
+    def items(self):
+        vals = self.to_numpy()
+        idx = (self._index.to_pandas().to_numpy() if self._index is not None
+               else np.arange(len(vals)))
+        return iter(zip(idx, vals))
+
+    def to_frame(self, name=None):
+        from .dataframe import DataFrame
+        from ..core.table import Table
+
+        return DataFrame._from_table(
+            Table({name or self.name or 0: self._col}), index=self._index)
+
+    def to_list(self):
+        return list(self.to_numpy())
+
+    tolist = to_list
+
+    def to_dict(self):
+        return dict(self.items())
+
+    @property
+    def iloc(self):
+        return _SeriesILoc(self)
+
+    @property
+    def loc(self):
+        return _SeriesILoc(self)  # positional fallback for default indexes
+
     # ------------------------------------------------------------- accessors
     @property
     def str(self):
@@ -652,3 +948,27 @@ class _EWM:
         from ..ops.reductions import ewma
 
         return Series(column=ewma(self._s._col, self._a, self._adj), name=self._s.name)
+
+
+class _SeriesILoc:
+    """Positional indexer (Series.iloc; loc falls back here for default
+    RangeIndex frames — label indexing on custom indexes uses to_pandas)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    def __getitem__(self, key):
+        s = self._s
+        if isinstance(key, slice):
+            start, stop, step = key.indices(len(s))
+            if step == 1:
+                return Series(column=s._col.slice(start, stop - start),
+                              name=s.name)
+            return s.take(np.arange(start, stop, step))
+        if isinstance(key, (list, np.ndarray)):
+            return s.take(np.asarray(key, np.int64))
+        if isinstance(key, Series):
+            if key.dtype.kind.value == "bool":
+                return s[key]
+            return s.take(key.to_numpy().astype(np.int64))
+        return s.to_numpy()[int(key)]

@@ -224,3 +224,39 @@ def row_bit_count(tbl) -> "Column":
             per = per + 1
         bits = bits + per
     return Column(_dt.int32, bits, None, n)
+
+
+@jax.jit
+def _copy_if_else_impl(lhs: Column, rhs: Column, cond, cval):
+    c = cond.astype(jnp.bool_)
+    if cval is not None:
+        c = c & cval
+    data = jnp.where(c, lhs.data, rhs.data.astype(lhs.data.dtype))
+    validity = None
+    if lhs.validity is not None or rhs.validity is not None:
+        lv = lhs.validity if lhs.validity is not None else jnp.ones(c.shape, jnp.bool_)
+        rv = rhs.validity if rhs.validity is not None else jnp.ones(c.shape, jnp.bool_)
+        validity = jnp.where(c, lv, rv)
+    return Column(lhs.dtype, data, validity, lhs.length, lhs.dictionary)
+
+
+def copy_if_else(lhs: Column, rhs, cond: Column) -> Column:
+    """cudf::copy_if_else (cpp/src/copying/copy.cu): lhs where cond else rhs.
+    ``rhs`` may be a Column or a scalar; a NaN/None scalar produces nulls."""
+    import numpy as np
+
+    from ..core import dtypes as _dt
+
+    if not isinstance(rhs, Column):
+        if rhs is None or (isinstance(rhs, float) and np.isnan(rhs)
+                           and not lhs.dtype.is_floating):
+            rhs = Column(lhs.dtype,
+                         jnp.zeros((lhs.capacity,), lhs.data.dtype),
+                         jnp.zeros((lhs.capacity,), jnp.bool_), lhs.length,
+                         lhs.dictionary)
+        else:
+            rhs = Column.from_scalar(rhs, lhs.length, lhs.dtype)
+    from ..utils.jitutil import fix_lengths
+
+    return fix_lengths(_copy_if_else_impl(lhs, rhs, cond.data, cond.validity),
+                       lhs.length)

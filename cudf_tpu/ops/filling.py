@@ -113,3 +113,52 @@ def qcut_labels(col: Column, q: int) -> Column:
 
     edges = [to_scalar(_reduce(col, "quantile", i / q)) for i in range(q + 1)]
     return label_bins(col, edges, right=True, include_lowest=True)
+
+
+@jax.jit
+def _ffill_impl(col: Column):
+    from .sortprim import tiled_cummax
+
+    cap = col.capacity
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    valid = col.validity if col.validity is not None else jnp.ones((cap,), jnp.bool_)
+    if col.dtype.is_floating:
+        valid = valid & ~jnp.isnan(col.data)
+    src = tiled_cummax(jnp.where(valid, pos, jnp.int32(-1)))
+    has = src >= 0
+    data = col.data[jnp.clip(src, 0, cap - 1)]
+    validity = has if col.validity is not None or col.dtype.is_floating else None
+    if col.dtype.is_floating:
+        data = jnp.where(has, data, jnp.asarray(jnp.nan, data.dtype))
+        validity = None if col.validity is None else has
+    return Column(col.dtype, data, validity, col.length, col.dictionary)
+
+
+def fill_forward(col: Column) -> Column:
+    """pandas ffill: propagate the last valid value forward
+    (cpp/src/replace/nulls.cu replace_nulls(replace_policy::PRECEDING))."""
+    from ..utils.jitutil import fix_lengths
+
+    return fix_lengths(_ffill_impl(col), col.length)
+
+
+def fill_backward(col: Column) -> Column:
+    """pandas bfill (replace_policy::FOLLOWING): ffill on the reversed rows."""
+    from ..core.column import Column as _C
+
+    from ..utils.jitutil import fix_lengths
+
+    n = int(col.length)
+    rev = _reverse(col, n)
+    out = _ffill_impl(rev)
+    return fix_lengths(_reverse(out, n), col.length)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _reverse(col: Column, n: int):
+    cap = col.capacity
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    src = jnp.where(pos < n, n - 1 - pos, pos)
+    data = col.data[src]
+    validity = None if col.validity is None else col.validity[src]
+    return Column(col.dtype, data, validity, col.length, col.dictionary)

@@ -399,13 +399,23 @@ def _probe_auto(lcols, rcols, nulls_equal):
     if r_words is None:
         return _probe(tuple(lcols), tuple(rcols), nulls_equal)
     tbits, direct = hashgroup.table_bits(rcols[0].capacity, width)
-    if not direct:
+    combined_cap = bucket_capacity(lcols[0].capacity + rcols[0].capacity)
+    if not direct and combined_cap <= (1 << 24):
         # sparse/wide keys: the payload-carrying combined word sort beats
         # the round-synchronous probe table (whose lookup loop costs one
-        # probe-side gather round per chain step)
+        # probe-side gather round per chain step). Above ~16M combined
+        # rows the multi-word sort's XLA compile blows up (observed: the
+        # remote compile helper OOM-killed at 33M-row shapes) — the hash
+        # table's few chained gather rounds compile and run fine there.
         got = _probe_combined_sorted(lcols, rcols, nulls_equal)
         if got is not None:
             return got
+    if not direct and combined_cap > (1 << 24):
+        # huge sparse case: the round-synchronous table's lax.while_loop
+        # also compiles pathologically over the remote-compile tunnel at
+        # 16M+ probes — the unrolled binary search (sorted right side only,
+        # log2(capR) static steps) is the compile-safe lane
+        return _probe_bsearch(tuple(lcols), tuple(rcols), nulls_equal)
     l_words = hashgroup.pack_like(l_ops, mins_spec, widths_spec)
     return _probe_hash_impl(
         tuple(lcols), tuple(rcols), tuple(l_words), tuple(r_words),

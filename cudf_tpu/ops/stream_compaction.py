@@ -283,3 +283,15 @@ def distinct(tbl: Table, keys: Optional[Sequence[str]] = None, keep: str = "firs
 def unique_count(keys: Sequence[Column], length: int = None) -> int:
     _, _, cnt = _distinct_perm(tuple(keys), "first")
     return int(cnt)
+
+
+def distinct_mask(tbl: Table, keys: Optional[Sequence[str]] = None,
+                  keep: str = "first") -> Column:
+    """bool keep-mask in ORIGINAL row order (cudf::distinct_indices analog):
+    True where the row is the kept occurrence of its key."""
+    from ..core import dtypes as _dt
+
+    names = list(keys) if keys is not None else tbl.names
+    keep_mask, _, _ = _distinct_perm(tuple(tbl[n] for n in names), keep)
+    first = tbl[names[0]]
+    return Column(_dt.bool_, keep_mask, None, first.length)

@@ -1,0 +1,213 @@
+"""pandas API long tail at the frame layer vs pandas (L8a breadth —
+reference: python/cudf/cudf/core/{series,dataframe}.py method surface)."""
+import io
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+
+
+@pytest.fixture
+def sdf():
+    rng = np.random.default_rng(0)
+    return pd.DataFrame({
+        "a": rng.integers(0, 10, 200).astype(np.int64),
+        "b": rng.normal(size=200),
+        "c": rng.integers(0, 3, 200).astype(np.float64),
+    })
+
+
+def _eq_series(got, want, **kw):
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    pd.testing.assert_series_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, check_names=False, **kw)
+
+
+def _eq_frame(got, want, **kw):
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, **kw)
+
+
+# ------------------------------------------------------------------ Series
+def test_series_named_binops(sdf):
+    s = ct.Series(sdf["b"])
+    for m in ["add", "sub", "mul", "truediv", "floordiv", "mod", "pow",
+              "radd", "rsub", "rmul", "rtruediv"]:
+        _eq_series(getattr(s, m)(2.0), getattr(sdf["b"], m)(2.0))
+    for m in ["eq", "ne", "lt", "le", "gt", "ge"]:
+        _eq_series(getattr(s, m)(0.0), getattr(sdf["b"], m)(0.0))
+
+
+def test_series_where_mask_clip(sdf):
+    s = ct.Series(sdf["b"])
+    _eq_series(s.where(s > 0, 0.0), sdf["b"].where(sdf["b"] > 0, 0.0))
+    _eq_series(s.mask(s > 0, 0.0), sdf["b"].mask(sdf["b"] > 0, 0.0))
+    _eq_series(s.clip(-0.5, 0.5), sdf["b"].clip(-0.5, 0.5))
+
+
+def test_series_isin_take_map(sdf):
+    s = ct.Series(sdf["a"])
+    _eq_series(s.isin([1, 3, 5]), sdf["a"].isin([1, 3, 5]))
+    idx = [5, 1, 7, 199]
+    _eq_series(s.take(idx), sdf["a"].take(idx))
+    m = {i: i * 10 for i in range(10)}
+    _eq_series(s.map(m), sdf["a"].map(m))
+
+
+def test_series_idx_mode_dups(sdf):
+    s = ct.Series(sdf["b"])
+    assert s.idxmax() == sdf["b"].idxmax()
+    assert s.idxmin() == sdf["b"].idxmin()
+    sa = ct.Series(sdf["a"])
+    _eq_series(sa.mode(), sdf["a"].mode())
+    _eq_series(sa.duplicated(), sdf["a"].duplicated())
+    _eq_series(sa.drop_duplicates(), sdf["a"].drop_duplicates())
+    _eq_series(sa.nlargest(7), sdf["a"].nlargest(7))
+    _eq_series(sa.nsmallest(7), sdf["a"].nsmallest(7))
+
+
+def test_series_fill_stats(sdf):
+    v = sdf["b"].copy()
+    v[v > 1.0] = np.nan
+    s = ct.Series(v)
+    _eq_series(s.ffill(), v.ffill())
+    _eq_series(s.bfill(), v.bfill())
+    assert np.isclose(s.skew(), v.skew())
+    assert np.isclose(s.kurt(), v.kurt())
+    assert np.isclose(s.sem(), v.sem())
+    s2, v2 = ct.Series(sdf["c"]), sdf["c"]
+    assert np.isclose(s.corr(s2), v.corr(v2))
+    assert np.isclose(s.cov(s2), v.cov(v2))
+    _eq_series(s.combine_first(s2), v.combine_first(v2))
+    _eq_series(s.pct_change(), v.pct_change(fill_method=None))
+
+
+def test_series_misc(sdf):
+    s = ct.Series(sdf["a"])
+    assert s.to_list() == sdf["a"].to_list()
+    assert dict(s.items()) == dict(sdf["a"].items())
+    assert s.to_dict() == sdf["a"].to_dict()
+    _eq_frame(s.to_frame("x"), sdf["a"].to_frame("x"))
+    _eq_series(s.repeat(2), sdf["a"].repeat(2))
+    assert len(s.sample(10, random_state=0)) == 10
+    _eq_series(s.iloc[5:20], sdf["a"].iloc[5:20])
+    _eq_series(s.iloc[[3, 9, 12]], sdf["a"].iloc[[3, 9, 12]])
+    assert s.rename("z").name == "z"
+    assert s.pipe(lambda x: len(x)) == 200
+
+
+# --------------------------------------------------------------- DataFrame
+def test_frame_named_binops(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    _eq_frame(df.add(1.0), sdf.add(1.0))
+    _eq_frame(df.mul(2.0), sdf.mul(2.0))
+    _eq_frame(df.sub(df), sdf.sub(sdf))
+    _eq_frame(df.ge(0.0), sdf.ge(0.0))
+    _eq_frame(df + df, sdf + sdf)
+
+
+def test_frame_cum_and_reductions(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    _eq_frame(df.cumsum(), sdf.cumsum())
+    _eq_frame(df.cummax(), sdf.cummax())
+    for m in ["std", "var", "median", "prod"]:
+        got, want = getattr(df, m)(), getattr(sdf, m)()
+        pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                       rtol=1e-10)
+    pd.testing.assert_series_equal(df.nunique(), sdf.nunique(),
+                                   check_dtype=False)
+    pd.testing.assert_series_equal(df.quantile(0.25), sdf.quantile(0.25),
+                                   check_dtype=False, check_names=False,
+                                   rtol=1e-10)
+
+
+def test_frame_where_isin_rank(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    _eq_frame(df.where(df.gt(0.0), 0.0), sdf.where(sdf > 0.0, 0.0))
+    _eq_frame(df.isin([1.0, 2.0]), sdf.isin([1.0, 2.0]))
+    _eq_frame(df.rank(), sdf.rank())
+    _eq_frame(df.diff(), sdf.diff())
+    _eq_frame(df.shift(2), sdf.shift(2))
+    _eq_frame(df.abs(), sdf.abs())
+    _eq_frame(df.round(2), sdf.round(2))
+    _eq_frame(df.clip(0.0, 5.0), sdf.clip(0.0, 5.0))
+
+
+def test_frame_dups_take_sample(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    _eq_series(df.duplicated(subset=["a"]), sdf.duplicated(subset=["a"]))
+    _eq_frame(df.take([0, 5, 9]), sdf.take([0, 5, 9]))
+    assert len(df.sample(frac=0.1, random_state=1)) == 20
+    assert df.size == sdf.size
+    assert not df.empty
+
+
+def test_frame_pop_insert_items(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    popped = df.pop("c")
+    assert "c" not in df.columns
+    _eq_series(popped, sdf["c"])
+    df.insert(0, "z", popped)
+    assert list(df.columns)[0] == "z"
+    names = [n for n, _ in df.items()]
+    assert names == list(df.columns)
+
+
+def test_frame_melt_pivot_value_counts(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    got = df.melt(id_vars="a", value_vars=["b", "c"])
+    want = sdf.melt(id_vars="a", value_vars=["b", "c"])
+    _eq_frame(got.to_pandas().sort_values(["variable", "a", "value"]),
+              want.sort_values(["variable", "a", "value"]))
+    got_p = df.pivot_table(values="b", index="a", columns="c", aggfunc="mean")
+    want_p = sdf.pivot_table(values="b", index="a", columns="c",
+                             aggfunc="mean")
+    pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False,
+                                  rtol=1e-10, check_names=False)
+    got_v = df.value_counts(subset=["a"]).to_pandas().sort_index()
+    want_v = sdf.value_counts(subset=["a"]).sort_index()
+    pd.testing.assert_series_equal(got_v, want_v, check_dtype=False,
+                                   check_names=False, check_index=False)
+
+
+def test_frame_filter_replace_reindex(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    assert list(df.filter(items=["a", "c"]).columns) == ["a", "c"]
+    assert list(df.filter(regex="^[ab]$").columns) == ["a", "b"]
+    _eq_frame(df.replace({1: 100}), sdf.replace({1: 100}))
+    r = df.reindex(columns=["a", "zz"])
+    assert list(r.columns) == ["a", "zz"]
+    assert r.to_pandas()["zz"].isna().all()
+
+
+def test_frame_agg_apply_eval(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    pd.testing.assert_series_equal(df.agg({"a": "sum", "b": "mean"}),
+                                   sdf.agg({"a": "sum", "b": "mean"}),
+                                   check_dtype=False)
+    got = df.apply(lambda s: s.sum())
+    pd.testing.assert_series_equal(got, sdf.apply(lambda s: s.sum()),
+                                   check_dtype=False)
+    _eq_series(df.eval("a + b * 2"), sdf.eval("a + b * 2"))
+
+
+def test_frame_io_conveniences(sdf):
+    df = ct.DataFrame.from_pandas(sdf)
+    assert df.to_dict("list") == sdf.to_dict("list")
+    assert (df.to_numpy() == sdf.to_numpy()).all()
+    buf = io.StringIO()
+    df.info(buf=buf)
+    assert "200 rows" in buf.getvalue()
+    assert df.memory_usage().sum() > 0
+    _eq_frame(df.ffill(), sdf.ffill())
+    sq = ct.DataFrame.from_pandas(sdf[["a"]]).squeeze()
+    _eq_series(sq, sdf["a"])
+    tr = ct.DataFrame.from_pandas(sdf[["a", "c"]].head(4)).T
+    assert tr.shape == (2, 4)

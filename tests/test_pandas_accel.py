@@ -20,11 +20,11 @@ class TestProxy:
         out = df[s > 3.0]
         assert len(out) == 2
 
-    def test_fallback_pivot(self):
-        df = xpd.DataFrame({"a": ["x", "x", "y"], "b": [1, 2, 1], "v": [1.0, 2.0, 3.0]})
-        out = df.pivot_table(index="a", columns="b", values="v")  # unsupported -> pandas
-        assert isinstance(out, xpd.DataFrame) or hasattr(out, "_to_slow")
-        assert xpd.fallback_stats().get("pivot_table", 0) >= 1
+    def test_fallback_interpolate(self):
+        df = xpd.DataFrame({"a": [1.0, None, 3.0]})
+        out = df.interpolate()  # unsupported natively -> pandas fallback
+        assert float(out["a"].to_numpy()[1]) == 2.0
+        assert xpd.fallback_stats().get("interpolate", 0) >= 1
 
     def test_fallback_preserves_values(self):
         df = xpd.DataFrame({"a": [3, 1, 2]})
