@@ -538,6 +538,11 @@ def _semi_anti_mask(counts, linb, anti: bool):
 # sort passes stops paying off around here).
 MAX_SORTJOIN_PAYLOADS = 12
 
+# combined (probe ++ build) row-capacity bound for wide-key single-program
+# lanes: beyond this the multi-word sort/search graphs compile pathologically
+# over the remote-compile tunnel; join() chunks the probe side instead
+WIDE_JOIN_CHUNK_LIMIT = 1 << 24
+
 
 def _try_sorted_nto1_join(left: Table, right: Table, left_on, right_on,
                           lcols, rcols, how: str, nulls_equal: bool,
@@ -776,6 +781,33 @@ def join(
                          suffixes)
     if fast is not None:
         return fast
+
+    # Huge sparse-key case: every wide-key lane needs a combined (L ++ R)
+    # device program, and those compile pathologically past ~16M combined
+    # rows over the remote-compile tunnel (multi-word sorts OOM the compile
+    # helper; while_loop/unrolled-search graphs hang). Chunk the PROBE side
+    # so each sub-join stays inside the compile-proven envelope; inner/left/
+    # semi/anti are row-local in the left, so concatenating chunk results
+    # is exact. (cudf has no such limit — this is a tunnel-compile bound.)
+    capL = left[left_on[0]].capacity
+    capR = right[right_on[0]].capacity
+    if (how in ("inner", "left", "semi", "anti")
+            and bucket_capacity(capL + capR) > WIDE_JOIN_CHUNK_LIMIT
+            and capR <= (WIDE_JOIN_CHUNK_LIMIT >> 1)
+            and not any(isinstance(left[n].data, jax.core.Tracer)
+                        for n in left_on)):
+        from .copying import concatenate_tables
+
+        chunk = (WIDE_JOIN_CHUNK_LIMIT >> 1) - capR
+        n = left.num_rows
+        pieces = []
+        start = 0
+        while start < n:
+            sub = left.slice(start, min(chunk, n - start))
+            pieces.append(join(sub, right, left_on, right_on, how,
+                               nulls_equal, suffixes))
+            start += chunk
+        return concatenate_tables(pieces) if len(pieces) > 1 else pieces[0]
 
     lcols, rcols = _promote_keys(left, left_on, right, right_on)
 

@@ -182,3 +182,33 @@ def test_sparse_join_f64_keys_null_semantics(rng):
     out2 = tpu_join(tl, tr, ["k"], ["k"], "inner", nulls_equal=True)
     exp2 = jl.merge(jr, on="k")  # pandas: NaN == NaN in merge keys
     assert out2.num_rows == len(exp2)
+
+
+def test_wide_key_join_probe_chunking(monkeypatch):
+    """Huge sparse-key joins split the probe side into compile-safe chunks
+    (join.py WIDE_JOIN_CHUNK_LIMIT); results must equal the one-shot path."""
+    import cudf_tpu.ops.join as jm
+    from cudf_tpu.core.table import Table
+
+    rng = np.random.default_rng(3)
+    N, nd = 6000, 500
+    dim = np.unique(rng.integers(0, 2**62, nd, dtype=np.int64))
+    fk = dim[rng.integers(0, len(dim), N)]
+    l = pd.DataFrame({"k": fk, "v": rng.normal(size=N).astype(np.float32)})
+    r = pd.DataFrame({"k": dim, "w": rng.normal(size=len(dim)).astype(np.float32)})
+    monkeypatch.setattr(jm, "WIDE_JOIN_CHUNK_LIMIT", 4096)
+    for how in ("inner", "left", "semi", "anti"):
+        got = jm.join(Table.from_pandas(l), Table.from_pandas(r),
+                      ["k"], ["k"], how).to_pandas()
+        if how == "inner" or how == "left":
+            want = l.merge(r, on="k", how=how)
+            cols = ["k", "v", "w"]
+        elif how == "semi":
+            want = l[l["k"].isin(set(dim))]
+            cols = ["k", "v"]
+        else:
+            want = l[~l["k"].isin(set(dim))]
+            cols = ["k", "v"]
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6)
