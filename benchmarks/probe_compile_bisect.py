@@ -1,0 +1,85 @@
+"""Which pieces of the fused groupby compile slowly at 2M? Bisect."""
+import time
+from functools import partial
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+N = 1 << 21
+OUT_CAP = 1 << 17
+
+
+def tiled_cumsum(x):
+    TILE = 262144
+    cap = x.shape[0]
+    if cap <= TILE:
+        return jnp.cumsum(x)
+    t = cap // TILE
+    x2 = x.reshape(t, TILE)
+    pc = jnp.cumsum(x2, axis=1)
+    sums = pc[:, -1]
+    off = jnp.cumsum(sums) - sums
+    return (pc + off[:, None].astype(pc.dtype)).reshape(-1)
+
+
+def timeit_compile(name, fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    print(f"{name:24s} compile+run {time.perf_counter()-t0:7.1f} s", flush=True)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:24s} warm {best*1e3:8.2f} ms", flush=True)
+    return out
+
+
+def main():
+    rng = np.random.default_rng(0)
+    keys = jnp.asarray(rng.integers(0, 2**62, N, dtype=np.int64).astype(np.uint64))
+    vals = jnp.asarray(rng.normal(size=N))
+    gid = jnp.asarray(np.sort(rng.integers(0, 100000, N).astype(np.int32)))
+    rowpos = jnp.arange(N, dtype=jnp.int32)
+
+    @jax.jit
+    def sort_scan(word, v):
+        skey, sv = jax.lax.sort((word, v), num_keys=1, is_stable=False)
+        act = skey < (jnp.uint64(1) << jnp.uint64(62))
+        newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                  skey[1:] != skey[:-1]]) & act
+        g = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
+        cs = tiled_cumsum(jnp.where(act, sv, 0.0))
+        return g, cs, skey
+
+    timeit_compile("sort+scans", sort_scan, keys, vals)
+
+    @partial(jax.jit, static_argnames=("out_cap",))
+    def bounds_scatter(g, out_cap):
+        tgt = jnp.minimum(g, jnp.int32(out_cap))
+        starts = jnp.full((out_cap + 1,), N, jnp.int32).at[tgt].min(rowpos)[:out_cap]
+        return starts
+
+    starts = timeit_compile("boundary scatter-min", bounds_scatter, gid, OUT_CAP)
+
+    @jax.jit
+    def small_gathers(cs, starts):
+        lo = jnp.where(starts > 0, cs[jnp.maximum(starts - 1, 0)], 0.0)
+        return cs[jnp.clip(starts, 0, N - 1)] - lo
+
+    timeit_compile("out_cap gathers", small_gathers,
+                   jnp.asarray(rng.normal(size=N)), starts)
+
+    @partial(jax.jit, static_argnames=("out_cap",))
+    def searchsorted_b(g, out_cap):
+        q = jnp.arange(out_cap, dtype=jnp.int32)
+        return jnp.searchsorted(g, q).astype(jnp.int32)
+
+    timeit_compile("searchsorted bounds", searchsorted_b, gid, OUT_CAP)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Probe: per-dispatch overhead over the axon tunnel.
+
+How much does each jitted-program *dispatch* cost (fire-and-forget), and do
+chained dispatches pipeline? Decides how many device programs an op can
+afford at the 2M contract point.
+"""
+import time
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+N = 1 << 21
+
+
+def main():
+    print(f"backend={jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(N, dtype=np.float32))
+
+    @jax.jit
+    def tiny(a):
+        return a * 1.000001 + 0.5
+
+    @jax.jit
+    def sort2m(k):
+        return jax.lax.sort((k,), num_keys=1, is_stable=False)[0]
+
+    k = jnp.asarray(rng.integers(0, 2**63, N, dtype=np.int64).astype(np.uint64))
+
+    # warm
+    float(jnp.sum(tiny(x)))
+    float(jnp.sum(sort2m(k).astype(jnp.float64)))
+
+    # dispatch-only cost: 20 chained tiny programs, then one read
+    for reps in (1, 5, 20):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(reps):
+                y = tiny(y)
+            float(jnp.sum(y))
+            best = min(best, time.perf_counter() - t0)
+        print(f"chain tiny x{reps:3d}: {best*1e3:8.2f} ms", flush=True)
+
+    # chained sorts (real work): does device stay busy across dispatches?
+    for reps in (1, 2, 4):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = k
+            for _ in range(reps):
+                y = sort2m(y ^ jnp.uint64(reps))
+            float(jnp.sum((y >> jnp.uint64(32)).astype(jnp.float64)))
+            best = min(best, time.perf_counter() - t0)
+        print(f"chain sort x{reps}: {best*1e3:8.2f} ms", flush=True)
+
+    # two sequential syncs
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(tiny(x)))
+        float(jnp.sum(tiny(x)))
+        best = min(best, time.perf_counter() - t0)
+    print(f"two syncs:      {best*1e3:8.2f} ms", flush=True)
+
+    # async copy overlap: dispatch sort, async-read tiny scalar, then force
+    @jax.jit
+    def sort_and_count(kk):
+        s = jax.lax.sort((kk,), num_keys=1, is_stable=False)[0]
+        return s, jnp.sum((s > jnp.uint64(1 << 62)).astype(jnp.int32))
+
+    s, c = sort_and_count(k)
+    s.block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, c = sort_and_count(k)
+        try:
+            c.copy_to_host_async()
+        except Exception as e:
+            print("async fail", e)
+        n = int(c)
+        t1 = time.perf_counter()
+        float(jnp.sum((s >> jnp.uint64(32)).astype(jnp.float64)))
+        t2 = time.perf_counter()
+        best = min(best, t2 - t0)
+        print(f"  meta wait {1e3*(t1-t0):.1f} ms, force {1e3*(t2-t1):.1f} ms")
+    print(f"sort+meta+force: {best*1e3:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Prototype: ONE fused program for sparse-i64-key groupby-mean at 2M rows.
+
+make_key (stats-compressed 62-bit code + act flag) -> lax.sort with value
+payload -> newgrp/scans -> boundaries -> compact at static out_cap.
+Returns (keys_out, mean_out, n_groups) from a single jit. Measures compile
+and warm time incl. the one force-RTT — the shape the real lane will take.
+"""
+import time
+from functools import partial
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+N = 1 << 21
+OUT_CAP = 1 << 17  # 100k distinct keys -> 128k bucket
+
+
+def tiled_cumsum(x):
+    TILE = 262144
+    cap = x.shape[0]
+    if cap <= TILE:
+        return jnp.cumsum(x)
+    t = cap // TILE
+    x2 = x.reshape(t, TILE)
+    pc = jnp.cumsum(x2, axis=1)
+    sums = pc[:, -1]
+    off = jnp.cumsum(sums) - sums
+    return (pc + off[:, None].astype(pc.dtype)).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def fused_groupby_mean(keys_i64, vals, length, vmin, out_cap):
+    cap = keys_i64.shape[0]
+    inb = jnp.arange(cap, dtype=jnp.int32) < length
+    code = (keys_i64 - vmin).astype(jnp.uint64)  # 62-bit codes
+    word = jnp.where(inb, code, jnp.uint64(1) << jnp.uint64(62))
+    skey, sv = jax.lax.sort((word, vals), num_keys=1, is_stable=False)
+    act = skey < (jnp.uint64(1) << jnp.uint64(62))
+    newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                              skey[1:] != skey[:-1]]) & act
+    gid = tiled_cumsum(newgrp.astype(jnp.int32)) - 1
+    n_groups = jnp.sum(newgrp.astype(jnp.int32))
+    n_active = jnp.sum(act.astype(jnp.int32))
+    gid = jnp.where(act, gid, jnp.int32(np.iinfo(np.int32).max))
+    rowpos = jnp.arange(cap, dtype=jnp.int32)
+    cs_cnt = jnp.minimum(rowpos + 1, n_active)
+    cs_sum = tiled_cumsum(jnp.where(act, sv, 0.0).astype(jnp.float64))
+
+    # boundaries at static out_cap (scatter-min path)
+    q = jnp.arange(out_cap, dtype=jnp.int32)
+    tgt = jnp.minimum(gid, jnp.int32(out_cap))
+    starts = jnp.full((out_cap + 1,), cap, jnp.int32).at[tgt].min(rowpos)[:out_cap]
+    nxt = jnp.concatenate([starts[1:], jnp.zeros((1,), jnp.int32)])
+    ends = jnp.where(q + 1 < n_groups, nxt - 1, n_active - 1)
+    ok = q < n_groups
+    starts = jnp.where(ok, starts, 0)
+    ends = jnp.clip(jnp.where(ok, ends, 0), 0, cap - 1)
+
+    lo = jnp.where(starts > 0, cs_sum[jnp.maximum(starts - 1, 0)], 0.0)
+    s = cs_sum[ends] - lo
+    loc = jnp.where(starts > 0, cs_cnt[jnp.maximum(starts - 1, 0)], 0)
+    cnt = cs_cnt[ends] - loc
+    mean = jnp.where(ok, s / jnp.maximum(cnt, 1), 0.0)
+    keys_out = jnp.where(ok, (skey[starts] + vmin.astype(jnp.uint64)).astype(jnp.int64), 0)
+    return keys_out, mean, n_groups
+
+
+def main():
+    print(f"backend={jax.default_backend()} N={N}", flush=True)
+    rng = np.random.default_rng(0)
+    sp_dim = np.unique(rng.integers(0, 2**62, N // 20, dtype=np.int64))
+    keys = jnp.asarray(sp_dim[rng.integers(0, len(sp_dim), N)])
+    vals = jnp.asarray(rng.normal(size=N))
+    length = jnp.int32(N)
+    vmin = jnp.uint64(0)
+
+    t0 = time.perf_counter()
+    k, m, ng = fused_groupby_mean(keys, vals, length, vmin, OUT_CAP)
+    m.block_until_ready()
+    print(f"compile+run  {time.perf_counter()-t0:7.2f} s  n_groups={int(ng)}",
+          flush=True)
+
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        k, m, ng = fused_groupby_mean(keys, vals, length, vmin, OUT_CAP)
+        float(jnp.sum(m))
+        best = min(best, time.perf_counter() - t0)
+    print(f"warm (force mean)  {best*1e3:7.2f} ms  -> {N/best/1e6:.1f}M rows/s",
+          flush=True)
+
+    # correctness vs pandas
+    import pandas as pd
+    df = pd.DataFrame({"k": np.asarray(keys), "C": np.asarray(vals)})
+    ref = df.groupby("k", as_index=False).agg(C=("C", "mean"))
+    ng_i = int(ng)
+    ks = np.asarray(k)[:ng_i]
+    ms = np.asarray(m)[:ng_i]
+    assert ng_i == len(ref), (ng_i, len(ref))
+    assert np.array_equal(ks, ref["k"].to_numpy()), "key mismatch"
+    assert np.allclose(ms, ref["C"].to_numpy()), "mean mismatch"
+    print("exact vs pandas: OK", flush=True)
+
+    t0 = time.perf_counter()
+    df.groupby("k", as_index=False).agg(C=("C", "mean"))
+    print(f"pandas  {1e3*(time.perf_counter()-t0):7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

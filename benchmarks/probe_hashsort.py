@@ -1,0 +1,126 @@
+"""Probe: cost model for the hash-compress (single-word) sort lane.
+
+Measures on the real chip:
+  - null RTT (tiny program + D2H scalar read)
+  - flat u64 lax.sort at 2M/4M
+  - 1-key sort with k payloads (the proposed hash-sort shape)
+  - 2-word LSD payload sort (the current wide-lane shape) for contrast
+  - murmur-style 64-bit mix cost (should fuse to ~free)
+"""
+import time, sys
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+N = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1 << 22  # 4M
+
+
+def t(fn, reps=5):
+    fn()  # warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def force(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def main():
+    print(f"backend={jax.default_backend()} N={N}", flush=True)
+    rng = np.random.default_rng(0)
+    k64 = jnp.asarray(rng.integers(0, 2**63, N, dtype=np.int64).astype(np.uint64))
+    pay = [jnp.asarray(rng.random(N, dtype=np.float32)) for _ in range(12)]
+    payb = [p.view(jnp.uint32) if hasattr(p, 'view') else p for p in pay]
+
+    # null RTT
+    one = jnp.ones((8,), jnp.float32)
+    print(f"null_rtt         {t(lambda: force(one)):8.2f} ms", flush=True)
+
+    @jax.jit
+    def sort1(k):
+        return jax.lax.sort((k,), num_keys=1, is_stable=False)[0]
+
+    t0 = time.perf_counter()
+    sort1(k64).block_until_ready()
+    print(f"sort1 compile    {time.perf_counter()-t0:8.2f} s", flush=True)
+    print(f"sort1_u64        {t(lambda: force(sort1(k64))):8.2f} ms", flush=True)
+
+    def mk_sortp(np_):
+        @jax.jit
+        def sortp(k, *ps):
+            res = jax.lax.sort((k,) + ps, num_keys=1, is_stable=False)
+            return res[1]
+        return sortp
+
+    for npay in (2, 4, 8, 12):
+        f = mk_sortp(npay)
+        ps = tuple(pay[:npay])
+        t0 = time.perf_counter()
+        f(k64, *ps).block_until_ready()
+        c = time.perf_counter() - t0
+        print(f"sort+{npay:2d}pay      {t(lambda: force(f(k64, *ps))):8.2f} ms"
+              f"  (compile {c:.1f}s)", flush=True)
+
+    # num_keys=2 stable-style (word + pos tiebreak) + payloads: the
+    # lsd_payload_sort single-word shape
+    def mk_sort2(np_):
+        @jax.jit
+        def sort2(k, *ps):
+            pos = jnp.arange(k.shape[0], dtype=jnp.uint32)
+            res = jax.lax.sort((k, pos) + ps, num_keys=2, is_stable=False)
+            return res[2]
+        return sort2
+
+    for npay in (4, 8):
+        f = mk_sort2(npay)
+        ps = tuple(pay[:npay])
+        t0 = time.perf_counter()
+        f(k64, *ps).block_until_ready()
+        c = time.perf_counter() - t0
+        print(f"sort2k+{npay:2d}pay    {t(lambda: force(f(k64, *ps))):8.2f} ms"
+              f"  (compile {c:.1f}s)", flush=True)
+
+    # 2-word LSD shape (current wide lane): 2 chained sorts carrying payloads
+    def mk_lsd2(np_):
+        @jax.jit
+        def lsd2(w0, w1, *ps):
+            pos = jnp.arange(w0.shape[0], dtype=jnp.uint32)
+            res = jax.lax.sort((w1, pos, w0) + ps, num_keys=2, is_stable=False)
+            w1s, pos2, w0s = res[0], res[1], res[2]
+            ps2 = res[3:]
+            pos_i = jnp.arange(w0.shape[0], dtype=jnp.uint32)
+            res2 = jax.lax.sort((w0s, pos_i, pos2, w1s) + ps2, num_keys=2,
+                                is_stable=False)
+            return res2[2]
+        return lsd2
+
+    w0 = (k64 >> jnp.uint64(32))
+    w1 = (k64 & jnp.uint64(0xFFFFFFFF))
+    for npay in (4, 8):
+        f = mk_lsd2(npay)
+        ps = tuple(pay[:npay])
+        t0 = time.perf_counter()
+        f(w0, w1, *ps).block_until_ready()
+        c = time.perf_counter() - t0
+        print(f"lsd2w+{npay:2d}pay    {t(lambda: force(f(w0, w1, *ps))):8.2f} ms"
+              f"  (compile {c:.1f}s)", flush=True)
+
+    # murmur mix + sort (hash-compress shape: mix is fused, ~free?)
+    @jax.jit
+    def mixsort(k):
+        h = k
+        h = (h ^ (h >> jnp.uint64(33))) * jnp.uint64(0xFF51AFD7ED558CCD)
+        h = (h ^ (h >> jnp.uint64(33))) * jnp.uint64(0xC4CEB9FE1A85EC53)
+        h = h ^ (h >> jnp.uint64(33))
+        return jax.lax.sort((h,), num_keys=1, is_stable=False)[0]
+
+    print(f"mix+sort1        {t(lambda: force(mixsort(k64))):8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

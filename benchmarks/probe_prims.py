@@ -1,0 +1,109 @@
+"""Honest warm timings (D2H force) + cold compiles for candidate primitives.
+
+Run WITHOUT the persistent cache to see true compile costs.
+"""
+import time
+from functools import partial
+import numpy as np
+import os
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/cudf_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+
+N = 1 << 21
+OUT = 1 << 17
+
+
+def force(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def run(name, fn, *args):
+    t0 = time.perf_counter()
+    force(fn(*args))
+    c = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        force(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:28s} warm {best*1e3:8.2f} ms   (cold {c:6.1f}s)", flush=True)
+
+
+def tiled_cumsum(x):
+    TILE = 262144
+    cap = x.shape[0]
+    if cap <= TILE:
+        return jnp.cumsum(x)
+    t = cap // TILE
+    x2 = x.reshape(t, TILE)
+    pc = jnp.cumsum(x2, axis=1)
+    sums = pc[:, -1]
+    off = jnp.cumsum(sums) - sums
+    return (pc + off[:, None].astype(pc.dtype)).reshape(-1)
+
+
+def segmented_scan(vals, newseg, combine):
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, combine(va, vb))
+    _, out = jax.lax.associative_scan(op, (newseg, vals))
+    return out
+
+
+def main():
+    print(f"backend={jax.default_backend()} N={N} (null rtt ~23ms)", flush=True)
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.normal(size=N))
+    i = jnp.asarray(rng.integers(0, 100000, N).astype(np.int32))
+    gid_sorted = jnp.asarray(np.sort(np.asarray(i)))
+    flag = jnp.asarray(rng.random(N) < 0.05)
+    k64 = jnp.asarray(rng.integers(0, 2**62, N, dtype=np.int64).astype(np.uint64))
+    idx_small = jnp.asarray(rng.integers(0, N, OUT).astype(np.int32))
+    idx_big = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+    rowpos = jnp.arange(N, dtype=jnp.int32)
+
+    run("baseline (x+1)", jax.jit(lambda a: a + 1.0), f)
+    run("cumsum i32 tiled", jax.jit(tiled_cumsum), i)
+    run("cumsum f64 tiled", jax.jit(tiled_cumsum), f)
+    run("flat cumsum i32", jax.jit(jnp.cumsum), i)
+    run("segscan f64 add", jax.jit(lambda v, s: segmented_scan(v, s, jnp.add)),
+        f, flag)
+    run("gather 128k<-2M", jax.jit(lambda a, ix: a[ix]), f, idx_small)
+    run("gather 2M<-2M", jax.jit(lambda a, ix: a[ix]), f, idx_big)
+    if os.environ.get("PROBE_SCATTER"):
+        run("scatter-min 128k", partial(jax.jit, static_argnames=("oc",))(
+            lambda g, oc: jnp.full((oc + 1,), N, jnp.int32).at[
+                jnp.minimum(g, jnp.int32(oc))].min(rowpos)[:oc]), gid_sorted, OUT)
+        run("searchsorted 128k/2M", jax.jit(
+            lambda g: jnp.searchsorted(g, jnp.arange(OUT, dtype=jnp.int32))), gid_sorted)
+    run("sort u64", jax.jit(
+        lambda k: jax.lax.sort((k,), num_keys=1, is_stable=False)[0]), k64)
+
+    @jax.jit
+    def flagsort8(fl, *ps):
+        pb = 21
+        key = ((~fl).astype(jnp.uint64) << jnp.uint64(pb)) | jnp.arange(
+            N, dtype=jnp.uint64)
+        res = jax.lax.sort((key,) + ps, num_keys=1, is_stable=False)
+        return res[1]
+
+    ps = tuple(jnp.asarray(rng.normal(size=N)) for _ in range(8))
+    run("flagsort+8pay", flagsort8, flag, *ps)
+
+    @jax.jit
+    def sort_scan_seg(k, v):
+        sk, sv = jax.lax.sort((k, v), num_keys=1, is_stable=False)
+        newg = jnp.concatenate([jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+        s = segmented_scan(sv, newg, jnp.add)
+        return s
+
+    run("sort+segscan fused", sort_scan_seg, k64, f)
+
+
+if __name__ == "__main__":
+    main()

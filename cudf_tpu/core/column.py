@@ -90,10 +90,21 @@ def _full_kernel(value, cap, npdt):
 
 
 class Column:
-    """An immutable device column: padded data + validity + logical length."""
+    """An immutable device column: padded data + validity + logical length.
 
-    __slots__ = ("dtype", "data", "validity", "length", "dictionary",
-                 "_null_count", "stats", "stats_pending")
+    The logical length may be *deferred*: a 0-d device scalar produced by a
+    size-returning kernel (compaction survivor count, join output size,
+    group count). Reading ``col.length`` on host resolves it to an int (one
+    D2H wait, cached); device-side consumers read ``col.raw_length`` and keep
+    the scalar on device — so operator chains never block on the ~25ms axon
+    tunnel round trip just to carry a row count they only need as a mask
+    bound. The TPU analog of libcudf's stream-ordered size-returning kernels
+    (e.g. cpp/src/join/hash_join.cu size-then-retrieve): the size lives on
+    the stream until the host actually asks.
+    """
+
+    __slots__ = ("dtype", "data", "validity", "_length", "dictionary",
+                 "_null_count", "stats", "stats_pending", "distinct_hint")
 
     def __init__(
         self,
@@ -107,13 +118,45 @@ class Column:
         self.dtype = dtype
         self.data = data
         self.validity = validity
-        self.length = length if isinstance(length, jax.core.Tracer) else int(length)
+        if isinstance(length, (jax.core.Tracer, jax.Array)):
+            self._length = length  # traced or deferred device scalar
+        else:
+            self._length = int(length)
         self.dictionary = dictionary
         self._null_count = null_count
         self.stats = None  # lazily-filled ColStats (core/stats.py)
         self.stats_pending = None  # in-flight async stats D2H (core/stats.py)
+        self.distinct_hint = None  # memoized all-keys-distinct (join lanes)
         assert data.ndim == 1
         assert validity is None or validity.shape == data.shape
+
+    # ------------------------------------------------------------- length
+    @property
+    def length(self):
+        """Logical row count. Resolves a deferred device length (one host
+        sync, cached); passes tracers through unchanged."""
+        v = self._length
+        if isinstance(v, jax.Array) and not isinstance(v, jax.core.Tracer):
+            v = int(v)
+            self._length = v
+        return v
+
+    @length.setter
+    def length(self, value):
+        if isinstance(value, (jax.core.Tracer, jax.Array)):
+            self._length = value
+        else:
+            self._length = int(value)
+
+    @property
+    def raw_length(self):
+        """The length WITHOUT resolving a deferred device scalar."""
+        return self._length
+
+    @property
+    def length_is_deferred(self) -> bool:
+        v = self._length
+        return isinstance(v, jax.Array) and not isinstance(v, jax.core.Tracer)
 
     # ------------------------------------------------------------------ misc
     @property
@@ -146,8 +189,8 @@ class Column:
 
     # ------------------------------------------------------------- validity
     def bounds_mask(self) -> jnp.ndarray:
-        """bool[capacity]: True for rows < length."""
-        return jnp.arange(self.capacity, dtype=jnp.int32) < jnp.asarray(self.length, jnp.int32)
+        """bool[capacity]: True for rows < length (no deferred-length sync)."""
+        return jnp.arange(self.capacity, dtype=jnp.int32) < jnp.asarray(self.raw_length, jnp.int32)
 
     def valid_mask(self) -> jnp.ndarray:
         """bool[capacity]: True for in-bounds, non-null rows."""
@@ -157,10 +200,10 @@ class Column:
         return m
 
     def with_validity(self, validity: Optional[jnp.ndarray]) -> "Column":
-        return Column(self.dtype, self.data, validity, self.length, self.dictionary)
+        return Column(self.dtype, self.data, validity, self.raw_length, self.dictionary)
 
     def declare_non_null(self) -> "Column":
-        return Column(self.dtype, self.data, None, self.length, self.dictionary, 0)
+        return Column(self.dtype, self.data, None, self.raw_length, self.dictionary, 0)
 
     # ------------------------------------------------------------ constructors
     @classmethod
@@ -358,8 +401,9 @@ class Column:
 # are leaves; (dtype, dictionary) are static aux. The dictionary rides in a
 # _DictBox so it never fragments the jit cache (device code can't read it).
 def _col_flatten(col: Column):
-    leaves = (col.data, col.validity, jnp.int32(col.length)
-              if not isinstance(col.length, jax.core.Tracer) else col.length)
+    raw = col.raw_length
+    leaves = (col.data, col.validity, jnp.int32(raw)
+              if isinstance(raw, int) else raw)
     return leaves, (col.dtype, _DictBox(col.dictionary))
 
 
@@ -370,11 +414,12 @@ def _col_unflatten(aux, leaves):
     col.dtype = dtype
     col.data = data
     col.validity = validity
-    col.length = length
+    col._length = length
     col.dictionary = box.value
     col._null_count = None
     col.stats = None
     col.stats_pending = None
+    col.distinct_hint = None
     return col
 
 

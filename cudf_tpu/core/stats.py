@@ -48,13 +48,23 @@ class ColStats:
         if the column isn't integral-codeable (non-integral floats, huge
         ranges). Codes are monotone in the column's sort order with
         NaN > max value and null > NaN (nulls-last sort semantics)."""
+        return self._code_width(1 << 40)
+
+    def code_width_wide(self) -> Optional[int]:
+        """Like code_width but admits ranges up to 2^63 — the single-u64-word
+        sort lanes (ops/sortgroup.py, sparse join keys) have no narrow-range
+        requirement, only that codes fit one word. Exact only when vmin/vmax
+        are exact (64-bit integer stats store Python ints)."""
+        return self._code_width(1 << 62)
+
+    def _code_width(self, cap: int) -> Optional[int]:
         if not self.integral:
             return None
         r = self.value_range + (1 if self.has_nan else 0) + (1 if self.has_null else 0)
         r = max(r, 1)
-        if r > (1 << 40):
+        if r > cap:
             return None
-        return max(1, int(math.ceil(math.log2(r))) if r > 1 else 1)
+        return max(1, int(r - 1).bit_length() if r > 1 else 1)
 
 
 @jax.jit
@@ -76,6 +86,39 @@ def _stats_kernel(data_f64, validf, isnan, inb):
 
 _STATS_KINDS = (Kind.BOOL, Kind.INT, Kind.UINT, Kind.FLOAT, Kind.TIMESTAMP,
                 Kind.DURATION, Kind.DECIMAL)
+
+# 64-bit integer families get EXACT min/max via a same-dtype kernel: the f64
+# stats kernel rounds past 2^53, which would corrupt the single-u64-word key
+# codes that the sparse-key sort lanes derive from (vmax - vmin).
+_EXACT64_KINDS = (Kind.INT, Kind.UINT, Kind.TIMESTAMP, Kind.DURATION)
+
+
+def _is_exact64(col: Column) -> bool:
+    return col.dtype.kind in _EXACT64_KINDS and col.dtype.bits == 64
+
+
+@jax.jit
+def _stats_kernel_exact(data, validf, inb):
+    """Exact min/max/n_valid/anynull for an integer column, in its own dtype."""
+    ok = inb & validf
+    info = jnp.iinfo(data.dtype)
+    vmin = jnp.min(jnp.where(ok, data, info.max))
+    vmax = jnp.max(jnp.where(ok, data, info.min))
+    n_valid = jnp.sum(ok.astype(jnp.int64))
+    anynull = jnp.any(inb & ~validf)
+    return vmin, vmax, n_valid, anynull
+
+
+def _exact64_stats(col: Column) -> "ColStats":
+    validf = col.validity if col.validity is not None else jnp.ones(
+        col.data.shape, jnp.bool_)
+    vmin, vmax, n_valid, anynull = jax.device_get(
+        _stats_kernel_exact(col.data, validf, col.bounds_mask()))
+    n_valid = int(n_valid)
+    if n_valid == 0:
+        return ColStats(0, 0, True, False, bool(anynull), 0)
+    # Python ints: exact at any magnitude (ColStats consumers do int math)
+    return ColStats(int(vmin), int(vmax), True, False, bool(anynull), n_valid)
 
 
 @jax.jit
@@ -106,12 +149,14 @@ def prefetch_stats(cols) -> None:
     """
     todo = []
     for col in cols:
-        if isinstance(col.data, jax.core.Tracer) or isinstance(col.length, jax.core.Tracer):
+        if isinstance(col.data, jax.core.Tracer) or isinstance(col.raw_length, jax.core.Tracer):
             continue
         if col.stats is not None or getattr(col, "stats_pending", None) is not None:
             continue
         if col.dtype.kind not in _STATS_KINDS:
             continue
+        if _is_exact64(col):
+            continue  # exact-path columns: the f64 batch would round them
         todo.append(col)
     if not todo:
         return
@@ -152,7 +197,7 @@ def _finish_pending(col: Column) -> Optional[ColStats]:
 def compute_stats(col: Column) -> Optional[ColStats]:
     """Compute (and cache) ColStats for a column. None for unsupported dtypes
     or inside a trace."""
-    if isinstance(col.data, jax.core.Tracer) or isinstance(col.length, jax.core.Tracer):
+    if isinstance(col.data, jax.core.Tracer) or isinstance(col.raw_length, jax.core.Tracer):
         return None
     cached = getattr(col, "stats", None)
     if cached is not None:
@@ -170,6 +215,10 @@ def compute_stats(col: Column) -> Optional[ColStats]:
     if k not in (Kind.BOOL, Kind.INT, Kind.UINT, Kind.FLOAT, Kind.TIMESTAMP,
                  Kind.DURATION, Kind.DECIMAL):
         return None
+    if _is_exact64(col):
+        st = _exact64_stats(col)
+        col.stats = st
+        return st
     d = col.data.astype(jnp.float64)  # may round above 2^53 (guarded below)
     isnan = jnp.isnan(col.data) if k == Kind.FLOAT else jnp.zeros(col.data.shape, jnp.bool_)
     validf = col.validity if col.validity is not None else jnp.ones(col.data.shape, jnp.bool_)

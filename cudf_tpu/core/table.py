@@ -22,10 +22,11 @@ class Table:
 
     def __init__(self, columns: Dict[str, Column]):
         self._columns = dict(columns)
-        # traced lengths (per-shard tables inside shard_map) are unhashable
-        # and can't be compared at trace time — skip the ragged check there
-        lens = {c.length for c in self._columns.values()
-                if not isinstance(c.length, jax.core.Tracer)}
+        # traced/deferred lengths (per-shard tables inside shard_map; lazy
+        # size-returning kernels) are unhashable or would force a host sync —
+        # the ragged check only covers host-resolved lengths
+        lens = {c.raw_length for c in self._columns.values()
+                if isinstance(c.raw_length, int)}
         assert len(lens) <= 1, f"ragged table: {lens}"
 
     # ------------------------------------------------------------- basic api

@@ -111,8 +111,8 @@ def binary_op(lhs: Union[Column, Scalar], rhs: Union[Column, Scalar], op: str) -
         lhs = _broadcast_scalar(lhs, rhs)
     if not isinstance(rhs, Column):
         rhs = _broadcast_scalar(rhs, lhs)
-    if not (isinstance(lhs.length, jax.core.Tracer)
-            or isinstance(rhs.length, jax.core.Tracer)):
+    if not (isinstance(lhs.raw_length, jax.core.Tracer)
+            or isinstance(rhs.raw_length, jax.core.Tracer)):
         assert int(lhs.length) == int(rhs.length), (lhs.length, rhs.length)
 
     if lhs.dtype.is_string or rhs.dtype.is_string:

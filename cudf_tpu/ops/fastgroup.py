@@ -262,7 +262,7 @@ def fast_groupby(tbl: Table, keys: Sequence[str], aggs, dropna_keys: bool) -> Op
     if not all(s.kind in _SUPPORTED for s in aggs):
         return None
     kcols = tuple(tbl[k] for k in keys)
-    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.raw_length, jax.core.Tracer)
            for c in kcols):
         return None
     cap = kcols[0].capacity

@@ -236,7 +236,7 @@ def try_fast_join(left: Table, right: Table, left_on: Sequence[str],
     if how not in ("inner", "left", "semi", "anti"):
         return None
     lcols, rcols = _promote_keys(left, left_on, right, right_on)
-    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.raw_length, jax.core.Tracer)
            for c in list(lcols) + list(rcols)):
         return None
     specs = _joint_plan(lcols, rcols)

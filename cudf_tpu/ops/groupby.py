@@ -164,6 +164,14 @@ def groupby_aggregate(
     from ..utils.jitutil import fix_lengths
     from . import fastgroup
 
+    # round-4 hot lane: single-word code sort + compaction pass2, exact wide
+    # codes (sparse 64-bit keys included), deferred output length
+    from .sortgroup import sort_groupby
+
+    sg = sort_groupby(tbl, keys, aggs, dropna_keys)
+    if sg is not None:
+        return sg
+
     fast = fastgroup.fast_groupby(tbl, keys, aggs, dropna_keys)
     if fast is not None:
         return fast

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..core import dtypes
 from ..core.column import Column
+from ..core.dtypes import Kind
 from ..core.table import Table
 from ..utils.padding import bucket_capacity
 from ..utils.jitutil import fix_lengths
@@ -538,6 +539,291 @@ def _semi_anti_mask(counts, linb, anti: bool):
 # sort passes stops paying off around here).
 MAX_SORTJOIN_PAYLOADS = 12
 
+
+# --------------------------------------------------------------------------
+# Exact single-word N:1 sort join (round 4)
+# --------------------------------------------------------------------------
+
+def _joint_word_plan(lcols, rcols):
+    """Per key pair (joint_vmin, width, has_nan, has_null, exact) with EXACT
+    wide codes from cached stats; None if any pair isn't codeable or the
+    joint pack exceeds 62 bits (one u64 minus inactive + side flags)."""
+    from ..core import stats as colstats
+
+    plan = []
+    total = 0
+    for lc, rc in zip(lcols, rcols):
+        sl = colstats.compute_stats(lc)
+        sr = colstats.compute_stats(rc)
+        if sl is None or sr is None or not (sl.integral and sr.integral):
+            return None
+        if sl.n_valid == 0 and sr.n_valid == 0:
+            vmin, vmax = 0, 0
+        elif sl.n_valid == 0:
+            vmin, vmax = sr.vmin, sr.vmax
+        elif sr.n_valid == 0:
+            vmin, vmax = sl.vmin, sl.vmax
+        else:
+            vmin, vmax = min(sl.vmin, sr.vmin), max(sl.vmax, sr.vmax)
+        exact = colstats._is_exact64(lc) and colstats._is_exact64(rc)
+        if not exact and (abs(vmin) >= 2**52 or abs(vmax) >= 2**52):
+            return None  # f64 stats rounded: codes would be inexact
+        rng = int(vmax) - int(vmin) + 1
+        has_nan = sl.has_nan or sr.has_nan
+        has_null = sl.has_null or sr.has_null
+        n = max(rng + (1 if has_nan else 0) + (1 if has_null else 0), 1)
+        if n > (1 << 62):
+            return None
+        width = max(1, int(n - 1).bit_length() if n > 1 else 1)
+        plan.append((int(vmin), rng, width, has_nan, has_null, exact))
+        total += width
+    if total > 62:
+        return None
+    return plan
+
+
+def _side_word(cols, mins, widths, nan_flags, null_flags, exact_flags,
+               ranges, null_inactive):
+    """[inactive:1][codes:tbits][side slot left open] u64 word for one side.
+
+    ``null_inactive``: True marks null-key rows inactive (they sort last and
+    can never match — the build side under pandas null semantics); False
+    gives nulls their own code group (probe side: they form groups with no
+    build rows, so inner drops them and left emits null right columns)."""
+    cap = cols[0].capacity
+    slot = jnp.zeros((cap,), jnp.uint64)
+    nullrow = jnp.zeros((cap,), jnp.bool_)
+    for c, vmin, w, has_nan, has_null, exact, rng in zip(
+            cols, mins, widths, nan_flags, null_flags, exact_flags, ranges):
+        if exact:
+            code = c.data.astype(jnp.uint64) - vmin.astype(jnp.uint64)
+        else:
+            base = c.data.astype(jnp.float64) - vmin
+            code = base.astype(jnp.int64).astype(jnp.uint64)
+        if has_nan:
+            code = jnp.where(jnp.isnan(c.data), rng.astype(jnp.uint64), code)
+        if c.validity is not None:
+            null_code = (rng + (jnp.int64(1) if has_nan else jnp.int64(0))
+                         ).astype(jnp.uint64)
+            code = jnp.where(c.validity, code, null_code)
+            nullrow = nullrow | ~c.validity
+        code = jnp.clip(code, jnp.uint64(0), jnp.uint64((1 << w) - 1))
+        slot = (slot << jnp.uint64(w)) | code
+    inactive = jnp.arange(cap, dtype=jnp.int32) >= jnp.asarray(
+        cols[0].raw_length, jnp.int32)
+    if null_inactive:
+        inactive = inactive | nullrow
+    return slot, inactive
+
+
+def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
+                        lcols, rcols, how: str, nulls_equal: bool,
+                        suffixes) -> Optional[Table]:
+    """Gather-free sparse-key N:1 join in ONE single-word sort pass.
+
+    The round-4 rewrite of ``_try_sorted_nto1_join``: key pairs compress to
+    EXACT joint integer codes (cached exact 64-bit stats, core/stats.py)
+    packed with the inactive + side flags into ONE u64 — so the combined
+    (right ++ left) sort is a single flat ``lax.sort`` (measured ~7ms at 4M
+    rows with payloads free) instead of 2-3 chained multi-word passes, and
+    the whole join runs with ZERO host syncs once the build side's
+    uniqueness is memoized (``Column.distinct_hint``): the output carries a
+    deferred device length. First call on a build side syncs once to read
+    [total, max_match, right_dup_max] and memoizes. Reference:
+    cpp/src/join/distinct_hash_join.cu (the fact->dim distinct join).
+    """
+    if nulls_equal:
+        return None  # null==null would need a joint null group; rare — fall back
+    plan = _joint_word_plan(lcols, rcols)
+    if plan is None:
+        return None
+    key_pairs = dict(zip(left_on, right_on))
+    rpay_names = [n for n in right.names
+                  if not (n in key_pairs.values() and n in left_on)]
+    n_payload = sum(1 + (left[n].validity is not None) for n in left.names)
+    n_payload += sum(1 + (right[n].validity is not None) for n in rpay_names)
+    if n_payload > MAX_SORTJOIN_PAYLOADS:
+        return None
+    capL = lcols[0].capacity
+    capR = rcols[0].capacity
+    if bucket_capacity(capL + capR) > WIDE_JOIN_CHUNK_LIMIT:
+        return None
+
+    tbits = sum(w for _, _, w, _, _, _ in plan)
+    mins = []
+    for (vmin, _, _, _, _, exact), lc in zip(plan, lcols):
+        if exact:
+            mins.append(jnp.uint64(vmin) if lc.dtype.kind == Kind.UINT
+                        else jnp.int64(vmin))
+        else:
+            mins.append(jnp.float64(vmin))
+    widths = tuple(w for _, _, w, _, _, _ in plan)
+    nan_flags = tuple(f for _, _, _, f, _, _ in plan)
+    null_flags = tuple(f for _, _, _, _, f, _ in plan)
+    exact_flags = tuple(f for _, _, _, _, _, f in plan)
+    ranges = tuple(jnp.int64(rng) for _, rng, _, _, _, _ in plan)
+
+    l_out = tuple(left[n] for n in left.names)
+    rpay = tuple(right[n] for n in rpay_names)
+    out_cap = capL
+    outs, meta, total_i32 = _word_nto1_impl(
+        l_out, tuple(lcols), tuple(rcols), rpay, tuple(mins), widths,
+        nan_flags, null_flags, exact_flags, ranges, tbits, how, out_cap)
+
+    hint_col = rcols[0] if len(rcols) == 1 else None
+    if hint_col is not None and hint_col.distinct_hint:
+        # build side known-unique: N:1 holds, no sync — deferred length
+        n_out = total_i32
+        try:
+            total_i32.copy_to_host_async()
+        except Exception:
+            pass
+    else:
+        total, maxcnt, rdup = (int(x) for x in np.asarray(jax.device_get(meta)))
+        if maxcnt > 1:
+            return None  # 1:N keys: gather-based retrieve handles expansion
+        if hint_col is not None and rdup <= 1:
+            hint_col.distinct_hint = True
+        n_out = total
+
+    out: Dict[str, Column] = {}
+    rnames = set(right.names)
+    lnames = set(left.names)
+    for i, name in enumerate(left.names):
+        cname = name if name not in rnames or name in key_pairs else name + suffixes[0]
+        col = fix_lengths(outs[i], n_out)
+        col.dictionary = left[name].dictionary
+        out[cname] = col
+    for j, name in enumerate(rpay_names):
+        cname = name if name not in lnames else name + suffixes[1]
+        col = fix_lengths(outs[len(left.names) + j], n_out)
+        col.dictionary = right[name].dictionary
+        out[cname] = col
+    return Table(out)
+
+
+@partial(jax.jit, static_argnames=("widths", "nan_flags", "null_flags",
+                                   "exact_flags", "tbits", "how", "out_cap"))
+def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
+                    null_flags, exact_flags, ranges, tbits, how, out_cap):
+    from .sortprim import segmented_scan, tiled_cumsum
+
+    capL = lkey[0].capacity
+    capR = rkey[0].capacity
+    total_rows = capL + capR
+    cap = bucket_capacity(total_rows)
+    pad = cap - total_rows
+    pb = max(1, (cap - 1).bit_length())
+
+    l_slot, l_inact = _side_word(lkey, mins, widths, nan_flags, null_flags,
+                                 exact_flags, ranges, null_inactive=False)
+    r_slot, r_inact = _side_word(rkey, mins, widths, nan_flags, null_flags,
+                                 exact_flags, ranges, null_inactive=True)
+
+    # word: [inactive:1][codes:tbits][side:1]
+    def mkword(slot, inact, side_bit):
+        return ((inact.astype(jnp.uint64) << jnp.uint64(tbits + 1))
+                | (slot << jnp.uint64(1)) | jnp.uint64(side_bit))
+
+    wl = mkword(l_slot, l_inact, 1)
+    wr = mkword(r_slot, r_inact, 0)
+    parts = [wr, wl]
+    if pad:
+        parts.append(jnp.full((pad,), np.uint64((1 << (tbits + 1)) | 1),
+                              jnp.uint64))
+    word = jnp.concatenate(parts)
+
+    def comb(r_arr, l_arr, padval=0):
+        ps = [r_arr, l_arr]
+        if pad:
+            ps.append(jnp.full((pad,), padval, r_arr.dtype))
+        return jnp.concatenate(ps)
+
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    payloads: List[jnp.ndarray] = []
+    spec: List[Tuple[str, int, bool]] = []
+    for i, c in enumerate(l_out):
+        payloads.append(comb(jnp.zeros((capR,), c.data.dtype), c.data))
+        spec.append(("l", i, False))
+        if c.validity is not None:
+            payloads.append(comb(jnp.zeros((capR,), jnp.bool_), c.validity))
+            spec.append(("l", i, True))
+    for j, c in enumerate(rpay):
+        payloads.append(comb(c.data, jnp.zeros((capL,), c.data.dtype)))
+        spec.append(("r", j, False))
+        if c.validity is not None:
+            payloads.append(comb(c.validity, jnp.zeros((capL,), jnp.bool_)))
+            spec.append(("r", j, True))
+
+    res = jax.lax.sort(tuple([word, pos] + payloads), num_keys=1,
+                       is_stable=False)
+    sword = res[0]
+    spos = res[1]
+    carried = list(res[2:])
+
+    act = (sword >> jnp.uint64(tbits + 1)) == 0
+    is_right = act & ((sword & jnp.uint64(1)) == 0)
+    is_left = act & ~is_right
+    keyword = sword >> jnp.uint64(1)  # [inactive][codes]
+    key_newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                  keyword[1:] != keyword[:-1]])
+
+    first = lambda a, b: a  # noqa: E731
+    rights_incl = tiled_cumsum(is_right.astype(jnp.int32))
+    lb_here = segmented_scan(rights_incl - is_right.astype(jnp.int32),
+                             key_newgrp, first)
+    cnt_here = rights_incl - lb_here
+    matched = is_left & (cnt_here > 0)
+    maxcnt = jnp.max(jnp.where(is_left, cnt_here, 0))
+    rdupmax = jnp.max(jnp.where(act, cnt_here, 0))
+    if how == "left":
+        total = jnp.sum(is_left.astype(jnp.int64))
+        keep = is_left
+    else:
+        total = jnp.sum(matched.astype(jnp.int64))
+        keep = matched
+    meta = jnp.stack([total, maxcnt.astype(jnp.int64),
+                      rdupmax.astype(jnp.int64)])
+
+    out_data: List[jnp.ndarray] = []
+    out_valid: List[Optional[jnp.ndarray]] = []
+    srt: Dict[Tuple[str, int, bool], jnp.ndarray] = dict(zip(spec, carried))
+    for i, c in enumerate(l_out):
+        out_data.append(srt[("l", i, False)])
+        out_valid.append(srt.get(("l", i, True)))
+    for j, c in enumerate(rpay):
+        b = segmented_scan(srt[("r", j, False)], key_newgrp, first)
+        v = srt.get(("r", j, True))
+        bv = matched if v is None else matched & segmented_scan(
+            v, key_newgrp, first)
+        if how == "inner" and c.validity is None:
+            bv = None  # every kept row matched
+        out_data.append(b)
+        out_valid.append(bv)
+
+    # restore original left order + compact drops to the tail: ONE pass
+    key2 = ((~keep).astype(jnp.uint64) << jnp.uint64(pb)) | spos.astype(
+        jnp.uint64)
+    final_payloads = list(out_data) + [v for v in out_valid if v is not None]
+    res2 = jax.lax.sort(tuple([key2] + final_payloads), num_keys=1,
+                        is_stable=False)
+    rest = list(res2[1:])
+    nd = len(out_data)
+    sorted_data = rest[:nd]
+    it = iter(rest[nd:])
+    sorted_valid = [next(it) if v is not None else None for v in out_valid]
+
+    cols = []
+    k = 0
+    for src in list(l_out) + list(rpay):
+        d = jax.lax.slice(sorted_data[k], (0,), (out_cap,))
+        v = sorted_valid[k]
+        if v is not None:
+            v = jax.lax.slice(v, (0,), (out_cap,))
+        cols.append(Column(src.dtype, d, v, total, src.dictionary))
+        k += 1
+    return tuple(cols), meta, total.astype(jnp.int32)
+
 # combined (probe ++ build) row-capacity bound for wide-key single-program
 # lanes: beyond this the multi-word sort/search graphs compile pathologically
 # over the remote-compile tunnel; join() chunks the probe side instead
@@ -813,6 +1099,12 @@ def join(
 
     if how in ("inner", "left") and not any(
             isinstance(c.data, jax.core.Tracer) for c in list(lcols) + list(rcols)):
+        # round-4 hot lane: exact single-word code sort (cached exact stats,
+        # zero syncs once build-side uniqueness is memoized)
+        res = _try_word_nto1_join(left, right, left_on, right_on,
+                                  lcols, rcols, how, nulls_equal, suffixes)
+        if res is not None:
+            return res
         # static per-dtype widths (no sync): reaching this point at all means
         # the stats-compressed direct-address lane already bailed, so wide
         # static widths == genuinely sparse keys
@@ -821,7 +1113,7 @@ def join(
         ws = [_op_widths_join(c) for c in lcols]
         if all(w is not None for w in ws) and \
                 sum(sum(w) for w in ws) > hashgroup.DIRECT_BITS:
-            # sparse/wide keys: gather-free N:1 sort-join hot lane
+            # sparse/wide keys: gather-free N:1 sort-join multi-word fallback
             res = _try_sorted_nto1_join(left, right, left_on, right_on,
                                         lcols, rcols, how, nulls_equal,
                                         suffixes)

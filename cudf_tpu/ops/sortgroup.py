@@ -1,0 +1,401 @@
+"""Unified single-word code-sort groupby: sorts + scans + ONE compaction sort.
+
+The round-4 rebuild of the groupby hot path (reference: hash groupby,
+cpp/src/groupby/hash/compute_groupby.cu:94 — no key-range restriction), built
+to the measured axon cost model (benchmarks/probe_prims.py, probe_dispatch.py):
+
+  * a flat u64 ``lax.sort`` costs ~3.5ms at 2M rows and PAYLOADS ARE FREE
+    (2-12 payload operands measure identically);
+  * a scatter-min to 128k slots costs ~40ms to run and ~400s to compile;
+    ``searchsorted`` over 128k queries costs ~100ms — so the old
+    boundary-extraction pass2 (ops/fastgroup.py:_boundaries) pays more than
+    the entire key sort;
+  * every host sync costs a ~23ms tunnel round trip, and chained dispatches
+    pipeline for free.
+
+Design (NO scatters, NO searchsorted, NO full-capacity gathers, NO host
+syncs — the output carries a deferred device length, core/column.py):
+
+  1. key columns compress to exact integer codes from CACHED exact stats
+     (core/stats.py; 64-bit integers keep exact Python-int bounds), packed
+     into ONE u64 word of <= 63 bits + a leading inactive-sentinel bit.
+     This admits sparse 64-bit surrogate keys — the case the dense lane
+     (fastgroup.py, packed codes + rowid <= 62 bits) must reject;
+  2. one flat sort. When codes + rowid fit 64 bits the rowid embeds in the
+     word (stability free); otherwise the row id rides as a tiebreak operand
+     (stable) or payload (unordered aggs), values ride as payloads;
+  3. per-group aggregation is prefix/segmented scans over sorted rows
+     (fastgroup.build_scan_arrays is shared);
+  4. pass 2 is ONE more flat u64 sort: group-END rows (where every inclusive
+     segmented scan holds its group's final value) compact to the front,
+     in key order, carrying the scan results as payloads. Group results are
+     then adjacent-element differences / direct reads on the compacted
+     prefix — the per-group extraction that previously needed boundary
+     scatters and gathers is two sorts + slices.
+
+Output is in ascending key order with nulls last (pandas sort=True), same as
+the other lanes. var/std/m2/argmin/argmax stay on the older engines (their
+two-pass/broadcast structure doesn't fit the compaction trick).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import dtypes
+from ..core import stats as colstats
+from ..core.column import Column
+from ..core.dtypes import Kind
+from ..core.table import Table
+from ..utils.padding import bucket_capacity
+from .fastgroup import _I32MAX, build_scan_arrays
+from .sortprim import tiled_cumsum
+
+_SUPPORTED = {
+    "sum", "product", "min", "max", "count", "size", "any", "all", "mean",
+    "sum_of_squares", "first", "last", "nth",
+}
+_STABLE_KINDS = {"first", "last", "nth"}
+
+MAX_CODE_BITS = 63  # one u64 word minus the inactive-sentinel bit
+
+
+def _posbits(cap: int) -> int:
+    return max(1, (cap - 1).bit_length())
+
+
+def plan_wide(kcols: Sequence[Column]):
+    """Per-key (stats, width) with EXACT wide codes, total <= MAX_CODE_BITS;
+    None when any key is not integral-codeable or the pack is too wide."""
+    plan = []
+    total = 0
+    for c in kcols:
+        st = colstats.compute_stats(c)
+        if st is None:
+            return None
+        w = st.code_width_wide()
+        if w is None:
+            return None
+        plan.append((st, w))
+        total += w
+    if total > MAX_CODE_BITS:
+        return None
+    return plan
+
+
+def _min_scalar(c: Column, st) -> jnp.ndarray:
+    """vmin as a dynamic device scalar in arithmetic-exact dtype."""
+    if colstats._is_exact64(c):
+        if c.dtype.kind == Kind.UINT:
+            return jnp.uint64(int(st.vmin))
+        return jnp.int64(int(st.vmin))
+    return jnp.float64(st.vmin)
+
+
+@partial(jax.jit, static_argnames=("widths", "dropna", "nan_flags",
+                                   "null_flags", "exact_flags"))
+def _make_word(kcols, mins, widths, nan_flags, null_flags, exact_flags,
+               ranges, dropna):
+    """u64 word: [sentinel:1][packed key codes:tbits], sentinel set for
+    padding / dropped-null rows (they sort last)."""
+    cap = kcols[0].capacity
+    slot = jnp.zeros((cap,), jnp.uint64)
+    keyok = jnp.ones((cap,), jnp.bool_)
+    for c, vmin, w, has_nan, exact, rng in zip(
+            kcols, mins, widths, nan_flags, exact_flags, ranges):
+        if exact:
+            # wrapping u64 subtraction: true diff is in [0, 2^63), so the
+            # modular result is exact at any operand magnitude
+            code = c.data.astype(jnp.uint64) - vmin.astype(jnp.uint64)
+        else:
+            base = c.data.astype(jnp.float64) - vmin
+            code = base.astype(jnp.int64).astype(jnp.uint64)
+        if has_nan:
+            code = jnp.where(jnp.isnan(c.data), rng.astype(jnp.uint64), code)
+        if c.validity is not None:
+            null_code = (rng + (jnp.int64(1) if has_nan else jnp.int64(0))
+                         ).astype(jnp.uint64)
+            code = jnp.where(c.validity, code, null_code)
+            if dropna:
+                keyok = keyok & c.validity
+        code = jnp.clip(code, jnp.uint64(0), jnp.uint64((1 << w) - 1))
+        slot = (slot << jnp.uint64(w)) | code
+    tbits = sum(widths)
+    inb = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(
+        kcols[0].raw_length, jnp.int32)
+    active = inb & keyok
+    word = jnp.where(active, slot, jnp.uint64(1) << jnp.uint64(tbits))
+    return word, active
+
+
+@partial(jax.jit, static_argnames=("kinds", "tbits", "pb", "embedded",
+                                   "stable"))
+def _pass1(word, vdatas, vvalids, kinds, tbits, pb, embedded, stable):
+    """Sort rows by key word; build scan arrays. Returns
+    (scode, spos, act, newgrp, n_groups, n_active, arrs_by_col)."""
+    cap = word.shape[0]
+    payloads: List[jnp.ndarray] = []
+    for d, v in zip(vdatas, vvalids):
+        payloads.append(d)
+        if v is not None:
+            payloads.append(v)
+
+    if embedded:
+        key = (word << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+        res = jax.lax.sort(tuple([key] + payloads), num_keys=1,
+                           is_stable=False)
+        skey = res[0]
+        rest = list(res[1:])
+        spos = (skey & jnp.uint64((1 << pb) - 1)).astype(jnp.int32)
+        scode = skey >> jnp.uint64(pb)
+    else:
+        pos = jnp.arange(cap, dtype=jnp.uint32)
+        if stable:
+            res = jax.lax.sort(tuple([word, pos] + payloads), num_keys=2,
+                               is_stable=False)
+        else:
+            res = jax.lax.sort(tuple([word, pos] + payloads), num_keys=1,
+                               is_stable=False)
+        scode = res[0]
+        spos = res[1].astype(jnp.int32)
+        rest = list(res[2:])
+
+    svs: List[jnp.ndarray] = []
+    svalids: List[Optional[jnp.ndarray]] = []
+    i = 0
+    for d, v in zip(vdatas, vvalids):
+        svs.append(rest[i]); i += 1
+        if v is not None:
+            svalids.append(rest[i]); i += 1
+        else:
+            svalids.append(None)
+
+    sentinel = jnp.uint64(1) << jnp.uint64(tbits)
+    act = scode < sentinel
+    newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                              scode[1:] != scode[:-1]]) & act
+    n_groups = jnp.sum(newgrp.astype(jnp.int32))
+    n_active = jnp.sum(act.astype(jnp.int32))
+    rowpos = jnp.arange(cap, dtype=jnp.int32)
+
+    arrs_by_col = []
+    for sv, svalid, kset in zip(svs, svalids, kinds):
+        arrs_by_col.append(build_scan_arrays(sv, svalid, act, newgrp, rowpos,
+                                             kset))
+    return scode, spos, act, newgrp, n_groups, n_active, arrs_by_col
+
+
+def _shift_prev(arr, fill):
+    return jnp.concatenate([jnp.full((1,), fill, arr.dtype), arr[:-1]])
+
+
+@partial(jax.jit, static_argnames=("aggs", "agg_vidx", "keynames", "widths",
+                                   "nan_flags", "null_flags", "exact_flags",
+                                   "out_cap", "tbits", "pb"))
+def _pass2_compact(scode, spos, act, newgrp, n_groups, n_active, arrs_by_col,
+                   aggs, agg_vidx, vcols, kcols, keynames, mins, widths,
+                   nan_flags, null_flags, exact_flags, ranges, out_cap, tbits,
+                   pb):
+    """ONE flag-sort compacts group-end rows (carrying scan results) to the
+    front in key order; group answers are shift-differences / direct reads."""
+    cap = scode.shape[0]
+    rowpos = jnp.arange(cap, dtype=jnp.int32)
+    next_new = jnp.concatenate([newgrp[1:], jnp.ones((1,), jnp.bool_)])
+    next_act = jnp.concatenate([act[1:], jnp.zeros((1,), jnp.bool_)])
+    is_end = act & (next_new | ~next_act)
+
+    # compact key: ends first (flag 0), in sorted-row order == key order
+    ckey = ((~is_end).astype(jnp.uint64) << jnp.uint64(pb)) | rowpos.astype(
+        jnp.uint64)
+
+    # payloads: the key word + per-column scan arrays the aggs need + spos
+    payloads: List[jnp.ndarray] = [scode]
+    names: List[Tuple[int, str]] = [(-1, "scode")]
+    need_spos = any(s.kind in ("first", "last", "nth") for s in aggs)
+    if need_spos:
+        pass  # first/last gather from sv by sorted position, not spos
+    for vidx, arrs in enumerate(arrs_by_col):
+        for aname, arr in arrs.items():
+            if aname == "sv":
+                continue  # full array stays for small gathers below
+            payloads.append(arr)
+            names.append((vidx, aname))
+
+    res = jax.lax.sort(tuple([ckey] + payloads), num_keys=1, is_stable=False)
+    ckey_c = jax.lax.slice(res[0], (0,), (out_cap,))
+    end_pos = (ckey_c & jnp.uint64((1 << pb) - 1)).astype(jnp.int32)
+    comp: Dict[Tuple[int, str], jnp.ndarray] = {}
+    for (vidx, aname), arr in zip(names, res[1:]):
+        comp[(vidx, aname)] = jax.lax.slice(arr, (0,), (out_cap,))
+
+    q = jnp.arange(out_cap, dtype=jnp.int32)
+    ok = q < n_groups
+    out: Dict[str, Column] = {}
+
+    # ---- key columns: decode codes of the compacted group words -----------
+    kcode = comp[(-1, "scode")]
+    shift = tbits
+    for i, (c, vmin, w, has_nan, exact, rng) in enumerate(
+            zip(kcols, mins, widths, nan_flags, exact_flags, ranges)):
+        shift -= w
+        code = (kcode >> jnp.uint64(shift)) & jnp.uint64((1 << w) - 1)
+        phys = c.dtype.physical
+        if exact:
+            vals64 = vmin.astype(jnp.uint64) + code  # wrapping: exact inverse
+            data = vals64.astype(jnp.int64).astype(phys) \
+                if c.dtype.kind != Kind.UINT else vals64.astype(phys)
+        else:
+            val = code.astype(jnp.float64) + vmin
+            if c.dtype.kind == Kind.FLOAT:
+                data = val.astype(phys)
+                if has_nan:
+                    data = jnp.where(code == rng.astype(jnp.uint64),
+                                     jnp.asarray(jnp.nan, phys), data)
+            elif c.dtype.kind == Kind.BOOL:
+                data = code.astype(jnp.bool_)
+            else:
+                data = val.astype(jnp.int64).astype(phys)
+        validity = None
+        if c.validity is not None:
+            null_code = (rng + (jnp.int64(1) if has_nan else jnp.int64(0))
+                         ).astype(jnp.uint64)
+            validity = (code != null_code) & ok
+            data = jnp.where(validity, data, jnp.zeros((), phys))
+        out[keynames[i]] = Column(c.dtype, data, validity, n_groups,
+                                  c.dictionary)
+
+    # ---- aggregations ------------------------------------------------------
+    prev_end = _shift_prev(end_pos, jnp.int32(-1))
+    size = jnp.where(ok, (end_pos - prev_end).astype(jnp.int64), 0)
+    for spec, vidx in zip(aggs, agg_vidx):
+        vcol = vcols[vidx]
+        arrs = arrs_by_col[vidx]
+        csc = comp[(vidx, "cs_cnt")]
+        cnt = csc - _shift_prev(csc, jnp.int32(0))
+        validity = (cnt > 0) & ok
+        kind = spec.kind
+        if kind == "size":
+            col = Column(dtypes.int64, size, None, n_groups)
+        elif kind == "count":
+            col = Column(dtypes.int64, jnp.where(ok, cnt.astype(jnp.int64), 0),
+                         None, n_groups)
+        elif kind in ("sum", "mean", "sum_of_squares"):
+            if kind == "sum_of_squares":
+                cs = comp[(vidx, "cs_sos")]
+                s2 = cs - _shift_prev(cs, jnp.zeros((), cs.dtype))
+                col = Column(dtypes.from_numpy(np.dtype(s2.dtype)), s2,
+                             validity, n_groups)
+            else:
+                cs = comp[(vidx, "cs_sum")]
+                s = cs - _shift_prev(cs, jnp.zeros((), cs.dtype))
+                if kind == "sum":
+                    if vcol.dtype.is_floating and vcol.dtype.bits <= 32:
+                        col = Column(dtypes.float32, s.astype(jnp.float32),
+                                     validity, n_groups)
+                    else:
+                        col = Column(dtypes.from_numpy(np.dtype(s.dtype)), s,
+                                     validity, n_groups)
+                else:
+                    mean = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
+                    col = Column(dtypes.float64, mean, validity, n_groups)
+        elif kind == "product":
+            p = comp[(vidx, "prod")]
+            col = Column(dtypes.from_numpy(np.dtype(p.dtype)), p, validity,
+                         n_groups)
+        elif kind in ("min", "max"):
+            r = comp[(vidx, "smin" if kind == "min" else "smax")]
+            col = Column(vcol.dtype, r, validity, n_groups, vcol.dictionary)
+        elif kind in ("any", "all"):
+            r = comp[(vidx, "sany" if kind == "any" else "sall")]
+            col = Column(dtypes.bool_, r.astype(jnp.bool_), validity, n_groups)
+        elif kind in ("first", "nth"):
+            fi = jnp.clip(comp[(vidx, "sfirst")], 0, cap - 1)
+            if kind == "nth":
+                fi = jnp.clip(fi + jnp.int32(int(spec.param)), 0, cap - 1)
+            col = Column(vcol.dtype, arrs["sv"][fi], validity, n_groups,
+                         vcol.dictionary)
+        elif kind == "last":
+            li = jnp.clip(comp[(vidx, "slast")], 0, cap - 1)
+            col = Column(vcol.dtype, arrs["sv"][li], validity, n_groups,
+                         vcol.dictionary)
+        else:  # pragma: no cover - guarded by _SUPPORTED
+            raise ValueError(kind)
+        out[spec.out_name] = col
+    return out, n_groups
+
+
+def sort_groupby(tbl: Table, keys: Sequence[str], aggs,
+                 dropna_keys: bool) -> Optional[Table]:
+    """Single-word code-sort groupby; None when this plan doesn't apply."""
+    from ..utils.jitutil import fix_lengths
+
+    if not all(s.kind in _SUPPORTED for s in aggs):
+        return None
+    kcols = tuple(tbl[k] for k in keys)
+    if any(isinstance(c.data, jax.core.Tracer)
+           or isinstance(c.raw_length, jax.core.Tracer) for c in kcols):
+        return None
+    plan = plan_wide(kcols)
+    if plan is None:
+        return None
+    cap = kcols[0].capacity
+    pb = _posbits(cap)
+    widths = tuple(w for _, w in plan)
+    tbits = sum(widths)
+    mins = tuple(_min_scalar(c, st) for c, (st, _) in zip(kcols, plan))
+    nan_flags = tuple(st.has_nan for st, _ in plan)
+    null_flags = tuple(st.has_null for st, _ in plan)
+    exact_flags = tuple(colstats._is_exact64(c) for c in kcols)
+    ranges = tuple(jnp.int64(st.value_range) for st, _ in plan)
+    embedded = tbits + 1 + pb <= 64
+    stable = any(s.kind in _STABLE_KINDS for s in aggs)
+
+    word, active = _make_word(kcols, mins, widths, nan_flags, null_flags,
+                              exact_flags, ranges, dropna_keys)
+
+    # deduplicate value columns; collect agg kinds per column
+    vmap: Dict[str, int] = {}
+    vdatas: List[jnp.ndarray] = []
+    vvalids: List[Optional[jnp.ndarray]] = []
+    vcols: List[Column] = []
+    kinds: List[set] = []
+    for s in aggs:
+        cname = s.column if s.column else keys[0]
+        if cname not in vmap:
+            c = tbl[cname]
+            vmap[cname] = len(vdatas)
+            vdatas.append(c.data)
+            vvalids.append(c.validity)
+            vcols.append(c)
+            kinds.append(set())
+        kinds[vmap[cname]].add(s.kind)
+
+    scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col = _pass1(
+        word, tuple(vdatas), tuple(vvalids),
+        tuple(frozenset(k) for k in kinds), tbits, pb, embedded, stable)
+
+    n_bound = cap if tbits >= 40 else min(cap, 1 << tbits)
+    out_cap = bucket_capacity(max(n_bound, 1))
+    agg_vidx = tuple(vmap[s.column if s.column else keys[0]] for s in aggs)
+    out_cols, ng_i32 = _pass2_compact(
+        scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col, tuple(aggs),
+        agg_vidx, tuple(vcols), kcols, tuple(keys), mins, widths, nan_flags,
+        null_flags, exact_flags, ranges, out_cap, tbits, pb)
+    try:
+        ng_i32.copy_to_host_async()
+    except Exception:
+        pass
+    # deferred device length: resolves on host access (core/column.py)
+    out_cols = fix_lengths(out_cols, ng_i32)
+    for i, k in enumerate(keys):
+        out_cols[k].dictionary = kcols[i].dictionary
+    for s in aggs:
+        c = out_cols[s.out_name]
+        if c.dtype.is_string or c.dtype.kind == Kind.DICTIONARY:
+            src = tbl[s.column] if s.column else kcols[0]
+            c.dictionary = src.dictionary
+    return Table({n: out_cols[n] for n in list(keys) + [s.out_name for s in aggs]})

@@ -248,7 +248,7 @@ def _fast_sort_by_key(tbl, keys, desc, nl):
     from ..utils.jitutil import fix_lengths
 
     kcols = [tbl[k] for k in keys]
-    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.raw_length, jax.core.Tracer)
            for c in kcols):
         return None
     cap = kcols[0].capacity

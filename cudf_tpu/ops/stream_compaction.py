@@ -80,6 +80,14 @@ def _slice_cols(cols, out_cap):
     return tuple(out)
 
 
+# Lazy-compaction envelope: below this capacity the survivor count stays a
+# DEFERRED device scalar (core/column.py lazy length) and the output keeps
+# the input capacity — skipping the ~25ms tunnel sync entirely. Past it,
+# shrinking the capacity bucket saves more downstream device time than the
+# sync costs, so the eager slice path runs.
+LAZY_COMPACT_MAX = 1 << 23
+
+
 def _compact(tbl: Table, drop_key, cnt) -> Table:
     from ..utils.jitutil import fix_lengths
 
@@ -91,6 +99,20 @@ def _compact(tbl: Table, drop_key, cnt) -> Table:
         # dispatch the flag-sort FIRST so it overlaps the count host sync
         # (the tunnel round-trip costs ~25ms; the sort runs during it)
         sorted_cols = _flagsort(cols, drop_key, pb)
+        if cap <= LAZY_COMPACT_MAX:
+            # lazy: survivor count stays on device; stats propagate from the
+            # sources (survivor values are a SUBSET, so source min/max/flags
+            # are a conservative-correct superset for key-code planning)
+            try:
+                cnt.copy_to_host_async()
+            except Exception:
+                pass
+            sorted_cols = fix_lengths(list(sorted_cols), cnt)
+            for c, src in zip(sorted_cols, cols):
+                c.dictionary = src.dictionary
+                c.stats = src.stats
+            return Table(dict(zip(tbl.names, sorted_cols)))
+        # eager: pay the sync, shrink the capacity bucket
         # prefetch stats for the survivors during the same wait: min/max over
         # a superset (pre-slice rows include dropped ones; dropped values only
         # WIDEN the bounds, which is conservative-correct for key coding) —

@@ -157,19 +157,102 @@ def _dict_arrow(d: np.ndarray):
     return arr
 
 
+def _mandatory_literal(pat: str):
+    """(literal, anchored) — a literal substring every match must contain,
+    or None. The same optimization CPython's ``re`` applies internally
+    (literal-prefix scan) and RE2 applies via required-prefix analysis
+    (reference device analog: cpp/src/strings/regex/regcomp.cpp literal
+    optimizations): walk the parse tree's top-level concatenation and take
+    the longest run of fixed literals. ``anchored`` is True when the run
+    starts the pattern (usable as a prefix test)."""
+    try:
+        import re
+        try:
+            parser = re._parser  # py3.11+
+        except AttributeError:  # pragma: no cover - older python
+            import sre_parse as parser
+        tree = parser.parse(pat)
+    except Exception:
+        return None
+    runs = []  # (literal, starts_at_0)
+    cur = []
+    at0 = True
+    start0 = True
+    for op, av in tree:
+        opname = str(op)
+        lit = None
+        if opname == "LITERAL":
+            lit = chr(av)
+        elif opname == "MAX_REPEAT" or opname == "MIN_REPEAT":
+            lo, hi, sub = av
+            if lo == hi and lo <= 16 and len(sub) == 1 and \
+                    str(sub[0][0]) == "LITERAL":
+                lit = chr(sub[0][1]) * lo
+        if lit is not None:
+            if not cur:
+                start0 = at0
+            cur.append(lit)
+        else:
+            if cur:
+                runs.append(("".join(cur), start0))
+                cur = []
+            if opname == "AT":  # anchors don't consume
+                continue
+            at0 = False
+    if cur:
+        runs.append(("".join(cur), start0))
+    if not runs:
+        return None
+    best = max(runs, key=lambda r: len(r[0]))
+    if len(best[0]) < 2:
+        return None
+    return best
+
+
 def _dict_predicate_batch_regex(col: Column, pat: str, match: bool) -> Column:
-    """One pyarrow re2 pass over the whole dictionary (the VERDICT r2
-    batch-regex path; reference device engine: cpp/src/strings/regex)."""
+    """Batch regex over the dictionary with mandatory-literal prefiltering.
+
+    High-cardinality columns (dictionary ~ row count) make a full re2 pass
+    the bottleneck; extracting a literal every match must contain lets a
+    vectorized substring scan (pyarrow SIMD) reject almost every unique, and
+    the real regex runs only on the survivors. Falls back to one re2 pass
+    over everything when the pattern has no usable literal. (Reference
+    device engine: cpp/src/strings/regex/.)"""
     d = _dict_values(col)
     if not len(d):
         return _dict_flags(col, np.zeros((0,), bool))
+    rpat = "^(?:" + pat + ")" if match else pat
+    hint = _mandatory_literal(pat)
     try:
         import pyarrow.compute as pc
 
         arr = _dict_arrow(d)
-        rpat = "^(?:" + pat + ")" if match else pat
-        flags = pc.match_substring_regex(arr, rpat).to_numpy(
-            zero_copy_only=False).astype(bool)
+        if hint is not None:
+            lit, anchored = hint
+            if match and anchored:
+                cand = pc.starts_with(arr, lit).to_numpy(zero_copy_only=False)
+            else:
+                cand = pc.match_substring(arr, lit).to_numpy(
+                    zero_copy_only=False)
+            cand = cand.astype(bool)
+            idx = np.flatnonzero(cand)
+            flags = np.zeros(len(d), bool)
+            if len(idx):
+                if len(idx) < (len(d) >> 2):
+                    import re
+
+                    rx = re.compile(rpat)
+                    sub = d[idx]
+                    hits = np.fromiter((rx.search(x) is not None for x in sub),
+                                       bool, len(sub))
+                else:  # weak filter: one batch re2 pass on the survivors
+                    sub = pc.match_substring_regex(
+                        pa_array(d[idx]), rpat).to_numpy(zero_copy_only=False)
+                    hits = sub.astype(bool)
+                flags[idx] = hits
+        else:
+            flags = pc.match_substring_regex(arr, rpat).to_numpy(
+                zero_copy_only=False).astype(bool)
     except Exception:
         import re
 
@@ -177,6 +260,12 @@ def _dict_predicate_batch_regex(col: Column, pat: str, match: bool) -> Column:
         probe = rx.match if match else rx.search
         flags = np.fromiter((probe(x) is not None for x in d), bool, len(d))
     return _dict_flags(col, flags)
+
+
+def pa_array(d: np.ndarray):
+    import pyarrow as pa
+
+    return pa.array(np.asarray(d, dtype=object), type=pa.string())
 
 
 def contains(col: Column, pat: str, regex: bool = True) -> Column:

@@ -183,7 +183,7 @@ def wide_groupby(tbl: Table, keys: Sequence[str], aggs,
     if not all(s.kind in _SUPPORTED for s in aggs):
         return None
     kcols = tuple(tbl[k] for k in keys)
-    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.length, jax.core.Tracer)
+    if any(isinstance(c.data, jax.core.Tracer) or isinstance(c.raw_length, jax.core.Tracer)
            for c in kcols):
         return None
     widths: List[int] = [1]  # leading inactive flag

@@ -23,9 +23,10 @@ def fix_lengths(out, length: int):
     """Walk a pytree of Columns, replacing traced scalar lengths with ints.
 
     Inside a trace (shard_map bodies calling host-level ops) the length stays
-    a traced scalar — downstream in-trace consumers handle that."""
+    a traced scalar; a concrete device scalar stays DEFERRED (lazy length,
+    see core/column.py) — downstream consumers resolve on host access."""
     if isinstance(out, Column):
-        out.length = length if isinstance(length, jax.core.Tracer) else int(length)
+        out.length = length
         return out
     if isinstance(out, (list, tuple)):
         return type(out)(fix_lengths(o, length) for o in out)
@@ -41,7 +42,7 @@ def elementwise_jit(static_argnames=()):
         @functools.wraps(fn)
         def wrapper(col, *args, **kwargs):
             out = jfn(col, *args, **kwargs)
-            return fix_lengths(out, col.length)
+            return fix_lengths(out, col.raw_length)
 
         return wrapper
 
