@@ -206,33 +206,32 @@ def main():
             f"({N/results[name]/1e6:.1f}M rows/s)")
 
     # ---------------- pandas baseline ----------------
-    pd_results = {}
-    pd_results["sort"] = timeit(
-        lambda: sort_df.sort_values(["k1", "k2"], kind="stable"), PD_REPS)
-    pd_results["sort_str"] = timeit(
-        lambda: sort_str_df.sort_values(["k"], kind="stable"), PD_REPS)
-    pd_results["groupby"] = timeit(
-        lambda: gb_df.dropna().groupby(["A", "B"], as_index=False).agg(C=("C", "mean")), PD_REPS)
-    pd_results["groupby_str"] = timeit(
-        lambda: gb_str_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), PD_REPS)
-    pd_results["groupby_str_hc"] = timeit(
-        lambda: gb_hc_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), PD_REPS)
-    pd_results["regex_hc"] = timeit(
-        lambda: gb_hc_df["k"].str.contains(r"url/0{3}[0-9a-f]{6}/page",
-                                           regex=True).sum(), PD_REPS)
-    pd_results["tokens_hc"] = timeit(
-        lambda: gb_hc_df["k"].str.split("/").str.len().sum(), PD_REPS)
-    pd_results["groupby_i64"] = timeit(
-        lambda: gb_i64_df.groupby(["k"], as_index=False).agg(C=("C", "mean")), PD_REPS)
-    pd_results["join"] = timeit(lambda: join_left.merge(join_right, on="k"), PD_REPS)
-    pd_results["join_i64"] = timeit(
-        lambda: join_i64_left.merge(join_i64_right, on="k"), PD_REPS)
-
     def pd_join_filter():
         out = join_left.merge(join_right, on="k")
         return len(out[out["w"] > 0.0])
-    pd_results["join_filter"] = timeit(pd_join_filter, PD_REPS)
-    for k in pd_results:
+
+    pd_fns = {
+        "sort": lambda: sort_df.sort_values(["k1", "k2"], kind="stable"),
+        "sort_str": lambda: sort_str_df.sort_values(["k"], kind="stable"),
+        "groupby": lambda: gb_df.dropna().groupby(
+            ["A", "B"], as_index=False).agg(C=("C", "mean")),
+        "groupby_str": lambda: gb_str_df.groupby(
+            ["k"], as_index=False).agg(C=("C", "mean")),
+        "groupby_str_hc": lambda: gb_hc_df.groupby(
+            ["k"], as_index=False).agg(C=("C", "mean")),
+        "regex_hc": lambda: gb_hc_df["k"].str.contains(
+            r"url/0{3}[0-9a-f]{6}/page", regex=True).sum(),
+        "tokens_hc": lambda: gb_hc_df["k"].str.split("/").str.len().sum(),
+        "groupby_i64": lambda: gb_i64_df.groupby(
+            ["k"], as_index=False).agg(C=("C", "mean")),
+        "join": lambda: join_left.merge(join_right, on="k"),
+        "join_i64": lambda: join_i64_left.merge(join_i64_right, on="k"),
+        "join_filter": pd_join_filter,
+    }
+    # only baseline the workloads that actually ran (skip set, ADVICE r3)
+    pd_results = {}
+    for k in results:
+        pd_results[k] = timeit(pd_fns[k], PD_REPS)
         log(f"bench: pandas {k} {pd_results[k]*1e3:.1f} ms")
 
     # ---------------- roofline table ----------------
@@ -258,6 +257,10 @@ def main():
         log(f"bench:   {name:12s} {got/1e6:8.1f}M rows/s  sol {sol/1e6:9.0f}M  "
             f"({100*got/sol:5.2f}% of roofline, pandas x{pd_results[name]/results[name]:.1f})")
 
+    if not results:  # everything skipped: emit a null row, not a crash
+        print(json.dumps({"metric": "core_ops_rows_per_s_geomean",
+                          "value": 0, "unit": "rows/s", "vs_baseline": 0}))
+        return
     geo_rows = float(np.exp(np.mean([np.log(N / results[k]) for k in results])))
     geo_speedup = float(np.exp(np.mean(
         [np.log(pd_results[k] / results[k]) for k in results])))

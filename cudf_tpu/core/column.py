@@ -210,6 +210,9 @@ class Column:
     def from_numpy(cls, arr: np.ndarray, validity: Optional[np.ndarray] = None) -> "Column":
         """Build a column from a host numpy array (and optional bool validity)."""
         arr = np.asarray(arr)
+        if arr.dtype.kind == "O" and any(
+                isinstance(x, (list, tuple, np.ndarray)) for x in arr[:64]):
+            return cls._from_host_objects(arr, validity)
         if arr.dtype.kind in ("O", "U", "S"):
             return cls._from_host_strings(arr, validity)
         dt = dtypes.from_numpy(arr.dtype)
@@ -241,6 +244,41 @@ class Column:
         if isnull.any():
             v = _pad_to(~isnull, cap, False)
         return cls(dtypes.string, data, v, n, dictionary=uniq)
+
+    @classmethod
+    def _from_host_objects(cls, arr: np.ndarray, validity) -> "Column":
+        """Dictionary-encode arbitrary host objects (list-valued cells from
+        pandas object columns): device holds int32 codes, the objects stay
+        in a host dictionary. Enough for carrying/gather/explode/export;
+        value ops on such columns fall back or raise (cuDF list columns:
+        cpp/include/cudf/lists/lists_column_view.hpp)."""
+        n = len(arr)
+        isnull = np.array([x is None or (isinstance(x, float) and np.isnan(x))
+                           for x in arr])
+        codes = np.zeros(n, np.int32)
+        seen: dict = {}
+        uniq: list = []
+        for i, x in enumerate(arr):
+            if isnull[i]:
+                continue
+            key = (tuple(x) if isinstance(x, (list, np.ndarray)) else x)
+            try:
+                code = seen.get(key)
+            except TypeError:  # unhashable nested structure: its own code
+                code = None
+                key = None
+            if code is None:
+                code = len(uniq)
+                if key is not None:
+                    seen[key] = code
+                uniq.append(x)
+            codes[i] = code
+        if validity is not None:
+            isnull = isnull | ~np.asarray(validity, dtype=bool)
+        cap = bucket_capacity(n)
+        v = _pad_to(~isnull, cap, False) if isnull.any() else None
+        return cls(DType(Kind.DICTIONARY, 32), _pad_to(codes, cap), v, n,
+                   dictionary=np.asarray(uniq, dtype=object))
 
     @classmethod
     def from_arrow(cls, arr) -> "Column":

@@ -102,8 +102,9 @@ def _stats_kernel_exact(data, validf, inb):
     """Exact min/max/n_valid/anynull for an integer column, in its own dtype."""
     ok = inb & validf
     info = jnp.iinfo(data.dtype)
-    vmin = jnp.min(jnp.where(ok, data, info.max))
-    vmax = jnp.max(jnp.where(ok, data, info.min))
+    # dtype-typed sentinels: a bare python 2^64-1 overflows the i64 weak type
+    vmin = jnp.min(jnp.where(ok, data, jnp.asarray(info.max, data.dtype)))
+    vmax = jnp.max(jnp.where(ok, data, jnp.asarray(info.min, data.dtype)))
     n_valid = jnp.sum(ok.astype(jnp.int64))
     anynull = jnp.any(inb & ~validf)
     return vmin, vmax, n_valid, anynull

@@ -627,7 +627,30 @@ class DataFrame:
                           for n, c in self._tbl if c.dtype.is_numeric})
 
     def mode(self):
-        return DataFrame.from_pandas(self.to_pandas().mode())
+        """Per-column modes via the device groupby engine (groupby-count ->
+        max-count filter); only the tiny per-column mode lists are
+        host-assembled. (reference: python/cudf DataFrame.mode via
+        Series.mode on device)"""
+        from ..utils.real_pandas import pd
+        from ..core.table import Table
+        from ..ops.groupby import AggSpec, groupby_aggregate
+
+        mode_lists = {}
+        for n, c in self._tbl:
+            g = groupby_aggregate(Table({n: c}), [n],
+                                  [AggSpec(n, "size", "__cnt")])
+            got = g.to_pandas()
+            if len(got) == 0:
+                mode_lists[n] = []
+                continue
+            mx = got["__cnt"].max()
+            mode_lists[n] = list(got.loc[got["__cnt"] == mx, n])  # key-sorted
+        width = max((len(v) for v in mode_lists.values()), default=0)
+        out = {}
+        for n, vals in mode_lists.items():
+            col = list(vals) + [np.nan] * (width - len(vals))
+            out[n] = col
+        return DataFrame.from_pandas(pd.DataFrame(out))
 
     def agg(self, arg):
         """agg("sum") / agg(["sum", "mean"]) / agg({"col": "sum"})."""
@@ -735,14 +758,43 @@ class DataFrame:
         return DataFrame._from_table(_t(self._tbl))
 
     def join(self, other, on=None, how="left", lsuffix="", rsuffix=""):
-        """index-free positional join convenience: merges on ``on`` or the
-        other frame's index column."""
+        """Index join routed through the device merge engine: both indexes
+        materialize as a key column, ops/join.py does the work, and the
+        surviving left index is restored (reference: python/cudf
+        DataFrame.join -> merge on index)."""
         if on is not None:
             return self.merge(other, left_on=on, right_on=on, how=how,
                               suffixes=(lsuffix or "_x", rsuffix or "_y"))
-        pdf = self.to_pandas().join(other.to_pandas(), how=how,
-                                    lsuffix=lsuffix, rsuffix=rsuffix)
-        return DataFrame.from_pandas(pdf)
+        from .index import MultiIndex, RangeIndex
+        from ..ops.filling import sequence
+
+        def idxcol(df):
+            ix = df._index
+            if ix is None:
+                return sequence(len(df)), None
+            if isinstance(ix, MultiIndex):
+                return None, None
+            if isinstance(ix, RangeIndex):
+                m = ix.materialize()
+                return m.column, m.name
+            return ix.column, ix.name
+
+        lcol, lname = idxcol(self)
+        rcol, _ = idxcol(other)
+        if lcol is None or rcol is None:  # MultiIndex join: host fallback
+            pdf = self.to_pandas().join(other.to_pandas(), how=how,
+                                        lsuffix=lsuffix, rsuffix=rsuffix)
+            return DataFrame.from_pandas(pdf)
+        key = "__join_idx"
+        lf = DataFrame._from_table(
+            Table({key: lcol, **{n: c for n, c in self._tbl}}))
+        rf = DataFrame._from_table(
+            Table({key: rcol, **{n: c for n, c in other._tbl}}))
+        merged = lf.merge(rf, on=key, how=how,
+                          suffixes=(lsuffix or "_x", rsuffix or "_y"))
+        out = merged.set_index(key)
+        out._index.name = lname
+        return out
 
     def filter(self, items=None, like=None, regex=None):
         import re as _re
@@ -779,27 +831,82 @@ class DataFrame:
 
     def pivot_table(self, values=None, index=None, columns=None,
                     aggfunc="mean"):
-        """groupby-based pivot (reference python/cudf pivot_table)."""
+        """Device groupby + host assembly of the (small) aggregated result
+        into the wide layout — no pandas pivot machinery (reference:
+        python/cudf pivot_table -> groupby + scatter_by_map)."""
+        from ..utils.real_pandas import pd
+
         idx = [index] if isinstance(index, str) else list(index)
         cols = [columns] if isinstance(columns, str) else list(columns)
         g = (self.groupby(idx + cols, as_index=False)
              .agg(**{"__v": (values, aggfunc)}))
-        pdf = g.to_pandas()
-        return pdf.pivot(index=idx if len(idx) > 1 else idx[0],
-                         columns=cols if len(cols) > 1 else cols[0],
-                         values="__v").rename_axis(columns=None)
+        got = g.to_pandas()  # aggregated: |groups| rows, not |input| rows
+        ikeys = (got[idx[0]].to_numpy() if len(idx) == 1
+                 else np.asarray(list(zip(*[got[k] for k in idx])), object))
+        ckeys = (got[cols[0]].to_numpy() if len(cols) == 1
+                 else np.asarray(list(zip(*[got[k] for k in cols])), object))
+        iu, irank = np.unique(ikeys, return_inverse=True)
+        cu, crank = np.unique(ckeys, return_inverse=True)
+        mat = np.full((len(iu), len(cu)), np.nan)
+        mat[irank, crank] = got["__v"].to_numpy()
+        out = pd.DataFrame({c: mat[:, j] for j, c in enumerate(cu)})
+        out.index = pd.Index(iu, name=idx[0] if len(idx) == 1 else None)
+        return out
 
     def value_counts(self, subset=None, ascending=False):
         names = ([subset] if isinstance(subset, str) else list(subset)
                  if subset is not None else list(self._tbl.names))
         g = (self.groupby(names, as_index=False)
              .agg(count=(names[0], "size")))
-        out = g.to_pandas().sort_values("count", ascending=ascending)
-        return Series(out.set_index(names)["count"])
+        g = g.sort_values("count", ascending=ascending)  # device sort
+        return Series(g.to_pandas().set_index(names)["count"])
 
     def explode(self, column):
-        pdf = self.to_pandas().explode(column).reset_index(drop=True)
-        return DataFrame.from_pandas(pdf)
+        """Explode a list-valued column: only that column's values are host
+        data (they already live in a host object dictionary); the parent-row
+        map is built once and every OTHER column expands with ONE device
+        gather (reference: cpp/src/lists/explode.cu; pandas semantics —
+        empty/NaN lists keep one NaN row)."""
+        import itertools
+
+        from ..ops.copying import gather
+        import jax.numpy as jnp
+
+        host_vals = self[column].to_pandas().to_numpy()
+        n = len(host_vals)
+
+        def _islist(x):
+            return isinstance(x, (list, tuple, np.ndarray))
+
+        lens = np.fromiter(
+            (len(x) if _islist(x) else 0 for x in host_vals), np.int64, n)
+        eff = np.maximum(lens, 1)
+        parent = np.repeat(np.arange(n, dtype=np.int32), eff)
+        total = int(eff.sum())
+        flat = np.empty(total, object)
+        pos = 0
+        for x, ln in zip(host_vals, lens):
+            if ln == 0:
+                flat[pos] = np.nan
+                pos += 1
+            else:
+                flat[pos:pos + ln] = list(x)
+                pos += ln
+        try:
+            vals = np.asarray(flat.tolist(), dtype=np.float64)
+            value_col = Column.from_numpy(vals, ~np.isnan(vals))
+        except (TypeError, ValueError):
+            value_col = Column.from_numpy(flat.astype(str),
+                                          np.array([v == v for v in flat]))
+        cols = {}
+        parent_dev = jnp.asarray(np.pad(
+            parent, (0, value_col.capacity - total)))
+        for nme, c in self._tbl:
+            if nme == column:
+                cols[nme] = value_col
+            else:
+                cols[nme] = gather(c, parent_dev, total)
+        return DataFrame._from_table(Table(cols))
 
     def replace(self, to_replace, value=None):
         from ..core.table import Table

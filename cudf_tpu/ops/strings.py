@@ -209,6 +209,94 @@ def _mandatory_literal(pat: str):
     return best
 
 
+# ---------------------------------------------------------------------------
+# device regex engine: host-compiled byte DFA + lockstep scan on device
+# ---------------------------------------------------------------------------
+
+_DICT_BYTES_CACHE: dict = {}   # id(dictionary) -> (ref, device (L, n_pad) u8)
+_DFA_CACHE: dict = {}          # (pat, anchored, dotall) -> device table | None
+_DEVICE_REGEX_MIN = 8192       # below this the host engines win
+
+_MAX_STRLEN = 63               # +1 sentinel column = 64
+
+
+def _dict_device_bytes(d: np.ndarray):
+    """Device (L, n_pad) u8 matrix of the dictionary's ASCII bytes, one
+    right-padded sentinel-terminated row per unique (transposed for
+    lax.scan); None if non-ASCII or too long. Cached per dictionary."""
+    key = id(d)
+    hit = _DICT_BYTES_CACHE.get(key)
+    if hit is not None and hit[0] is d:
+        return hit[1]
+    try:
+        b = np.char.encode(np.asarray(d, dtype=np.str_), "ascii")
+    except Exception:
+        out = None
+    else:
+        maxlen = b.dtype.itemsize
+        if maxlen > _MAX_STRLEN:
+            out = None
+        else:
+            n = len(d)
+            # bucket L and n so the scan compiles against few signatures
+            L = 8
+            while L < maxlen + 1:
+                L *= 2
+            from ..utils.padding import bucket_capacity
+
+            n_pad = bucket_capacity(max(n, 1))
+            mat = np.zeros((n_pad, L), np.uint8)
+            mat[:n, :maxlen] = np.frombuffer(
+                b.tobytes(), np.uint8).reshape(n, maxlen)
+            out = jnp.asarray(np.ascontiguousarray(mat.T))
+    if len(_DICT_BYTES_CACHE) > 16:
+        _DICT_BYTES_CACHE.clear()
+    _DICT_BYTES_CACHE[key] = (d, out)
+    return out
+
+
+@jax.jit
+def _dfa_scan(table_i32, mat_u8):
+    """Lockstep DFA evaluation: one step per character column, each step a
+    vectorized gather into the (MAX_STATES, 256) transition table. The TPU
+    shape of cpp/src/strings/regex/ (warp-per-string NFA interpreter):
+    every string advances one byte per step, all lanes in lockstep."""
+    n = mat_u8.shape[1]
+    init = jnp.full((n,), 2, jnp.int32)  # start state
+
+    def step(state, row):
+        idx = state * jnp.int32(256) + row.astype(jnp.int32)
+        return table_i32[idx], None
+
+    final, _ = jax.lax.scan(step, init, mat_u8)
+    return final == jnp.int32(1)  # ACCEPT
+
+
+def _device_regex(col: Column, d: np.ndarray, pat: str, match: bool):
+    """Device-DFA match flags over the dictionary, or None (fallback)."""
+    from .regex_dfa import MAX_STATES, compile_dfa
+
+    if len(d) < _DEVICE_REGEX_MIN:
+        return None
+    key = (pat, bool(match))
+    tab_dev = _DFA_CACHE.get(key)
+    if tab_dev is None and key not in _DFA_CACHE:
+        tab = compile_dfa(pat, anchored=match)
+        if tab is not None:
+            padded = np.zeros((MAX_STATES, 256), np.int32)
+            padded[: tab.shape[0]] = tab
+            tab_dev = jnp.asarray(padded.reshape(-1))
+        if len(_DFA_CACHE) > 64:
+            _DFA_CACHE.clear()
+        _DFA_CACHE[key] = tab_dev
+    if tab_dev is None:
+        return None
+    mat = _dict_device_bytes(d)
+    if mat is None:
+        return None
+    return _dfa_scan(tab_dev, mat)
+
+
 def _dict_predicate_batch_regex(col: Column, pat: str, match: bool) -> Column:
     """Batch regex over the dictionary with mandatory-literal prefiltering.
 
@@ -221,6 +309,11 @@ def _dict_predicate_batch_regex(col: Column, pat: str, match: bool) -> Column:
     d = _dict_values(col)
     if not len(d):
         return _dict_flags(col, np.zeros((0,), bool))
+    # device DFA engine first: zero host regex work, flags never leave HBM
+    dev = _device_regex(col, d, pat, match)
+    if dev is not None:
+        out = _table_gather(dev, col.data)
+        return Column(dtypes.bool_, out, col.validity, col.raw_length)
     rpat = "^(?:" + pat + ")" if match else pat
     hint = _mandatory_literal(pat)
     try:

@@ -188,3 +188,32 @@ def test_execute_with_profile():
     assert kinds == ["DataFrameScan", "Filter", "GroupBy"]
     assert all(secs >= 0 for _, secs, _ in prof)
     assert prof[-1][2] == out.num_rows
+
+
+def test_engine_spmd_no_silent_fallbacks(qdata):
+    """The TPC-H-shaped plan must run entirely on the traced SPMD path:
+    any degrade to host evaluation is counted (VERDICT r3 weak #7)."""
+    from cudf_tpu.parallel import spmd as spmd_mod
+
+    df, dim = qdata
+    spmd_mod.reset_dist_fallbacks()
+    execute_spmd(_q(df, dim))
+    assert spmd_mod.DIST_FALLBACK_COUNTS == {}, spmd_mod.DIST_FALLBACK_COUNTS
+
+
+def test_spmd_wide_filter_stays_on_device(qdata):
+    """>12 payload arrays used to bail dist_elementwise; the batched
+    in-trace flag sort now keeps wide filters on the traced path."""
+    from cudf_tpu.parallel import spmd as spmd_mod
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    cols = {f"c{i}": rng.normal(size=n) for i in range(14)}
+    cols["v"] = rng.normal(size=n)
+    df = pd.DataFrame(cols)
+    plan = IRM.Filter(col("v") > lit(0.0), children=(_scan(df),))
+    spmd_mod.reset_dist_fallbacks()
+    got = execute_spmd(plan).to_pandas().reset_index(drop=True)
+    want = df[df["v"] > 0.0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert spmd_mod.DIST_FALLBACK_COUNTS == {}, spmd_mod.DIST_FALLBACK_COUNTS

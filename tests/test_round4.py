@@ -1,0 +1,253 @@
+"""Round-4 lanes: deferred lengths, single-word sort groupby/join, device regex.
+
+Oracle strategy (SURVEY.md §4): every case is checked value-for-value
+against pandas on the same input.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import cudf_tpu as ct
+from cudf_tpu.ops import stream_compaction as sc
+from cudf_tpu.ops.binaryop import binary_op
+from cudf_tpu.ops.groupby import AggSpec, groupby_aggregate
+from cudf_tpu.ops.join import join as tpu_join
+from cudf_tpu.ops.sortgroup import sort_groupby
+from cudf_tpu.ops.unaryop import nans_to_nulls
+
+rng = np.random.default_rng(42)
+N = 20000
+
+
+# --------------------------------------------------------------- lazy length
+class TestDeferredLength:
+    def test_deferred_resolution_and_cache(self):
+        from cudf_tpu.core import dtypes
+        from cudf_tpu.core.column import Column
+
+        c = Column(dtypes.int64, jnp.arange(16, dtype=jnp.int64), None,
+                   jnp.int32(9))
+        assert c.length_is_deferred
+        assert int(c.length) == 9
+        assert not c.length_is_deferred  # cached
+
+    def test_lazy_compaction_chain(self):
+        df = pd.DataFrame({"k": rng.integers(0, 50, N),
+                           "v": rng.normal(size=N)})
+        t = ct.Table.from_pandas(df)
+        mask = binary_op(t["v"], 0.0, "gt")
+        kept = sc.apply_boolean_mask(t, mask)
+        assert kept["k"].length_is_deferred
+        # groupby on the lazily-compacted table, then resolve
+        g = groupby_aggregate(kept, ["k"], [AggSpec("v", "mean", "v")])
+        ref = (df[df["v"] > 0].groupby("k", as_index=False)
+               .agg(v=("v", "mean")))
+        pd.testing.assert_frame_equal(g.to_pandas(), ref, check_dtype=False)
+
+    def test_zero_survivors(self):
+        df = pd.DataFrame({"k": rng.integers(0, 50, 100),
+                           "v": np.abs(rng.normal(size=100))})
+        t = ct.Table.from_pandas(df)
+        mask = binary_op(t["v"], -1.0, "lt")
+        kept = sc.apply_boolean_mask(t, mask)
+        assert kept.num_rows == 0
+
+
+# --------------------------------------------------------------- sortgroup
+class TestSortGroupby:
+    def _run(self, df, keys, aggs, ref, dropna=True):
+        t = ct.Table.from_pandas(df)
+        cols = {}
+        for n in t.names:
+            c = t[n]
+            cols[n] = nans_to_nulls(c) if (c.dtype.is_floating and n in keys) else c
+        g = sort_groupby(ct.Table(cols), keys, aggs, dropna)
+        assert g is not None, "sortgroup lane did not apply"
+        pd.testing.assert_frame_equal(g.to_pandas(), ref, check_dtype=False)
+
+    def test_sparse_i64_keys(self):
+        sp = np.unique(rng.integers(0, 2**62, N // 20, dtype=np.int64))
+        df = pd.DataFrame({"k": sp[rng.integers(0, len(sp), N)],
+                           "C": rng.normal(size=N)})
+        self._run(df, ["k"], [AggSpec("C", "mean", "C")],
+                  df.groupby("k", as_index=False).agg(C=("C", "mean")))
+
+    def test_negative_i64_range(self):
+        k = rng.integers(-2**61, 2**61, N, dtype=np.int64)
+        df = pd.DataFrame({"k": k, "C": rng.normal(size=N)})
+        self._run(df, ["k"], [AggSpec("C", "sum", "s"),
+                              AggSpec("C", "count", "n")],
+                  df.groupby("k", as_index=False).agg(s=("C", "sum"),
+                                                      n=("C", "count")))
+
+    def test_uint64_keys(self):
+        k = rng.integers(0, 2**63, N, dtype=np.uint64) % np.uint64(997)
+        df = pd.DataFrame({"k": k, "C": rng.normal(size=N)})
+        self._run(df, ["k"], [AggSpec("C", "max", "m")],
+                  df.groupby("k", as_index=False).agg(m=("C", "max")))
+
+    def test_multi_key_nulls_dropna(self):
+        df = pd.DataFrame({"A": rng.integers(0, 40, N).astype(float),
+                           "B": rng.integers(0, 7, N),
+                           "C": rng.normal(size=N)})
+        df.loc[rng.choice(N, N // 8, replace=False), "A"] = np.nan
+        self._run(df, ["A", "B"], [AggSpec("C", "mean", "C")],
+                  df.dropna().groupby(["A", "B"], as_index=False)
+                  .agg(C=("C", "mean")))
+
+    def test_dropna_false_null_group(self):
+        df = pd.DataFrame({"A": rng.integers(0, 5, N).astype(float),
+                           "C": rng.normal(size=N)})
+        df.loc[rng.choice(N, N // 10, replace=False), "A"] = np.nan
+        self._run(df, ["A"], [AggSpec("C", "mean", "C")],
+                  df.groupby("A", as_index=False, dropna=False)
+                  .agg(C=("C", "mean")), dropna=False)
+
+    def test_value_nulls_and_bools(self):
+        df = pd.DataFrame({"k": rng.integers(0, 25, N),
+                           "v": rng.normal(size=N),
+                           "b": rng.random(N) > 0.5})
+        df.loc[rng.choice(N, N // 5, replace=False), "v"] = np.nan
+        t = ct.Table.from_pandas(df)
+        t = ct.Table({"k": t["k"], "v": nans_to_nulls(t["v"]), "b": t["b"]})
+        g = sort_groupby(t, ["k"], [
+            AggSpec("v", "count", "c"), AggSpec("v", "sum", "s"),
+            AggSpec("b", "any", "a"), AggSpec("b", "all", "al"),
+            AggSpec("v", "size", "n")], True)
+        ref = df.groupby("k", as_index=False).agg(
+            c=("v", "count"), s=("v", "sum"), a=("b", "any"),
+            al=("b", "all"), n=("v", "size"))
+        pd.testing.assert_frame_equal(g.to_pandas(), ref, check_dtype=False)
+
+    def test_first_last_strings(self):
+        pool = np.array([f"s{i:04d}" for i in range(80)])
+        df = pd.DataFrame({"k": pool[rng.integers(0, 80, N)],
+                           "v": rng.normal(size=N)})
+        self._run(df, ["k"], [AggSpec("v", "first", "f"),
+                              AggSpec("v", "last", "l"),
+                              AggSpec("v", "min", "mn")],
+                  df.groupby("k", as_index=False).agg(
+                      f=("v", "first"), l=("v", "last"), mn=("v", "min")))
+
+    def test_var_falls_through(self):
+        # var isn't in the sortgroup set: full dispatch must still be exact
+        df = pd.DataFrame({"k": rng.integers(0, 25, N),
+                           "v": rng.normal(size=N)})
+        g = groupby_aggregate(ct.Table.from_pandas(df), ["k"],
+                              [AggSpec("v", "var", "v")])
+        ref = df.groupby("k", as_index=False).agg(v=("v", "var"))
+        pd.testing.assert_frame_equal(g.to_pandas(), ref, check_dtype=False)
+
+
+# --------------------------------------------------------------- word join
+class TestWordJoin:
+    def test_sparse_i64_fact_dim(self):
+        sp = np.unique(rng.integers(0, 2**62, N // 20, dtype=np.int64))
+        l = pd.DataFrame({"k": sp[rng.integers(0, len(sp), N)],
+                          "v": rng.normal(size=N).astype(np.float32)})
+        r = pd.DataFrame({"k": sp,
+                          "w": rng.normal(size=len(sp)).astype(np.float32)})
+        tl, tr = ct.Table.from_pandas(l), ct.Table.from_pandas(r)
+        out = tpu_join(tl, tr, ["k"], ["k"], "inner")
+        pd.testing.assert_frame_equal(out.to_pandas(), l.merge(r, on="k"),
+                                      check_dtype=False)
+        # distinct-hint memoized -> second call is the zero-sync path
+        assert tr["k"].distinct_hint is True
+        out2 = tpu_join(tl, tr, ["k"], ["k"], "inner")
+        pd.testing.assert_frame_equal(out2.to_pandas(), l.merge(r, on="k"),
+                                      check_dtype=False)
+
+    def test_inner_with_misses_and_left(self):
+        sp = np.unique(rng.integers(0, 2**62, 800, dtype=np.int64))
+        l = pd.DataFrame({"k": sp[rng.integers(0, len(sp), N)],
+                          "v": rng.normal(size=N).astype(np.float32)})
+        r = pd.DataFrame({"k": sp[: len(sp) // 2],
+                          "w": np.arange(len(sp) // 2, dtype=np.float32)})
+        tl, tr = ct.Table.from_pandas(l), ct.Table.from_pandas(r)
+        for how in ("inner", "left"):
+            out = tpu_join(tl, tr, ["k"], ["k"], how)
+            pd.testing.assert_frame_equal(out.to_pandas(),
+                                          l.merge(r, on="k", how=how),
+                                          check_dtype=False)
+
+    def test_null_keys_pandas_semantics(self):
+        l = pd.DataFrame({"k": rng.integers(0, 500, N).astype(float),
+                          "v": rng.normal(size=N)})
+        l.loc[rng.choice(N, N // 10, replace=False), "k"] = np.nan
+        r = pd.DataFrame({"k": np.arange(300, dtype=float),
+                          "w": rng.normal(size=300)})
+        tl = ct.Table.from_pandas(l)
+        tl = ct.Table({"k": nans_to_nulls(tl["k"]), "v": tl["v"]})
+        tr = ct.Table.from_pandas(r)
+        for how in ("inner", "left"):
+            out = tpu_join(tl, tr, ["k"], ["k"], how)
+            pd.testing.assert_frame_equal(out.to_pandas(),
+                                          l.merge(r, on="k", how=how),
+                                          check_dtype=False)
+
+    def test_one_to_many_falls_back_exact(self):
+        sp = np.unique(rng.integers(0, 2**62, 100, dtype=np.int64))
+        l = pd.DataFrame({"k": sp[rng.integers(0, 100, 5000)],
+                          "v": rng.normal(size=5000).astype(np.float32)})
+        r = pd.DataFrame({"k": np.concatenate([sp, sp]),
+                          "w": rng.normal(size=200).astype(np.float32)})
+        tl, tr = ct.Table.from_pandas(l), ct.Table.from_pandas(r)
+        out = tpu_join(tl, tr, ["k"], ["k"], "inner").to_pandas()
+        want = l.merge(r, on="k")
+        cols = list(out.columns)
+        pd.testing.assert_frame_equal(
+            out.sort_values(cols).reset_index(drop=True),
+            want.sort_values(cols).reset_index(drop=True), check_dtype=False)
+
+
+# --------------------------------------------------------------- device regex
+class TestDeviceRegex:
+    def _col(self, values):
+        return ct.Table.from_pandas(pd.DataFrame({"s": values}))["s"]
+
+    def test_dfa_vs_re_battery(self):
+        import re
+
+        from cudf_tpu.ops.regex_dfa import compile_dfa, dfa_match_host
+
+        strings = [f"url/{i:07x}/page" for i in range(200)] + [
+            "", "a", "page", "xxurl/000fff0/pagezz", "foo\nbar", "a b\tc",
+            "aaabbb", "ab", "a_c", "x" * 30]
+        pats = [r"url/0{2}[0-9a-f]{4}/page", r"page$", r"^url", r"a+b",
+                r"(a|b)c", r"[^a]b", r"\d{3}", r"\w+/\w+", r"a.c",
+                r"^a.*c$", r"x{5,10}", r"(ab)+", r"\s", r"^$"]
+        for pat in pats:
+            for anchored in (False, True):
+                tab = compile_dfa(pat, anchored)
+                if tab is None:
+                    continue
+                got = dfa_match_host(tab, strings)
+                rx = re.compile(pat)
+                probe = rx.match if anchored else rx.search
+                ref = np.array([probe(s) is not None for s in strings])
+                assert (got == ref).all(), (pat, anchored)
+
+    def test_device_contains_high_cardinality(self):
+        from cudf_tpu.ops.strings import _DEVICE_REGEX_MIN, contains
+
+        n = max(_DEVICE_REGEX_MIN + 1000, 10000)
+        vals = np.array([f"url/{i:07x}/page" for i in range(n)])
+        col = self._col(vals)
+        for pat in [r"url/0{2}[0-9a-f]{5}/page", r"page$", r"f{3}"]:
+            m = contains(col, pat, regex=True)
+            got = np.asarray(m.data)[:n].astype(bool)
+            ref = pd.Series(vals).str.contains(pat, regex=True).to_numpy()
+            assert (got == ref).all(), pat
+
+    def test_unsupported_pattern_falls_back(self):
+        from cudf_tpu.ops.strings import contains
+
+        vals = np.array([f"w{i}" for i in range(100)] + ["foo bar"])
+        col = self._col(vals)
+        m = contains(col, r"\bfoo", regex=True)  # \b unsupported by the DFA
+        got = np.asarray(m.data)[: len(vals)].astype(bool)
+        ref = pd.Series(vals).str.contains(r"\bfoo", regex=True).to_numpy()
+        assert (got == ref).all()
