@@ -81,6 +81,11 @@ def _slice_kernel(arr, offset, out_cap):
     return arr[idx]
 
 
+@_partial(jax.jit, static_argnums=(1, 2))
+def _window_kernel(arr, offset, out_cap):
+    return jax.lax.slice(arr, (offset,), (offset + out_cap,))
+
+
 @_partial(jax.jit, static_argnames=("cap", "npdt"))
 def _full_kernel(value, cap, npdt):
     """Device-side fill: a scalar H2D + broadcast. (A host np.full +
@@ -415,12 +420,20 @@ class Column:
             length = self.length - offset
         length = max(0, min(length, self.length - offset))
         cap = bucket_capacity(length)
-        data = _slice_kernel(self.data, jnp.int32(offset), cap)
-        v = (
-            _slice_kernel(self.validity, jnp.int32(offset), cap)
-            if self.validity is not None
-            else None
-        )
+        if isinstance(offset, (int, np.integer)) and offset + cap <= self.capacity:
+            # contiguous window: a static lax.slice is a cheap copy; the
+            # gather form costs ~16ns/row at 64M (out-of-core chunking
+            # slices 16M windows, where that would be ~1s per column)
+            data = _window_kernel(self.data, offset, cap)
+            v = (_window_kernel(self.validity, offset, cap)
+                 if self.validity is not None else None)
+        else:
+            data = _slice_kernel(self.data, jnp.int32(offset), cap)
+            v = (
+                _slice_kernel(self.validity, jnp.int32(offset), cap)
+                if self.validity is not None
+                else None
+            )
         return Column(self.dtype, data, v, length, self.dictionary)
 
     def head(self, n: int) -> "Column":

@@ -164,6 +164,15 @@ def groupby_aggregate(
     from ..utils.jitutil import fix_lengths
     from . import fastgroup
 
+    if tbl.num_columns:
+        from .chunked import chunked_groupby, needs_chunking
+
+        if needs_chunking(tbl.columns[0].capacity):
+            # past the compile-safe envelope: partial/merge/finalize chunks
+            out = chunked_groupby(tbl, keys, aggs, dropna_keys)
+            if out is not None:
+                return out
+
     # round-4 hot lane: single-word code sort + compaction pass2, exact wide
     # codes (sparse 64-bit keys included), deferred output length
     from .sortgroup import sort_groupby

@@ -286,6 +286,15 @@ def sort_by_key(
 ) -> Table:
     desc = tuple(_norm_flags(len(keys), descending))
     nl = tuple(_norm_flags(len(keys), nulls_last))
+    if tbl.num_columns:
+        cap = tbl.columns[0].capacity
+        from .chunked import chunked_sort_by_key, needs_chunking
+
+        if needs_chunking(cap):
+            # past the compile-safe envelope: sample-splitter chunked sort
+            out = chunked_sort_by_key(tbl, keys, desc, nl)
+            if out is not None:
+                return out
     fast = _fast_sort_by_key(tbl, keys, desc, nl)
     if fast is not None:
         return fast

@@ -91,6 +91,33 @@ LAZY_COMPACT_MAX = 1 << 23
 def _compact(tbl: Table, drop_key, cnt) -> Table:
     from ..utils.jitutil import fix_lengths
 
+    if not isinstance(drop_key, jax.core.Tracer):
+        from .chunked import CHUNK_ENVELOPE, needs_chunking
+
+        if needs_chunking(drop_key.shape[0]):
+            # past the compile-safe envelope: per-chunk flag sorts (every
+            # device program stays <= CHUNK_ENVELOPE rows) + concatenate
+            from .copying import concatenate_tables
+
+            n = tbl.num_rows
+            step = CHUNK_ENVELOPE
+            parts = []
+            counts = []
+            for s in range(0, max(n, 1), step):
+                ln = min(step, n - s)
+                sub = tbl.slice(s, ln)
+                dk = jax.lax.slice(drop_key, (s,), (s + sub.columns[0].capacity,)) \
+                    if s + sub.columns[0].capacity <= drop_key.shape[0] else \
+                    jax.lax.slice(drop_key, (drop_key.shape[0] - sub.columns[0].capacity,),
+                                  (drop_key.shape[0],))
+                # recompute in-bounds relative to the chunk: rows past ln drop
+                pos = jnp.arange(sub.columns[0].capacity, dtype=jnp.int32)
+                dk = jnp.where(pos < ln, dk, jnp.uint32(1))
+                c = jnp.sum((dk == 0).astype(jnp.int32))
+                parts.append(_compact(sub, dk, c))
+                counts.append(c)
+            return concatenate_tables(parts) if len(parts) > 1 else parts[0]
+
     cols = tuple(tbl[n] for n in tbl.names)
     n_payload = sum(1 + (c.validity is not None) for c in cols)
     if n_payload <= MAX_PAYLOADS and not isinstance(drop_key, jax.core.Tracer):

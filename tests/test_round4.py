@@ -251,3 +251,54 @@ class TestDeviceRegex:
         got = np.asarray(m.data)[: len(vals)].astype(bool)
         ref = pd.Series(vals).str.contains(r"\bfoo", regex=True).to_numpy()
         assert (got == ref).all()
+
+
+# --------------------------------------------------------------- chunked ops
+class TestChunkedEnvelope:
+    """Out-of-envelope execution (ops/chunked.py) with a tiny envelope so
+    small inputs exercise the chunk/merge machinery."""
+
+    @pytest.fixture(autouse=True)
+    def small_envelope(self, monkeypatch):
+        from cudf_tpu.ops import chunked
+
+        monkeypatch.setattr(chunked, "CHUNK_ENVELOPE", 4096)
+        yield
+
+    def test_chunked_multikey_sort_stable(self):
+        n = 25000
+        k1 = rng.integers(0, 1000, n).astype(np.float64)
+        k1[rng.choice(n, n // 50, replace=False)] = np.nan
+        df = pd.DataFrame({"k1": k1,
+                           "k2": rng.normal(size=n).astype(np.float32),
+                           "v": rng.normal(size=n).astype(np.float32)})
+        out = __import__("cudf_tpu").Table.from_pandas(df)
+        from cudf_tpu.ops import sorting
+
+        got = sorting.sort_by_key(out, ["k1", "k2"]).to_pandas()
+        ref = df.sort_values(["k1", "k2"], kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+    def test_chunked_groupby_and_compact(self):
+        n = 25000
+        df = pd.DataFrame({"A": rng.integers(0, 100, n).astype(np.float64),
+                           "B": rng.integers(0, 5, n),
+                           "C": rng.normal(size=n)})
+        df.loc[rng.choice(n, n // 100, replace=False), "A"] = np.nan
+        t = ct.Table.from_pandas(df)
+        t = ct.Table({"A": nans_to_nulls(t["A"]), "B": t["B"], "C": t["C"]})
+        g = groupby_aggregate(sc.drop_nulls(t), ["A", "B"],
+                              [AggSpec("C", "mean", "C")])
+        ref = (df.dropna().groupby(["A", "B"], as_index=False)
+               .agg(C=("C", "mean")))
+        pd.testing.assert_frame_equal(g.to_pandas(), ref, check_dtype=False)
+
+    def test_chunked_sparse_i64_groupby(self):
+        n = 25000
+        sp = np.unique(rng.integers(0, 2**62, n // 20, dtype=np.int64))
+        df = pd.DataFrame({"k": sp[rng.integers(0, len(sp), n)],
+                           "C": rng.normal(size=n)})
+        g = groupby_aggregate(ct.Table.from_pandas(df), ["k"],
+                              [AggSpec("C", "mean", "C")])
+        ref = df.groupby("k", as_index=False).agg(C=("C", "mean"))
+        pd.testing.assert_frame_equal(g.to_pandas(), ref, check_dtype=False)
