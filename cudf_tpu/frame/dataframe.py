@@ -87,20 +87,30 @@ class DataFrame:
 
         return self._index if self._index is not None else RangeIndex(len(self))
 
-    def _embed_index(self) -> Table:
+    def _embed_index(self, force: bool = False) -> Table:
+        """Embed index levels as prefixed columns. ``force=True`` also
+        materializes the default RangeIndex — row-permuting ops
+        (sort_values, boolean filters, dropna) must carry the original
+        positions, because pandas preserves (permutes) the index through
+        them."""
         if self._index is None:
-            return self._tbl
+            if not force:
+                return self._tbl
+            from ..ops.filling import sequence
+
+            return self._tbl.with_column(f"{self._IDX_PREF}0",
+                                         sequence(len(self)))
         t = self._tbl
         for i, c in enumerate(self._index.columns()):
             t = t.with_column(f"{self._IDX_PREF}{i}", c)
         return t
 
     def _unembed_index(self, tbl: Table) -> "DataFrame":
-        if self._index is None:
-            return DataFrame._from_table(tbl)
         from .index import Index, MultiIndex
 
         names = [n for n in tbl.names if n.startswith(self._IDX_PREF)]
+        if not names:
+            return DataFrame._from_table(tbl)
         cols = [tbl[n] for n in names]
         data = tbl.drop(names)
         if isinstance(self._index, MultiIndex):
@@ -176,7 +186,7 @@ class DataFrame:
         if isinstance(key, list):
             return DataFrame._from_table(self._tbl.select(key), self._index)
         if isinstance(key, Series):  # boolean mask
-            out = sc.apply_boolean_mask(self._embed_index(), key._col)
+            out = sc.apply_boolean_mask(self._embed_index(force=True), key._col)
             return self._unembed_index(out)
         if isinstance(key, slice):
             start, stop, step = key.indices(len(self))
@@ -243,22 +253,22 @@ class DataFrame:
         by = [by] if isinstance(by, str) else list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         desc = [not a for a in asc]
-        tbl = self._nan_keys_to_nulls(self._embed_index(), by)
+        tbl = self._nan_keys_to_nulls(self._embed_index(force=True), by)
         out = sorting.sort_by_key(tbl, by, desc, na_position == "last")
         return self._unembed_index(out)
 
     def nlargest(self, n, columns):
         cols = [columns] if isinstance(columns, str) else list(columns)
-        tbl = self._nan_keys_to_nulls(self._embed_index(), cols)
+        tbl = self._nan_keys_to_nulls(self._embed_index(force=True), cols)
         return self._unembed_index(sorting.top_k(tbl, n, cols, largest=True))
 
     def nsmallest(self, n, columns):
         cols = [columns] if isinstance(columns, str) else list(columns)
-        tbl = self._nan_keys_to_nulls(self._embed_index(), cols)
+        tbl = self._nan_keys_to_nulls(self._embed_index(force=True), cols)
         return self._unembed_index(sorting.top_k(tbl, n, cols, largest=False))
 
     def dropna(self, subset=None, how="any", thresh=None):
-        tbl = self._embed_index()
+        tbl = self._embed_index(force=True)
         names = list(subset) if subset is not None else self._tbl.names
         # pandas treats NaN as missing: convert NaNs to nulls on float cols
         conv = {}

@@ -306,6 +306,50 @@ def compile_dfa(pattern: str, anchored: bool,
     return tab
 
 
+def byte_classes(tab: np.ndarray):
+    """(classmap u8[256], n_classes): bytes whose transition COLUMNS are
+    identical across all states are equivalent inputs — the standard DFA
+    alphabet compression (RE2 does the same, bytemap in re2/prog.h)."""
+    cols = tab.T  # (256, S)
+    seen: dict = {}
+    cmap = np.zeros(256, np.uint8)
+    for b in range(256):
+        key = cols[b].tobytes()
+        cid = seen.get(key)
+        if cid is None:
+            cid = len(seen)
+            seen[key] = cid
+        cmap[b] = cid
+    return cmap, len(seen)
+
+
+def pair_table(tab: np.ndarray, cmap: np.ndarray, n_classes: int):
+    """One-hot next-state rows indexed by (state, class-pair): evaluating
+    TWO characters per step with a row gather + argmax measures ~2.7x
+    faster than one scalar-gather per character on the axon chip
+    (benchmarks: row gathers cost the same at widths 1-64).
+
+    Returns (P, width): P is (n_states * n_classes^2, width) f32 with
+    P[s*C*C + c1*C + c2] = onehot(tab2[s, c1, c2]), width = next pow2 >=
+    n_states."""
+    S = tab.shape[0]
+    C = n_classes
+    # class-indexed single-step table
+    rep = np.zeros(C, np.int64)  # representative byte per class
+    for b in range(255, -1, -1):
+        rep[cmap[b]] = b
+    t1 = tab[:, rep]  # (S, C)
+    # two-step composition: next2[s, c1, c2] = t1[t1[s, c1], c2]
+    next2 = t1[t1, :]  # (S, C, C)
+    width = 8
+    while width < S:
+        width *= 2
+    P = np.zeros((S * C * C, width), np.float32)
+    flat = next2.reshape(-1)
+    P[np.arange(S * C * C), flat] = 1.0
+    return P, width
+
+
 def dfa_match_host(tab: np.ndarray, strings, max_len: Optional[int] = None):
     """Host-side reference evaluation (tests): match flags per string."""
     out = np.zeros(len(strings), bool)

@@ -68,7 +68,8 @@ def _wrap(obj: Any):
 def _unproxy_fast(a):
     """Device-side view of an argument tree (proxies -> fast objects)."""
     if isinstance(a, _ProxyBase):
-        return a._fast if a._fast is not None else a._to_slow()
+        f = a._fast_obj()
+        return f if f is not None else a._to_slow()
     if isinstance(a, (list, tuple)):
         return type(a)(_unproxy_fast(x) for x in a)
     if isinstance(a, dict):
@@ -82,6 +83,10 @@ def _unproxy_slow(a):
     nested containers."""
     if isinstance(a, _ProxyBase):
         return a._to_slow()
+    if isinstance(a, XIndex):
+        return a._to_slow()
+    if type(a).__module__.startswith("cudf_tpu") and hasattr(a, "to_pandas"):
+        return a.to_pandas()
     if isinstance(a, (list, tuple)):
         return type(a)(_unproxy_slow(x) for x in a)
     if isinstance(a, dict):
@@ -89,10 +94,37 @@ def _unproxy_slow(a):
     return a
 
 
-class _ProxyBase:
-    """try-fast / fall-back-to-pandas dispatcher."""
+def _pandas_internal_caller() -> bool:
+    """True when the attribute access originates INSIDE real pandas code
+    (pandas.* excluding pandas.tests.*) or numpy. Those frames must only
+    ever see real pandas objects — the boundary the reference enforces by
+    transforming every argument of every wrapped function
+    (fast_slow_proxy.py:1380 _transform_arg); here the proxy enforces it at
+    attribute-access time instead."""
+    try:
+        mod = sys._getframe(2).f_globals.get("__name__", "")
+    except ValueError:
+        return False
+    if mod == "numpy" or mod.startswith("numpy."):
+        return True
+    return (mod == "pandas" or mod.startswith("pandas.")) and \
+        not mod.startswith("pandas.tests")
 
-    _fast = None   # cudf_tpu object (or None if host-only)
+
+_UNSET = object()  # lazy-ingest sentinel
+
+
+class _ProxyBase:
+    """try-fast / fall-back-to-pandas dispatcher.
+
+    Construction-time proxies hold the REAL pandas object (exact pandas
+    construction semantics) and ingest to the device engine lazily on the
+    first fast-path operation; engine-produced proxies hold the fast object
+    and materialize the pandas form lazily on first host need. Mirrors the
+    reference's paired fast/slow attribute (fast_slow_proxy.py:563-604)
+    with lazy conversion in both directions."""
+
+    _fast = None   # cudf_tpu object, None (host-only), or _UNSET (lazy)
     _slow = None   # cached pandas object
 
     @classmethod
@@ -102,10 +134,25 @@ class _ProxyBase:
         o._slow = slow
         return o
 
+    def _fast_obj(self):
+        f = object.__getattribute__(self, "_fast")
+        if f is _UNSET:
+            try:
+                f = type(self)._ingest(self._slow)
+            except Exception:
+                _record_fallback(f"ingest.{type(self).__name__}")
+                f = None
+            self._fast = f
+        return f
+
     def _to_slow(self):
         if self._slow is None:
             self._slow = self._fast.to_pandas()
         return self._slow
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self._to_slow())
+        return out.astype(dtype) if dtype is not None else out
 
     def _rewrap(self, result):
         if _is_proxy(result):
@@ -117,8 +164,12 @@ class _ProxyBase:
         return result
 
     def __getattr__(self, name):
+        # 0) real-pandas/numpy internals must see ONLY real pandas objects:
+        # serve every attribute straight from the slow object, unwrapped
+        if _pandas_internal_caller():
+            return getattr(self._to_slow(), name)
         # 1) try the fast engine
-        fast = object.__getattribute__(self, "_fast")
+        fast = self._fast_obj()
         if fast is not None and hasattr(fast, name):
             attr = getattr(fast, name)
             if not callable(attr):
@@ -160,17 +211,34 @@ class _ProxyBase:
             return _GroupByProxy(out, self)
         from .frame import index as _index_mod
 
-        if isinstance(out, getattr(_index_mod, "Index", ())):
+        idx_types = tuple(
+            t for t in (getattr(_index_mod, "Index", None),
+                        getattr(_index_mod, "RangeIndex", None),
+                        getattr(_index_mod, "MultiIndex", None))
+            if t is not None)
+        if isinstance(out, idx_types):
             return XIndex(out)
         if isinstance(out, (list, tuple)):
             return type(out)(self._rewrap_fast(x) for x in out)
+        # nothing from the fast layer may leak: any other cudf_tpu object
+        # converts to its pandas form (the escape path that crashed
+        # upstream suites in round 3: frame.index.RangeIndex reaching
+        # pd.Index.__new__)
+        if type(out).__module__.startswith("cudf_tpu"):
+            for conv in ("to_pandas", "to_numpy"):
+                f = getattr(out, conv, None)
+                if f is not None:
+                    return self._rewrap(f())
         return out
 
     def __repr__(self):
         return repr(self._to_slow())
 
     def __len__(self):
-        return len(self._fast) if self._fast is not None else len(self._to_slow())
+        f = object.__getattribute__(self, "_fast")
+        if f is not None and f is not _UNSET:
+            return len(f)
+        return len(self._to_slow())
 
 
 class _XMeta(type):
@@ -204,35 +272,36 @@ class XDataFrame(_ProxyBase, metaclass=_DFMeta):
         # internals and third-party type checks accept proxies
         return _pd.DataFrame
 
+    _ingest = staticmethod(lambda slow: _FastDF.from_pandas(slow))
+
     def __init__(self, *args, **kwargs):
-        try:
-            self._fast = _FastDF(*args, **kwargs)
-            self._slow = None
-        except Exception:
-            _record_fallback("DataFrame.__init__")
-            self._fast = None
-            self._slow = _pd.DataFrame(*args, **kwargs)
+        # exact pandas construction semantics; device ingest is lazy
+        self._slow = _pd.DataFrame(
+            *[_unproxy_slow(a) for a in args],
+            **{k: _unproxy_slow(v) for k, v in kwargs.items()})
+        self._fast = _UNSET
 
     def __getitem__(self, key):
-        if self._fast is not None:
+        fast = self._fast_obj()
+        if fast is not None:
             try:
-                k = key._fast if isinstance(key, _ProxyBase) and key._fast is not None else key
-                return self._rewrap_fast(self._fast[k])
+                k = _unproxy_fast(key) if isinstance(key, _ProxyBase) else key
+                return self._rewrap_fast(fast[k])
             except Exception:
                 _record_fallback("__getitem__")
-        return self._rewrap(self._to_slow()[key._to_slow() if isinstance(key, _ProxyBase) else key])
+        return self._rewrap(self._to_slow()[_unproxy_slow(key)])
 
     def __setitem__(self, key, value):
-        v = value._fast if isinstance(value, _ProxyBase) and value._fast is not None else value
-        if self._fast is not None:
+        fast = self._fast_obj()
+        if fast is not None:
             try:
-                self._fast[key] = v
+                fast[key] = _unproxy_fast(value)
                 self._slow = None
                 return
             except Exception:
                 _record_fallback("__setitem__")
         slow = self._to_slow()
-        slow[key] = value._to_slow() if isinstance(value, _ProxyBase) else value
+        slow[key] = _unproxy_slow(value)
         self._fast = None
         self._slow = slow
 
@@ -245,24 +314,22 @@ class XSeries(_ProxyBase, metaclass=_SeriesMeta):
     def __class__(self):
         return _pd.Series
 
+    _ingest = staticmethod(lambda slow: _FastSeries(slow))
+
     def __init__(self, *args, **kwargs):
-        try:
-            self._fast = _FastSeries(*args, **kwargs)
-            self._slow = None
-        except Exception:
-            _record_fallback("Series.__init__")
-            self._fast = None
-            self._slow = _pd.Series(*args, **kwargs)
+        self._slow = _pd.Series(
+            *[_unproxy_slow(a) for a in args],
+            **{k: _unproxy_slow(v) for k, v in kwargs.items()})
+        self._fast = _UNSET
 
     def _binop(self, other, op):
-        o = other._fast if isinstance(other, _ProxyBase) and other._fast is not None else other
-        if self._fast is not None:
+        fast = self._fast_obj()
+        if fast is not None:
             try:
-                return self._rewrap_fast(getattr(self._fast, op)(o))
+                return self._rewrap_fast(getattr(fast, op)(_unproxy_fast(other)))
             except Exception:
                 _record_fallback(op)
-        so = other._to_slow() if isinstance(other, _ProxyBase) else other
-        return self._rewrap(getattr(self._to_slow(), op)(so))
+        return self._rewrap(getattr(self._to_slow(), op)(_unproxy_slow(other)))
 
     def __add__(self, o):
         return self._binop(o, "__add__")
@@ -310,10 +377,16 @@ class XIndex:
         return self._slow
 
     def __getattr__(self, name):
+        if _pandas_internal_caller():
+            return getattr(self._to_slow(), name)
         if hasattr(self._fast, name):
             return getattr(self._fast, name)
         _record_fallback(f"index.{name}")
         return getattr(self._to_slow(), name)
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self._to_slow())
+        return out.astype(dtype) if dtype is not None else out
 
     def __len__(self):
         return len(self._fast)
@@ -327,36 +400,63 @@ class _GroupByProxy:
         self._gb = gb
         self._parent = parent
 
-    def __getattr__(self, name):
-        if hasattr(self._gb, name):
-            attr = getattr(self._gb, name)
-
-            def method(*a, **k):
-                try:
-                    out = attr(*a, **k)
-                    return self._parent._rewrap_fast(out)
-                except Exception:
-                    _record_fallback(f"groupby.{name}")
-                    return self._fallback(name, *a, **k)
-
-            return method
-        return lambda *a, **k: self._fallback(name, *a, **k)
-
-    def __getitem__(self, cols):
-        return _GroupByProxy(self._gb[cols], self._parent)
-
-    def _fallback(self, name, *a, **k):
+    def _slow_gb(self):
         slow = self._parent._to_slow().groupby(self._gb._keys,
                                                as_index=self._gb._as_index)
         if self._gb._value_cols is not None:
             slow = slow[self._gb._value_cols]
-        return self._parent._rewrap(getattr(slow, name)(*a, **k))
+        return slow
+
+    def __getattr__(self, name):
+        if hasattr(self._gb, name):
+            attr = getattr(self._gb, name)
+            if callable(attr):
+                def method(*a, **k):
+                    try:
+                        out = attr(*[_unproxy_fast(x) for x in a],
+                                   **{kk: _unproxy_fast(v)
+                                      for kk, v in k.items()})
+                        return self._parent._rewrap_fast(out)
+                    except Exception:
+                        _record_fallback(f"groupby.{name}")
+                        return self._fallback(name, *a, **k)
+
+                return method
+            return self._parent._rewrap_fast(attr)
+        # unknown attribute (column access like g.A, exotic methods): ask
+        # the real pandas groupby — non-callables come back wrapped
+        _record_fallback(f"groupby.{name}")
+        attr = getattr(self._slow_gb(), name)
+        if callable(attr) and not isinstance(attr, type):
+            def slow_method(*a, **k):
+                return self._parent._rewrap(attr(
+                    *[_unproxy_slow(x) for x in a],
+                    **{kk: _unproxy_slow(v) for kk, v in k.items()}))
+
+            return slow_method
+        return self._parent._rewrap(attr)
+
+    def __getitem__(self, cols):
+        return _GroupByProxy(self._gb[cols], self._parent)
+
+    def __iter__(self):
+        for key, grp in self._slow_gb():
+            yield key, _wrap(grp)
+
+    def _fallback(self, name, *a, **k):
+        return self._parent._rewrap(getattr(self._slow_gb(), name)(
+            *[_unproxy_slow(x) for x in a],
+            **{kk: _unproxy_slow(v) for kk, v in k.items()}))
 
 
 def _accel_concat(objs, **kw):
     objs = list(objs)
-    if all(isinstance(o, _ProxyBase) and o._fast is not None for o in objs) and not kw:
-        return XDataFrame._from_fast(_fast_concat([o._fast for o in objs]))
+    fasts = [o._fast_obj() if isinstance(o, _ProxyBase) else None for o in objs]
+    if all(f is not None for f in fasts) and not kw:
+        try:
+            return XDataFrame._from_fast(_fast_concat(fasts))
+        except Exception:
+            _record_fallback("concat")
     return _wrap(_pd.concat([_unproxy_slow(o) for o in objs], **kw))
 
 

@@ -122,10 +122,14 @@ def host_exchange(partitions_by_dest: Sequence[Table],
     _exchange_epoch[0] += 1
     pfx = f"cudf_tpu_x/{epoch}"
 
-    # ---- send: one addressed, chunked KV stream per destination ----------
-    for dest in range(nproc):
-        if dest == me:
-            continue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    # ---- send: pack+send per destination on a thread pool, chunks go out
+    # as they are cut, so sends to different destinations and the receive
+    # loop below all overlap (the rapidsmpf shuffler overlaps send/recv/
+    # compute the same way, streaming/actor_graph/collectives/shuffle.py:56)
+    def _send(dest: int) -> None:
         b = _to_blob(partitions_by_dest[dest])
         nchunks = max(1, -(-len(b) // _CHUNK_BYTES))
         for ci in range(nchunks):
@@ -135,32 +139,60 @@ def host_exchange(partitions_by_dest: Sequence[Table],
         # header LAST: its presence implies every chunk is readable
         client.key_value_set(f"{pfx}/{me}/{dest}/hdr", f"{nchunks}:{len(b)}")
 
-    # ---- receive: blocking reads of the streams addressed to me ----------
-    out: List[Table] = []
-    staged: List[Optional[bytes]] = []
-    for src in range(nproc):
-        if src == me:
-            out.append(partitions_by_dest[me])
-            staged.append(None)
-            continue
-        hdr = client.blocking_key_value_get(f"{pfx}/{src}/{me}/hdr", timeout_ms)
-        nchunks, total = (int(x) for x in hdr.split(":"))
-        parts = []
-        for ci in range(nchunks):
-            key = f"{pfx}/{src}/{me}/c{ci}"
-            parts.append(client.blocking_key_value_get_bytes(key, timeout_ms))
-            client.key_value_delete(key)
-        client.key_value_delete(f"{pfx}/{src}/{me}/hdr")
-        b = b"".join(parts)
-        del parts
-        assert len(b) == total, (len(b), total)
-        if spill_store is not None:
-            staged.append(spill_store.put(np.frombuffer(b, np.uint8)))
-            out.append(None)
-        else:
-            out.append(_from_blob(b))
-            staged.append(None)
-        del b
+    # ---- receive: one thread per source; blocking KV reads release the
+    # GIL, so receives complete OUT OF ORDER and overlap the sends; blobs
+    # unpack on the main thread as they land (first-arrived first)
+    recv_bufs: List[Optional[bytes]] = [None] * nproc
+    recv_done: List[threading.Event] = [threading.Event() for _ in range(nproc)]
+
+    def _recv(src: int) -> None:
+        try:
+            hdr = client.blocking_key_value_get(f"{pfx}/{src}/{me}/hdr",
+                                                timeout_ms)
+            nchunks, total = (int(x) for x in hdr.split(":"))
+            parts = []
+            for ci in range(nchunks):
+                key = f"{pfx}/{src}/{me}/c{ci}"
+                parts.append(client.blocking_key_value_get_bytes(key, timeout_ms))
+                client.key_value_delete(key)
+            client.key_value_delete(f"{pfx}/{src}/{me}/hdr")
+            b = b"".join(parts)
+            assert len(b) == total, (len(b), total)
+            recv_bufs[src] = b
+        finally:
+            recv_done[src].set()
+
+    with ThreadPoolExecutor(max_workers=max(2, min(nproc - 1, 4))) as pool:
+        send_futs = [pool.submit(_send, d) for d in range(nproc) if d != me]
+        recv_threads = []
+        for src in range(nproc):
+            if src != me:
+                th = threading.Thread(target=_recv, args=(src,), daemon=True)
+                th.start()
+                recv_threads.append(th)
+
+        out: List[Optional[Table]] = [None] * nproc
+        staged: List[Optional[int]] = [None] * nproc
+        out[me] = partitions_by_dest[me]
+        pending = [s for s in range(nproc) if s != me]
+        # unpack in arrival order: the slowest source no longer serializes
+        # every earlier one
+        while pending:
+            for src in list(pending):
+                if recv_done[src].is_set():
+                    b = recv_bufs[src]
+                    recv_bufs[src] = None
+                    if b is None:
+                        raise RuntimeError(f"exchange recv failed from {src}")
+                    if spill_store is not None:
+                        staged[src] = spill_store.put(np.frombuffer(b, np.uint8))
+                    else:
+                        out[src] = _from_blob(b)
+                    pending.remove(src)
+            if pending:
+                recv_done[pending[0]].wait(timeout=0.002)
+        for f in send_futs:
+            f.result()
     if spill_store is not None:
         for i, pid in enumerate(staged):
             if pid is not None:

@@ -14,6 +14,13 @@ def assert_df_eq(gdf, pdf, **kw):
     pd.testing.assert_frame_equal(gdf.to_pandas(), pdf.reset_index(drop=True), **kw)
 
 
+def assert_df_eq_idx(gdf, pdf, **kw):
+    """Full pandas equality INCLUDING the (permuted) index — row-permuting
+    ops preserve the original index since round 4."""
+    kw.setdefault("check_index_type", False)
+    pd.testing.assert_frame_equal(gdf.to_pandas(), pdf, **kw)
+
+
 class TestBasics:
     def test_construct_dict(self):
         df = ct.DataFrame({"a": [1, 2, 3], "b": [1.5, 2.5, 3.5]})
@@ -35,7 +42,7 @@ class TestBasics:
     def test_boolean_mask(self):
         df, pdf = dfs({"a": [1, 2, 3, 4], "b": [1.0, 2.0, 3.0, 4.0]})
         out = df[df["a"] > 2]
-        assert_df_eq(out, pdf[pdf.a > 2])
+        assert_df_eq_idx(out, pdf[pdf.a > 2])
 
     def test_attribute_access(self):
         df, _ = dfs({"a": [1, 2]})
@@ -104,12 +111,12 @@ class TestSeriesOps:
 class TestFrameOps:
     def test_sort_values(self):
         df, pdf = dfs({"a": [3, 1, 2], "b": [1.0, 2.0, 3.0]})
-        assert_df_eq(df.sort_values("a"), pdf.sort_values("a", kind="stable"))
-        assert_df_eq(df.sort_values("a", ascending=False), pdf.sort_values("a", ascending=False, kind="stable"))
+        assert_df_eq_idx(df.sort_values("a"), pdf.sort_values("a", kind="stable"))
+        assert_df_eq_idx(df.sort_values("a", ascending=False), pdf.sort_values("a", ascending=False, kind="stable"))
 
     def test_dropna(self):
         df, pdf = dfs({"a": [1.0, np.nan, 3.0], "b": [1, 2, 3]})
-        assert_df_eq(df.dropna(), pdf.dropna())
+        assert_df_eq_idx(df.dropna(), pdf.dropna())
 
     def test_drop_duplicates(self):
         df, pdf = dfs({"a": [1, 1, 2], "b": [1, 1, 3]})
@@ -172,7 +179,7 @@ class TestFrameOps:
 
     def test_nlargest(self):
         df, pdf = dfs({"a": [5, 1, 9, 3]})
-        assert_df_eq(df.nlargest(2, "a"), pdf.nlargest(2, "a"))
+        assert_df_eq_idx(df.nlargest(2, "a"), pdf.nlargest(2, "a"))
 
 
 class TestIO:
