@@ -94,6 +94,22 @@ class Table:
 
                 cols[str(name)] = from_pandas_categorical(s.values)
                 continue
+            import pandas as _pd
+
+            if isinstance(s.dtype, _pd.api.extensions.ExtensionDtype) and \
+                    not str(s.dtype) in ("category", "string"):
+                # pandas nullable extension arrays (Int64/Float64/boolean):
+                # keep exact values + a validity mask (round-3 gap: all-null
+                # Int64 ingested as NaN floats with no validity)
+                isnull = s.isna().to_numpy()
+                base = getattr(s.dtype, "numpy_dtype", None) or np.dtype("O")
+                try:
+                    vals = s.to_numpy(dtype=base, na_value=0)
+                except (TypeError, ValueError):
+                    vals = s.fillna(0).to_numpy()
+                cols[str(name)] = Column.from_numpy(
+                    np.asarray(vals), validity=~isnull if isnull.any() else None)
+                continue
             vals = s.to_numpy()
             if vals.dtype.kind == "f":
                 # pandas uses NaN for missing; cudf treats NaN as value. We

@@ -67,9 +67,26 @@ def encode_scalar(col: Column, value: str) -> Tuple[int, Column]:
 
 
 # ---- value-level ops (computed on the dictionary, host-side numpy) ---------
+_DICT_STR_CACHE: dict = {}  # id(dictionary) -> (ref, str ndarray)
+
+
 def _dict_values(col: Column) -> np.ndarray:
-    return (col.dictionary if col.dictionary is not None
-            else np.array([], dtype=str)).astype(str)
+    """str-typed view of the column's dictionary, CACHED PER DICTIONARY
+    OBJECT: every downstream cache (arrow arrays, device byte matrices,
+    pair matrices) keys on id() of this array, so it must be stable —
+    a fresh astype(str) per call silently defeated all of them (each
+    regex call re-uploaded ~20MB of dictionary bytes over the tunnel)."""
+    d = col.dictionary
+    if d is None:
+        return np.array([], dtype=str)
+    hit = _DICT_STR_CACHE.get(id(d))
+    if hit is not None and hit[0] is d:
+        return hit[1]
+    v = d.astype(str)
+    if len(_DICT_STR_CACHE) > 64:
+        _DICT_STR_CACHE.clear()
+    _DICT_STR_CACHE[id(d)] = (d, v)
+    return v
 
 
 def _from_new_values(col: Column, new_vals: np.ndarray) -> Column:
