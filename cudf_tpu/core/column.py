@@ -109,7 +109,8 @@ class Column:
     """
 
     __slots__ = ("dtype", "data", "validity", "_length", "dictionary",
-                 "_null_count", "stats", "stats_pending", "distinct_hint")
+                 "_null_count", "stats", "stats_pending", "stats_ref",
+                 "distinct_hint")
 
     def __init__(
         self,
@@ -131,6 +132,7 @@ class Column:
         self._null_count = null_count
         self.stats = None  # lazily-filled ColStats (core/stats.py)
         self.stats_pending = None  # in-flight async stats D2H (core/stats.py)
+        self.stats_ref = None  # source column whose stats bound this one
         self.distinct_hint = None  # memoized all-keys-distinct (join lanes)
         assert data.ndim == 1
         assert validity is None or validity.shape == data.shape
@@ -470,6 +472,7 @@ def _col_unflatten(aux, leaves):
     col._null_count = None
     col.stats = None
     col.stats_pending = None
+    col.stats_ref = None
     col.distinct_hint = None
     return col
 

@@ -205,6 +205,16 @@ def compute_stats(col: Column) -> Optional[ColStats]:
         return cached
     if getattr(col, "stats_pending", None) is not None:
         return _finish_pending(col)
+    ref = getattr(col, "stats_ref", None)
+    if ref is not None:
+        # derived column (lazy compaction): its values are a SUBSET of the
+        # source's, so the source's stats are a conservative-correct bound.
+        # Compute ON THE SOURCE — it is the long-lived object, so the sync
+        # is paid once per source instead of once per derived copy
+        st = compute_stats(ref)
+        if st is not None:
+            col.stats = st
+        return st
     k = col.dtype.kind
     if k in (Kind.STRING, Kind.DICTIONARY):
         # dictionary codes: range is host metadata, no device work at all

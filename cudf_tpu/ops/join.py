@@ -673,11 +673,8 @@ def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
     hint_col = rcols[0] if len(rcols) == 1 else None
     if hint_col is not None and hint_col.distinct_hint:
         # build side known-unique: N:1 holds, no sync — deferred length
+        # (no async prefetch: it would occupy the tunnel for a full RTT)
         n_out = total_i32
-        try:
-            total_i32.copy_to_host_async()
-        except Exception:
-            pass
     else:
         total, maxcnt, rdup = (int(x) for x in np.asarray(jax.device_get(meta)))
         if maxcnt > 1:

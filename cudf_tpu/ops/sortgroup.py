@@ -73,6 +73,8 @@ def plan_wide(kcols: Sequence[Column]):
     None when any key is not integral-codeable or the pack is too wide."""
     plan = []
     total = 0
+    colstats.prefetch_stats(
+        [c.stats_ref if c.stats_ref is not None else c for c in kcols])
     for c in kcols:
         st = colstats.compute_stats(c)
         if st is None:
@@ -385,11 +387,8 @@ def sort_groupby(tbl: Table, keys: Sequence[str], aggs,
         scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col, tuple(aggs),
         agg_vidx, tuple(vcols), kcols, tuple(keys), mins, widths, nan_flags,
         null_flags, exact_flags, ranges, out_cap, tbits, pb)
-    try:
-        ng_i32.copy_to_host_async()
-    except Exception:
-        pass
-    # deferred device length: resolves on host access (core/column.py)
+    # deferred device length: resolves on host access (core/column.py).
+    # No async prefetch — it would occupy the tunnel for a full RTT
     out_cols = fix_lengths(out_cols, ng_i32)
     for i, k in enumerate(keys):
         out_cols[k].dictionary = kcols[i].dictionary

@@ -129,15 +129,20 @@ def _compact(tbl: Table, drop_key, cnt) -> Table:
         if cap <= LAZY_COMPACT_MAX:
             # lazy: survivor count stays on device; stats propagate from the
             # sources (survivor values are a SUBSET, so source min/max/flags
-            # are a conservative-correct superset for key-code planning)
-            try:
-                cnt.copy_to_host_async()
-            except Exception:
-                pass
+            # are a conservative-correct superset for key-code planning).
+            # NO async prefetch of the count: a copy_to_host_async occupies
+            # the tunnel for a full ~25ms RTT (measured: two of them added
+            # +50ms to the dropna+groupby chain) — resolution pays only when
+            # someone actually reads the length
             sorted_cols = fix_lengths(list(sorted_cols), cnt)
             for c, src in zip(sorted_cols, cols):
                 c.dictionary = src.dictionary
-                c.stats = src.stats
+                if src.stats is not None:
+                    c.stats = src.stats
+                else:
+                    # resolve through the source on demand: the stats sync
+                    # lands on the long-lived source column, not this copy
+                    c.stats_ref = src.stats_ref if src.stats_ref is not None else src
             return Table(dict(zip(tbl.names, sorted_cols)))
         # eager: pay the sync, shrink the capacity bucket
         # prefetch stats for the survivors during the same wait: min/max over
