@@ -207,7 +207,8 @@ def _probe_direct(lcols, rcols, mins, ranges, specs, tbits, how, nulls_equal,
     else:
         eff = counts
     meta = jnp.stack([jnp.sum(eff.astype(jnp.int64)),
-                      jnp.max(counts).astype(jnp.int64)])
+                      jnp.max(counts).astype(jnp.int64),
+                      jnp.max(cnt).astype(jnp.int64)])  # right dup max (ALL slots)
     return counts, lb, rep_l, r_perm, linb, meta, tuple(folded)
 
 
@@ -299,8 +300,13 @@ def try_fast_join(left: Table, right: Table, left_on: Sequence[str],
             continue
         spec_gathers[name] = _gather_payload(right[name], rep_l, check)
 
-    total, maxcnt = (int(x) for x in np.asarray(jax.device_get(meta)))
+    total, maxcnt, rdup_all = (int(x) for x in np.asarray(jax.device_get(meta)))
     n_out = total
+    if rdup_all <= 1 and len(rcols) == 1:
+        # build side PROVEN all-unique (max duplicate count over every slot,
+        # matched or not): memoize so warm repeats of this join can take the
+        # zero-sync single-word sort lane (ops/join.py)
+        rcols[0].distinct_hint = True
 
     if maxcnt <= 1 and total == left.num_rows:
         # distinct-join fast lane: left passes through zero-copy

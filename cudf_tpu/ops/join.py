@@ -704,11 +704,14 @@ def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
 def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
                     null_flags, exact_flags, ranges, tbits, how, out_cap):
     from .sortprim import segmented_scan, tiled_cumsum
+    from ..utils.padding import bucket_capacity_relaxed
 
     capL = lkey[0].capacity
     capR = rkey[0].capacity
     total_rows = capL + capR
-    cap = bucket_capacity(total_rows)
+    # relaxed 3*2^k ladder: 2M left + 128k right pads to 3M, not 4M — the
+    # combined sort is the lane's dominant cost and scales with cap
+    cap = bucket_capacity_relaxed(total_rows)
     pad = cap - total_rows
     pb = max(1, (cap - 1).bit_length())
 
@@ -1059,6 +1062,20 @@ def join(
         return Table({n: sw[n] for n in order})
 
     from .fastjoin import try_fast_join
+
+    # warm fact->dim reroute: once the build side is known unique (memoized
+    # by either lane), the single-word sort lane runs with ZERO host syncs —
+    # one tunnel round trip total including the caller's read
+    if (how in ("inner", "left")
+            and len(right_on) == 1 and right_on[0] in right
+            and getattr(right[right_on[0]], "distinct_hint", False)
+            and not any(isinstance(left[n].data, jax.core.Tracer)
+                        for n in left_on if n in left)):
+        lcols0, rcols0 = _promote_keys(left, left_on, right, right_on)
+        res = _try_word_nto1_join(left, right, left_on, right_on,
+                                  lcols0, rcols0, how, nulls_equal, suffixes)
+        if res is not None:
+            return res
 
     fast = try_fast_join(left, right, left_on, right_on, how, nulls_equal,
                          suffixes)

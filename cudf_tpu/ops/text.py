@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import dtypes
@@ -79,14 +80,31 @@ def tokenize(col: Column, delimiter: str = " ") -> Column:
     return _explode_by_code(col, flat, offsets, counts)
 
 
-def count_tokens(col: Column, delimiter: str = " ") -> Column:
-    d = _dict_of(col)
-    counts = np.array([len(s.split(delimiter)) if s else 0 for s in d.astype(str)],
-                      dtype=np.int32)
-    from .strings import _table_gather
+@jax.jit
+def _count_tokens_device(mat_u8, delim_byte):
+    """Per-unique token counts over the cached device byte matrix: ONE
+    vectorized compare+sum (len(s.split(d)) == count(d in s) + 1; empty
+    strings -> 0). The nvtext::count_tokens analog with the dictionary's
+    bytes resident in HBM (reference: cpp/src/text/tokenize.cu)."""
+    hits = jnp.sum((mat_u8 == delim_byte).astype(jnp.int32), axis=0)
+    nonempty = mat_u8[0] != jnp.uint8(0)  # first byte is the \0 sentinel iff ""
+    return jnp.where(nonempty, hits + 1, 0)
 
+
+def count_tokens(col: Column, delimiter: str = " ") -> Column:
+    from .strings import _dict_device_bytes, _dict_values, _table_gather
+
+    d = _dict_values(col)
+    if len(delimiter) == 1 and ord(delimiter) < 128 and len(d) >= 1024:
+        mat = _dict_device_bytes(d)
+        if mat is not None:
+            table = _count_tokens_device(mat, jnp.uint8(ord(delimiter)))
+            return Column(dtypes.int32, _table_gather(table, col.data),
+                          col.validity, col.raw_length)
+    counts = np.array([len(s.split(delimiter)) if s else 0 for s in d],
+                      dtype=np.int32)
     table = jnp.asarray(counts if len(counts) else np.zeros(1, np.int32))
-    return Column(dtypes.int32, _table_gather(table, col.data), col.validity, col.length)
+    return Column(dtypes.int32, _table_gather(table, col.data), col.validity, col.raw_length)
 
 
 def generate_ngrams(col: Column, n: int = 2, sep: str = "_") -> Column:

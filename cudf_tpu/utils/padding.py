@@ -25,3 +25,23 @@ def bucket_capacity(n: int) -> int:
 
 def round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def bucket_capacity_relaxed(n: int) -> int:
+    """Smallest capacity of the form 2^k or 3*2^k >= max(n, 128).
+
+    For INTERNAL combined buffers (e.g. the join's right ++ left sort
+    buffer) the worst-case 2x padding of pure power-of-two buckets is real
+    wall-clock: a 2M+128k combined sort pads to 4M (88% overhead) where a
+    3*2^k ladder pads to 3M (~41%). Not used for user-facing Column
+    capacities — those stay power-of-two so the whole operator zoo shares
+    one small signature set."""
+    if n <= LANE:
+        return LANE
+    p = LANE
+    while True:
+        if p >= n:
+            return p
+        if 3 * (p // 2) >= n:
+            return 3 * (p // 2)
+        p *= 2
