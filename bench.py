@@ -61,6 +61,11 @@ def main():
 
     log(f"bench: backend={jax.default_backend()} rows={N}")
     rng = np.random.default_rng(0)
+    # CUDF_TPU_BENCH_SKIP=name1,name2 drops workloads (driver safety valve) —
+    # known before data construction so skipped datasets never build (a 32M
+    # string pool costs minutes of host time at the 64M size)
+    skip = set(filter(None, os.environ.get(
+        "CUDF_TPU_BENCH_SKIP", "").split(",")))
 
     # ---------------- data ----------------
     # config 2: multi-key numeric sort with nulls
@@ -86,9 +91,14 @@ def main():
     gb_str_df = pd.DataFrame({"k": s_keys, "C": rng.normal(size=N)})
     # high-cardinality strings: ~1M UNIQUE keys (VERDICT: the degenerate case
     # for dictionary designs; ours keeps device work integer-coded)
-    hc_pool = np.array([f"url/{i:09x}/page" for i in range(max(N // 2, 1))])
-    gb_hc_df = pd.DataFrame({"k": hc_pool[rng.integers(0, len(hc_pool), N)],
-                             "C": rng.normal(size=N)})
+    hc_names = {"groupby_str_hc", "regex_hc", "tokens_hc"}
+    if hc_names - skip:
+        hc_pool = np.array([f"url/{i:09x}/page"
+                            for i in range(max(N // 2, 1))])
+        gb_hc_df = pd.DataFrame({"k": hc_pool[rng.integers(0, len(hc_pool), N)],
+                                 "C": rng.normal(size=N)})
+    else:
+        gb_hc_df = pd.DataFrame({"k": np.array(["x"]), "C": np.zeros(1)})
     # config 3: orders x lineitem shaped join (+ filter + count)
     n_dim = max(N // 20, 1)
     join_left = pd.DataFrame({
@@ -116,18 +126,19 @@ def main():
     import tempfile
     scan_dir = tempfile.mkdtemp(prefix="cudf_tpu_bench_")
     scan_path = os.path.join(scan_dir, "scan.parquet")
-    pd.DataFrame({
-        "k": rng.integers(0, n_dim, N),
-        "v": rng.normal(size=N).astype(np.float32),
-        "w": rng.normal(size=N).astype(np.float32),
-    }).to_parquet(scan_path)
+    if "scan_parquet" not in skip:
+        pd.DataFrame({
+            "k": rng.integers(0, n_dim, N),
+            "v": rng.normal(size=N).astype(np.float32),
+            "w": rng.normal(size=N).astype(np.float32),
+        }).to_parquet(scan_path)
 
     t_sort = ct.Table.from_pandas(sort_df)
     t_sort_str = ct.Table.from_pandas(sort_str_df)
     t_gb = ct.Table.from_pandas(gb_df)
     t_gb = ct.Table({"A": nans_to_nulls(t_gb["A"]), "B": t_gb["B"], "C": t_gb["C"]})
     t_gb_str = ct.Table.from_pandas(gb_str_df)
-    t_gb_hc = ct.Table.from_pandas(gb_hc_df)
+    t_gb_hc = ct.Table.from_pandas(gb_hc_df) if hc_names - skip else None
     t_jl = ct.Table.from_pandas(join_left)
     t_jr = ct.Table.from_pandas(join_right)
     t_gb_i64 = ct.Table.from_pandas(gb_i64_df)
@@ -196,7 +207,6 @@ def main():
 
     # join_i64 runs LAST: its sparse-key lane has the longest cold compile
     # over the remote tunnel, so a compile stall can't eat the other rows.
-    # CUDF_TPU_BENCH_SKIP=name1,name2 drops workloads (driver safety valve).
     workloads = [
         ("sort", run_sort), ("sort_str", run_sort_str),
         ("groupby", run_groupby), ("groupby_str", run_groupby_str),
@@ -207,8 +217,6 @@ def main():
         ("join", run_join), ("join_filter", run_join_filter),
         ("join_i64", run_join_i64),
     ]
-    skip = set(filter(None, os.environ.get(
-        "CUDF_TPU_BENCH_SKIP", "").split(",")))
     workloads = [(n, f) for n, f in workloads if n not in skip]
 
     results = {}

@@ -71,6 +71,27 @@ def main():
             f.write(_CONFTEST.format(repo=repo))
         total_pass = total_fail = 0
         per_mod = {}
+        out_path = os.path.join(repo, "PANDAS_SUITE.json")
+
+        def write_out(complete: bool):
+            total = total_pass + total_fail
+            rate = total_pass / total if total else 0.0
+            rec = {
+                "metric": "pandas_suite_pass_rate",
+                "mode": mode,
+                "complete": complete,
+                "tests": total,
+                "passed": total_pass,
+                "failed": total_fail,
+                "rate": round(rate, 4),
+                "per_module": {m: {k: v for k, v in c.items()}
+                               for m, c in per_mod.items()},
+            }
+            # incremental: a cut-off run still leaves a valid artifact
+            with open(out_path, "w") as f:
+                json.dump(rec, f, indent=1)
+            return rec
+
         for mod in mods:
             try:
                 c = run_module(mod, wd)
@@ -80,18 +101,9 @@ def main():
             total_pass += c.get("passed", 0)
             total_fail += c.get("failed", 0) + c.get("errors", 0)
             print(f"{mod}: {c.get('summary','')}", file=sys.stderr, flush=True)
-        total = total_pass + total_fail
-        rate = total_pass / total if total else 0.0
-        print(json.dumps({
-            "metric": "pandas_suite_pass_rate",
-            "mode": mode,
-            "tests": total,
-            "passed": total_pass,
-            "failed": total_fail,
-            "rate": round(rate, 4),
-            "per_module": {m: {k: v for k, v in c.items() if k != "summary"}
-                           for m, c in per_mod.items()},
-        }))
+            write_out(complete=False)
+        rec = write_out(complete=True)
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

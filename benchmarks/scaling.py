@@ -141,6 +141,12 @@ def main():
                               for k, v in times.items()}
         report["weak_ms"] = {str(k): round(v * 1e3, 1)
                              for k, v in times.items()}
+    report["rows_per_shard"] = ROWS
+    report["host_cpus"] = os.cpu_count()
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "SCALING.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
     print(json.dumps(report))
 
 
