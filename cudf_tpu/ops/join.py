@@ -666,9 +666,18 @@ def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
     l_out = tuple(left[n] for n in left.names)
     rpay = tuple(right[n] for n in rpay_names)
     out_cap = capL
-    outs, meta, total_i32 = _word_nto1_impl(
-        l_out, tuple(lcols), tuple(rcols), rpay, tuple(mins), widths,
-        nan_flags, null_flags, exact_flags, ranges, tbits, how, out_cap)
+    try:
+        outs, meta, total_i32 = _word_nto1_impl(
+            l_out, tuple(lcols), tuple(rcols), rpay, tuple(mins), widths,
+            nan_flags, null_flags, exact_flags, ranges, tbits, how, out_cap)
+    except jax.errors.JaxRuntimeError as exc:
+        # remote-compile helper failures (OOM-SIGKILL at very large combined
+        # buckets) degrade to the other lanes instead of crashing the join
+        import warnings
+
+        warnings.warn(f"word N:1 join lane failed to compile "
+                      f"({type(exc).__name__}); falling back", RuntimeWarning)
+        return None
 
     hint_col = rcols[0] if len(rcols) == 1 else None
     if hint_col is not None and hint_col.distinct_hint:
@@ -1098,7 +1107,13 @@ def join(
                         for n in left_on)):
         from .copying import concatenate_tables
 
-        chunk = (WIDE_JOIN_CHUNK_LIMIT >> 1) - capR
+        # chunk so the SLICE'S RE-BUCKETED capacity plus capR stays inside
+        # the proven combined envelope: a 7.3M-row chunk re-buckets to 8.4M
+        # and its 12.6M relaxed combined buffer OOM-killed the remote
+        # compile helper (observed at the 16M bench size)
+        chunk = WIDE_JOIN_CHUNK_LIMIT >> 2
+        while bucket_capacity(chunk) + capR > (WIDE_JOIN_CHUNK_LIMIT >> 1):
+            chunk >>= 1
         n = left.num_rows
         pieces = []
         start = 0
