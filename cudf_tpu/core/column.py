@@ -94,6 +94,53 @@ def _full_kernel(value, cap, npdt):
     return jnp.full((cap,), value, np.dtype(npdt))
 
 
+class _LazyHostData:
+    """Host-resident column bytes awaiting first device use.
+
+    Over the axon tunnel H2D runs at ~100MB/s, so a scan that eagerly
+    uploads every decoded column pays the wall for columns the query never
+    touches. Scans build columns around this placeholder instead; the
+    ``Column.data`` property pads + uploads on FIRST device access and
+    host-side exports (``to_numpy``/``to_arrow``) are served straight from
+    the host buffer with zero transfer. The TPU analog of the reference's
+    projection pushdown + lazy materialization (cpp/src/io/parquet
+    column-selection; kvikio-backed datasource reads only what's needed).
+    """
+
+    __slots__ = ("_arr", "_loader", "cap", "fill", "_dtype")
+
+    def __init__(self, arr, cap: int, fill=0, loader=None, dtype=None):
+        # either a decoded numpy buffer, or a zero-arg loader that decodes
+        # it on demand (parquet column decode deferred to first access —
+        # the scan then reads ONLY projected columns from disk)
+        self._arr = arr
+        self._loader = loader
+        self.cap = cap
+        self.fill = fill
+        self._dtype = np.dtype(dtype) if dtype is not None else (
+            arr.dtype if arr is not None else None)
+
+    @property
+    def arr(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = np.ascontiguousarray(
+                np.asarray(self._loader()).astype(self._dtype, copy=False))
+            self._loader = None
+        return self._arr
+
+    @property
+    def ndim(self):
+        return 1
+
+    @property
+    def shape(self):
+        return (self.cap,)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+
 class Column:
     """An immutable device column: padded data + validity + logical length.
 
@@ -108,7 +155,7 @@ class Column:
     the stream until the host actually asks.
     """
 
-    __slots__ = ("dtype", "data", "validity", "_length", "dictionary",
+    __slots__ = ("dtype", "_data", "validity", "_length", "dictionary",
                  "_null_count", "stats", "stats_pending", "stats_ref",
                  "distinct_hint")
 
@@ -122,7 +169,7 @@ class Column:
         null_count: Optional[int] = None,
     ):
         self.dtype = dtype
-        self.data = data
+        self._data = data
         self.validity = validity
         if isinstance(length, (jax.core.Tracer, jax.Array)):
             self._length = length  # traced or deferred device scalar
@@ -136,6 +183,30 @@ class Column:
         self.distinct_hint = None  # memoized all-keys-distinct (join lanes)
         assert data.ndim == 1
         assert validity is None or validity.shape == data.shape
+
+    # --------------------------------------------------------------- data
+    @property
+    def data(self):
+        """Device buffer; materializes a lazy host-backed buffer (pad +
+        ONE device_put) on first access."""
+        d = self._data
+        if type(d) is _LazyHostData:
+            d = _pad_to(d.arr, d.cap, d.fill)
+            self._data = d
+        return d
+
+    @data.setter
+    def data(self, value):
+        self._data = value
+
+    def host_view(self) -> Optional[np.ndarray]:
+        """The UNPADDED host array when the column is lazy and not yet
+        uploaded, else None. Host exports use it to skip the device
+        round trip entirely."""
+        d = self._data
+        if type(d) is _LazyHostData:
+            return d.arr
+        return None
 
     # ------------------------------------------------------------- length
     @property
@@ -168,7 +239,7 @@ class Column:
     # ------------------------------------------------------------------ misc
     @property
     def capacity(self) -> int:
-        return self.data.shape[0]
+        return self._data.shape[0]  # no materialization for lazy buffers
 
     @property
     def nullable(self) -> bool:
@@ -214,8 +285,12 @@ class Column:
 
     # ------------------------------------------------------------ constructors
     @classmethod
-    def from_numpy(cls, arr: np.ndarray, validity: Optional[np.ndarray] = None) -> "Column":
-        """Build a column from a host numpy array (and optional bool validity)."""
+    def from_numpy(cls, arr: np.ndarray, validity: Optional[np.ndarray] = None,
+                   lazy: bool = False) -> "Column":
+        """Build a column from a host numpy array (and optional bool
+        validity). ``lazy=True`` defers the H2D upload of numeric buffers
+        until first device use (scans: only touched columns pay the
+        ~100MB/s tunnel wall)."""
         arr = np.asarray(arr)
         if arr.dtype.kind == "O" and any(
                 isinstance(x, (list, tuple, np.ndarray)) for x in arr[:64]):
@@ -231,7 +306,12 @@ class Column:
             pass
         n = len(phys)
         cap = bucket_capacity(n)
-        data = _pad_to(np.asarray(phys).astype(np.dtype(dt.physical)), cap)
+        host = np.ascontiguousarray(
+            np.asarray(phys).astype(np.dtype(dt.physical), copy=False))
+        if lazy:
+            data = _LazyHostData(host, cap)
+        else:
+            data = _pad_to(host, cap)
         v = None
         if validity is not None:
             v = _pad_to(np.asarray(validity, dtype=bool), cap, False)
@@ -284,12 +364,17 @@ class Column:
             isnull = isnull | ~np.asarray(validity, dtype=bool)
         cap = bucket_capacity(n)
         v = _pad_to(~isnull, cap, False) if isnull.any() else None
+        # Explicitly 1-D: np.asarray(uniq, object) with equal-length list
+        # cells builds a (k, L) matrix, corrupting dictionary indexing.
+        dict_arr = np.empty(len(uniq), object)
+        dict_arr[:] = uniq
         return cls(DType(Kind.DICTIONARY, 32), _pad_to(codes, cap), v, n,
-                   dictionary=np.asarray(uniq, dtype=object))
+                   dictionary=dict_arr)
 
     @classmethod
-    def from_arrow(cls, arr) -> "Column":
-        """Build from a pyarrow Array/ChunkedArray."""
+    def from_arrow(cls, arr, lazy: bool = False) -> "Column":
+        """Build from a pyarrow Array/ChunkedArray. ``lazy=True`` keeps
+        numeric buffers host-resident until first device use."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -323,7 +408,7 @@ class Column:
             np_arr = np.asarray(arr.fill_null(0))
         else:
             np_arr = np.asarray(arr)
-        return cls.from_numpy(np_arr, validity)
+        return cls.from_numpy(np_arr, validity, lazy=lazy)
 
     @classmethod
     def from_scalar(cls, value, length: int, dtype: Optional[DType] = None) -> "Column":
@@ -363,7 +448,8 @@ class Column:
     def to_numpy(self) -> np.ndarray:
         """Materialize logical rows on host (nulls become NaN/NaT/None)."""
         n = int(self.length)
-        data = np.asarray(self.data)[:n]
+        hv = self.host_view()
+        data = hv[:n] if hv is not None else np.asarray(self.data)[:n]
         if self.dtype.is_string or (self.dtype.kind == Kind.DICTIONARY
                                     and self.dictionary is not None):
             safe = np.clip(data, 0, max(len(self.dictionary) - 1, 0))
@@ -399,7 +485,9 @@ class Column:
         if self.dtype.is_string:
             vals = self.to_numpy()
             return pa.array(vals, type=pa.string())
-        data = np.asarray(self.data)[: int(self.length)]
+        hv = self.host_view()
+        data = (hv[: int(self.length)] if hv is not None
+                else np.asarray(self.data)[: int(self.length)])
         mask = None
         if self.validity is not None:
             mask = ~np.asarray(self.validity)[: int(self.length)]

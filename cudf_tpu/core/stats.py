@@ -110,6 +110,36 @@ def _stats_kernel_exact(data, validf, inb):
     return vmin, vmax, n_valid, anynull
 
 
+def _host_stats(col: Column, hv: np.ndarray) -> Optional["ColStats"]:
+    """ColStats straight from a lazy column's host buffer (numpy)."""
+    n = col.length
+    arr = hv[:n]
+    validity = col.validity
+    vmask = None
+    if validity is not None:
+        vmask = np.asarray(validity)[:n]
+        arr = arr[vmask]
+    has_null = bool(vmask is not None and not vmask.all())
+    if arr.dtype.kind == "f":
+        nanmask = np.isnan(arr)
+        has_nan = bool(nanmask.any())
+        vals = arr[~nanmask] if has_nan else arr
+        if len(vals) == 0:
+            return ColStats(0.0, 0.0, True, has_nan, has_null, 0)
+        vmin = float(vals.min())
+        vmax = float(vals.max())
+        integral = bool((np.floor(vals) == vals).all())
+        return ColStats(vmin, vmax, integral, has_nan, has_null,
+                        int(len(vals)))
+    if len(arr) == 0:
+        return ColStats(0, 0, True, False, has_null, 0)
+    if _is_exact64(col):
+        return ColStats(int(arr.min()), int(arr.max()), True, False,
+                        has_null, int(len(arr)))
+    return ColStats(float(arr.min()), float(arr.max()), True, False,
+                    has_null, int(len(arr)))
+
+
 def _exact64_stats(col: Column) -> "ColStats":
     validf = col.validity if col.validity is not None else jnp.ones(
         col.data.shape, jnp.bool_)
@@ -198,7 +228,7 @@ def _finish_pending(col: Column) -> Optional[ColStats]:
 def compute_stats(col: Column) -> Optional[ColStats]:
     """Compute (and cache) ColStats for a column. None for unsupported dtypes
     or inside a trace."""
-    if isinstance(col.data, jax.core.Tracer) or isinstance(col.raw_length, jax.core.Tracer):
+    if isinstance(col._data, jax.core.Tracer) or isinstance(col.raw_length, jax.core.Tracer):
         return None
     cached = getattr(col, "stats", None)
     if cached is not None:
@@ -226,6 +256,14 @@ def compute_stats(col: Column) -> Optional[ColStats]:
     if k not in (Kind.BOOL, Kind.INT, Kind.UINT, Kind.FLOAT, Kind.TIMESTAMP,
                  Kind.DURATION, Kind.DECIMAL):
         return None
+    hv = col.host_view() if hasattr(col, "host_view") else None
+    if hv is not None and not isinstance(col.raw_length, jax.Array):
+        # lazy host-backed column: stats from numpy — zero device work,
+        # zero H2D (the upload happens only when an operator runs)
+        st = _host_stats(col, hv)
+        if st is not None:
+            col.stats = st
+            return st
     if _is_exact64(col):
         st = _exact64_stats(col)
         col.stats = st

@@ -128,8 +128,11 @@ class Table:
         return cls(cols)
 
     @classmethod
-    def from_arrow(cls, tbl) -> "Table":
-        return cls({name: Column.from_arrow(tbl.column(name)) for name in tbl.column_names})
+    def from_arrow(cls, tbl, lazy: bool = False) -> "Table":
+        """``lazy=True``: numeric buffers stay host-resident until first
+        device use (scan projection — untouched columns never pay H2D)."""
+        return cls({name: Column.from_arrow(tbl.column(name), lazy=lazy)
+                    for name in tbl.column_names})
 
     @classmethod
     def from_pydict(cls, d: Dict[str, object]) -> "Table":

@@ -323,7 +323,11 @@ def _make_exec():
             left = visitor(n.children[0])
             right = visitor(n.children[1])
             lo, ro, how, ne_, suf = n.args
-            return join_ops.join(left, right, list(lo), list(ro), how, ne_, suf)
+            # engine contract matches cudf-polars/libcudf: join row order is
+            # unspecified (maintain_order defaults off) — frees the word
+            # lane's order-restore pass and enables the big-build swap
+            return join_ops.join(left, right, list(lo), list(ro), how, ne_,
+                                 suf, ordered=False)
         if isinstance(n, Sort):
             child = visitor(n.children[0])
             by, desc, nl = n.args

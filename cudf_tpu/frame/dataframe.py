@@ -897,7 +897,13 @@ class DataFrame:
         pos = 0
         for x, ln in zip(host_vals, lens):
             if ln == 0:
-                flat[pos] = np.nan
+                # pandas explode keeps non-list scalars (incl. strings)
+                # unchanged; only None/NaN/empty-list become NaN
+                try:
+                    isna = _islist(x) or x is None or bool(x != x)
+                except (TypeError, ValueError):
+                    isna = True  # pd.NA-style ambiguous missing values
+                flat[pos] = np.nan if isna else x
                 pos += 1
             else:
                 flat[pos:pos + ln] = list(x)

@@ -19,17 +19,24 @@ _METHODS = (
 
 class DataFrameGroupBy:
     def __init__(self, df, keys: List[str], sort=True, dropna=True, value_cols=None,
-                 as_index=True):
+                 as_index=True, scalar_sel=False):
         self._df = df
         self._keys = keys
+        self._sort = sort
         self._dropna = dropna
         self._value_cols = value_cols
         self._as_index = as_index
+        # pandas shape fidelity: df.groupby(k)[\"v\"] is a SeriesGroupBy —
+        # aggregations must come back as a Series (key index, value name),
+        # not a one-column frame (cudf mirrors this, core/groupby/groupby.py)
+        self._scalar_sel = scalar_sel
 
     def __getitem__(self, cols):
-        cols = [cols] if isinstance(cols, str) else list(cols)
-        return DataFrameGroupBy(self._df, self._keys, dropna=self._dropna,
-                                value_cols=cols, as_index=self._as_index)
+        scalar = isinstance(cols, str)
+        cols = [cols] if scalar else list(cols)
+        return DataFrameGroupBy(self._df, self._keys, sort=self._sort,
+                                dropna=self._dropna, value_cols=cols,
+                                as_index=self._as_index, scalar_sel=scalar)
 
     def _value_columns(self):
         if self._value_cols is not None:
@@ -40,6 +47,12 @@ class DataFrameGroupBy:
         from .dataframe import DataFrame
         from ..core.table import Table
         from ..ops.unaryop import nans_to_nulls
+
+        if not self._sort:
+            # engine output is key-sorted; pandas sort=False keeps first-
+            # appearance order — not expressible here, so refuse (the
+            # accelerator facade falls back to real pandas on this raise)
+            raise NotImplementedError("groupby(sort=False)")
 
         # pandas semantics: NaN aggregation values are MISSING (skipna), not
         # IEEE values — convert float value columns to null-masked form
@@ -71,7 +84,13 @@ class DataFrameGroupBy:
             out = Table({n: fixed.get(n, c) for n, c in out})
         df = DataFrame._from_table(out)
         if self._as_index:
-            return df.set_index(self._keys if len(self._keys) > 1 else self._keys[0])
+            df = df.set_index(self._keys if len(self._keys) > 1 else self._keys[0])
+            if self._scalar_sel and len(specs) == 1:
+                from .series import Series
+
+                name = specs[0].out_name
+                return Series(column=df._tbl[name], name=name,
+                              index=df._index)
         return df
 
     def _method(self, kind, param=0.0, numeric_only=True):

@@ -856,6 +856,39 @@ class _StringAccessor:
         cols = [self._s._col] + [o._col if isinstance(o, Series) else o for o in (others or [])]
         return self._wrap(str_ops.concat_strings(cols, sep))
 
+    def extract(self, pat, expand=False, group=1):
+        """First capture group (device class-run lane for prefix(CLASS+)
+        shapes; pandas expand=True returns a DataFrame of one column)."""
+        out = self._wrap(str_ops.extract_re(self._s._col, pat, group))
+        if expand:
+            from .dataframe import DataFrame
+
+            return DataFrame({0: out})
+        return out
+
+    def replace(self, pat, repl, regex=True, n=-1):
+        return self._wrap(str_ops.replace_str(self._s._col, pat, repl,
+                                              regex=regex, n=n))
+
+    def count(self, pat):
+        return self._wrap(str_ops.count_re(self._s._col, pat))
+
+    def find(self, sub):
+        return self._wrap(str_ops.find(self._s._col, sub))
+
+    def split(self, pat=" ", n=-1, expand=False):
+        from ..core.column import Column as _C
+
+        if expand:
+            from .dataframe import DataFrame
+
+            tbl = str_ops.split_expand(self._s._col, pat, n)
+            return DataFrame._from_table(tbl)
+        lc = str_ops.split_record(self._s._col, pat, n)
+        rows = np.empty(lc.length, object)
+        rows[:] = lc.to_pylist()
+        return self._wrap(_C.from_numpy(rows))
+
 
 class _DatetimeAccessor:
     def __init__(self, s: Series):

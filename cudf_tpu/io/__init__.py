@@ -12,6 +12,8 @@ from __future__ import annotations
 import glob as _glob
 from typing import List, Optional, Sequence, Union
 
+import numpy as np
+
 from ..core.column import Column
 from ..core.table import Table
 
@@ -43,6 +45,10 @@ def read_parquet(paths, columns: Optional[Sequence[str]] = None,
 
         tbls = [read_parquet_pruned(p, columns, predicates) for p in expanded]
         return concatenate_tables(tbls) if len(tbls) > 1 else tbls[0]
+    if len(expanded) == 1 and filters is None:
+        t = _read_parquet_lazy(expanded[0], columns)
+        if t is not None:
+            return t
     import pyarrow.parquet as pq
 
     tbls = []
@@ -52,7 +58,101 @@ def read_parquet(paths, columns: Optional[Sequence[str]] = None,
     import pyarrow as pa
 
     at = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
-    return Table.from_arrow(at)
+    # lazy: decoded buffers stay host-side; only columns the query touches
+    # pay the H2D transfer (the reference reads only projected columns —
+    # python/cudf/cudf/io/parquet.py columns= pushdown; here projection
+    # happens at materialization time as well)
+    return Table.from_arrow(at, lazy=True)
+
+
+# numpy dtypes eligible for per-column DEFERRED DECODE: plain fixed-width
+# types whose arrow->numpy conversion is a zero-copy/bulk cast
+_LAZY_DECODE_KINDS = ("i", "u", "f")
+
+
+def _read_parquet_lazy(path: str, columns) -> "Table | None":
+    """Fully-lazy single-file scan: nothing is decoded at construction.
+
+    Each plain numeric column gets a loader that reads ONLY that column's
+    chunks from disk on first access (host export or device upload) — the
+    projection-pushdown the reference does in its reader
+    (cpp/src/io/parquet predicate/column selection;
+    python/cudf/cudf/io/parquet.py:933 columns=) moved to access time, so
+    `read_parquet(p)["v"]` pays one column's decode + one column's H2D.
+    String / nested / nullable columns decode eagerly (their dictionary
+    and validity are construction-time metadata here). Returns None when
+    the file needs the generic eager path."""
+    import pyarrow.parquet as pq
+
+    from ..core.column import Column, _LazyHostData
+    from ..utils.padding import bucket_capacity
+
+    try:
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        schema = pf.schema_arrow
+    except Exception:
+        return None
+    names = [str(c) for c in columns] if columns else list(schema.names)
+    if any(n not in schema.names for n in names):
+        return None
+    num_rows = md.num_rows
+    cap = bucket_capacity(max(num_rows, 1))
+
+    # per-leaf-column null counts from footer statistics (no decode)
+    null_counts: dict = {}
+    stats_known: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            nm = c.path_in_schema
+            st = c.statistics
+            if st is not None and st.has_null_count:
+                null_counts[nm] = null_counts.get(nm, 0) + st.null_count
+                stats_known.setdefault(nm, True)
+            else:
+                stats_known[nm] = False
+
+    from ..core import dtypes as _dt
+
+    cols = {}
+    eager_names = []
+    for n in names:
+        field = schema.field(n)
+        try:
+            npdt = np.dtype(field.type.to_pandas_dtype())
+        except (NotImplementedError, TypeError):
+            npdt = np.dtype(object)
+        lazy_ok = (
+            npdt.kind in _LAZY_DECODE_KINDS
+            and stats_known.get(n, False)
+            and null_counts.get(n, 1) == 0
+            and num_rows > 0
+        )
+        if not lazy_ok:
+            eager_names.append(n)
+            continue
+
+        def _loader(_n=n, _pf=pf):
+            a = _pf.read(columns=[_n]).column(0)
+            import pyarrow as pa
+
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            return np.asarray(a)
+
+        dt = _dt.from_numpy(npdt)
+        cols[n] = Column(dt, _LazyHostData(None, cap, loader=_loader,
+                                           dtype=npdt), None, num_rows)
+    if eager_names:
+        try:
+            at = pf.read(columns=eager_names)
+        except Exception:
+            return None
+        for n in eager_names:
+            cols[n] = Column.from_arrow(at.column(n), lazy=True)
+    return Table({n: cols[n] for n in names})
 
 
 def read_parquet_chunked(path, columns: Optional[Sequence[str]] = None,

@@ -178,6 +178,21 @@ def build_scan_arrays(sv, svalid, act, newgrp, rowpos, kset) -> Dict[str, jnp.nd
         arrs["cs_sum"] = tiled_cumsum(x)
         if "sum_of_squares" in kset:
             arrs["cs_sos"] = tiled_cumsum(x * x)
+    if "varc" in kset:  # sentinel kind added by ops/sortgroup.py
+        # single-pass var for the compaction lane (ops/sortgroup.py): scans
+        # of x-K and (x-K)^2 with K = the GLOBAL mean — group variance is
+        # shift-invariant, and centering near the group means kills the
+        # sum-of-squares cancellation that makes the naive single-pass
+        # formula unstable (reference computes two-pass M2,
+        # cpp/src/groupby/sort/group_m2.cu; the compaction lane cannot
+        # gather group means back to rows without the gather pass it
+        # exists to avoid)
+        xf = jnp.where(valid, sv, jnp.zeros((), sv.dtype)).astype(jnp.float64)
+        nv = jnp.maximum(jnp.sum(valid.astype(jnp.int64)), 1)
+        K = jnp.sum(xf) / nv.astype(jnp.float64)
+        xc = jnp.where(valid, xf - K, 0.0)
+        arrs["cs_sumc"] = tiled_cumsum(xc)
+        arrs["cs_sosc"] = tiled_cumsum(xc * xc)
     if "product" in kset:
         acc = _acc_dtype_from(sv)
         x = jnp.where(valid, sv, jnp.ones((), sv.dtype)).astype(acc)

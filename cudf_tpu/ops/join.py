@@ -618,7 +618,7 @@ def _side_word(cols, mins, widths, nan_flags, null_flags, exact_flags,
 
 def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
                         lcols, rcols, how: str, nulls_equal: bool,
-                        suffixes) -> Optional[Table]:
+                        suffixes, ordered: bool = True) -> Optional[Table]:
     """Gather-free sparse-key N:1 join in ONE single-word sort pass.
 
     The round-4 rewrite of ``_try_sorted_nto1_join``: key pairs compress to
@@ -666,10 +666,13 @@ def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
     l_out = tuple(left[n] for n in left.names)
     rpay = tuple(right[n] for n in rpay_names)
     out_cap = capL
+    hint_col = rcols[0] if len(rcols) == 1 else None
+    trusted = bool(hint_col is not None and hint_col.distinct_hint)
     try:
         outs, meta, total_i32 = _word_nto1_impl(
             l_out, tuple(lcols), tuple(rcols), rpay, tuple(mins), widths,
-            nan_flags, null_flags, exact_flags, ranges, tbits, how, out_cap)
+            nan_flags, null_flags, exact_flags, ranges, tbits, how, out_cap,
+            ordered=ordered, trusted=trusted)
     except jax.errors.JaxRuntimeError as exc:
         # remote-compile helper failures (OOM-SIGKILL at very large combined
         # buckets) degrade to the other lanes instead of crashing the join
@@ -679,8 +682,7 @@ def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
                       f"({type(exc).__name__}); falling back", RuntimeWarning)
         return None
 
-    hint_col = rcols[0] if len(rcols) == 1 else None
-    if hint_col is not None and hint_col.distinct_hint:
+    if trusted:
         # build side known-unique: N:1 holds, no sync — deferred length
         # (no async prefetch: it would occupy the tunnel for a full RTT)
         n_out = total_i32
@@ -709,9 +711,11 @@ def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
 
 
 @partial(jax.jit, static_argnames=("widths", "nan_flags", "null_flags",
-                                   "exact_flags", "tbits", "how", "out_cap"))
+                                   "exact_flags", "tbits", "how", "out_cap",
+                                   "ordered", "trusted"))
 def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
-                    null_flags, exact_flags, ranges, tbits, how, out_cap):
+                    null_flags, exact_flags, ranges, tbits, how, out_cap,
+                    ordered=True, trusted=False):
     from .sortprim import segmented_scan, tiled_cumsum
     from ..utils.padding import bucket_capacity_relaxed
 
@@ -778,21 +782,38 @@ def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
                                   keyword[1:] != keyword[:-1]])
 
     first = lambda a, b: a  # noqa: E731
-    rights_incl = tiled_cumsum(is_right.astype(jnp.int32))
-    lb_here = segmented_scan(rights_incl - is_right.astype(jnp.int32),
-                             key_newgrp, first)
-    cnt_here = rights_incl - lb_here
-    matched = is_left & (cnt_here > 0)
-    maxcnt = jnp.max(jnp.where(is_left, cnt_here, 0))
-    rdupmax = jnp.max(jnp.where(act, cnt_here, 0))
-    if how == "left":
-        total = jnp.sum(is_left.astype(jnp.int64))
-        keep = is_left
+    if trusted:
+        # build side KNOWN distinct (memoized hint): a group's right row, if
+        # any, is its head (side bit sorts right-before-left), so matched is
+        # one segmented head-broadcast — the cumsum/lower-bound machinery
+        # below exists only to DETECT N:M, which is already ruled out
+        # int32 operand: i32 scans are the native-fast path on the axon
+        # stack (bool/f64 associative scans have pathological compiles)
+        matched = is_left & (segmented_scan(
+            is_right.astype(jnp.int32), key_newgrp, first) > 0)
+        if how == "left":
+            total = jnp.sum(is_left.astype(jnp.int64))
+            keep = is_left
+        else:
+            total = jnp.sum(matched.astype(jnp.int64))
+            keep = matched
+        meta = jnp.zeros((3,), jnp.int64)
     else:
-        total = jnp.sum(matched.astype(jnp.int64))
-        keep = matched
-    meta = jnp.stack([total, maxcnt.astype(jnp.int64),
-                      rdupmax.astype(jnp.int64)])
+        rights_incl = tiled_cumsum(is_right.astype(jnp.int32))
+        lb_here = segmented_scan(rights_incl - is_right.astype(jnp.int32),
+                                 key_newgrp, first)
+        cnt_here = rights_incl - lb_here
+        matched = is_left & (cnt_here > 0)
+        maxcnt = jnp.max(jnp.where(is_left, cnt_here, 0))
+        rdupmax = jnp.max(jnp.where(act, cnt_here, 0))
+        if how == "left":
+            total = jnp.sum(is_left.astype(jnp.int64))
+            keep = is_left
+        else:
+            total = jnp.sum(matched.astype(jnp.int64))
+            keep = matched
+        meta = jnp.stack([total, maxcnt.astype(jnp.int64),
+                          rdupmax.astype(jnp.int64)])
 
     out_data: List[jnp.ndarray] = []
     out_valid: List[Optional[jnp.ndarray]] = []
@@ -810,9 +831,16 @@ def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
         out_data.append(b)
         out_valid.append(bv)
 
-    # restore original left order + compact drops to the tail: ONE pass
-    key2 = ((~keep).astype(jnp.uint64) << jnp.uint64(pb)) | spos.astype(
-        jnp.uint64)
+    # restore original left order + compact drops to the tail: ONE pass.
+    # unordered consumers (aggregations; libcudf makes no join-order
+    # guarantee, cpp/src/join/hash_join.cu emits unordered pairs) compact
+    # with a 1-BYTE key instead of the 64-bit [drop][spos] key — the sort's
+    # cost is in the key lanes (payload operands measure free on the chip)
+    if ordered:
+        key2 = ((~keep).astype(jnp.uint64) << jnp.uint64(pb)) | spos.astype(
+            jnp.uint64)
+    else:
+        key2 = (~keep).astype(jnp.uint8)
     final_payloads = list(out_data) + [v for v in out_valid if v is not None]
     res2 = jax.lax.sort(tuple([key2] + final_payloads), num_keys=1,
                         is_stable=False)
@@ -1049,15 +1077,22 @@ def join(
     how: str = "inner",
     nulls_equal: bool = False,
     suffixes: Tuple[str, str] = ("_x", "_y"),
+    ordered: bool = True,
 ) -> Table:
-    """Equi-join two tables. how: inner/left/right/semi/anti/full."""
+    """Equi-join two tables. how: inner/left/right/semi/anti/full.
+
+    ``ordered=False`` relaxes the output to libcudf's contract — hash-join
+    output order is unspecified (cpp/src/join/hash_join.cu emits unordered
+    pairs; order is restored only on demand) — letting the word lane skip
+    the 64-bit order-restore key for a 1-byte compaction key. Use it when
+    the consumer is order-insensitive (aggregation, count, sink)."""
     from .stream_compaction import apply_boolean_mask
 
     if how == "right":
         # pandas right join == swapped left join with the LEFT frame's column
         # order restored (cpp/src/join/join.cu right_join swaps sides too)
         sw = join(right, left, list(right_on), list(left_on), "left",
-                  nulls_equal, (suffixes[1], suffixes[0]))
+                  nulls_equal, (suffixes[1], suffixes[0]), ordered)
         rnames = set(right.names)
         key_pairs = dict(zip(left_on, right_on))
         order = []
@@ -1082,7 +1117,8 @@ def join(
                         for n in left_on if n in left)):
         lcols0, rcols0 = _promote_keys(left, left_on, right, right_on)
         res = _try_word_nto1_join(left, right, left_on, right_on,
-                                  lcols0, rcols0, how, nulls_equal, suffixes)
+                                  lcols0, rcols0, how, nulls_equal, suffixes,
+                                  ordered)
         if res is not None:
             return res
 
@@ -1100,6 +1136,33 @@ def join(
     # is exact. (cudf has no such limit — this is a tunnel-compile bound.)
     capL = left[left_on[0]].capacity
     capR = right[right_on[0]].capacity
+
+    # big-build inner join: make the SMALLER side the build side so the
+    # probe-chunk lane applies (the reference swap: cpp/src/join/join.cu:
+    # 29-54 picks the smaller table as build). Output column ORDER is
+    # restored to left-then-right; row order is right-side-major, which the
+    # unordered contract permits — TPC-H-scale joins (60M lineitem vs a
+    # multi-M dim) land here.
+    if (how == "inner" and not ordered
+            and bucket_capacity(capL + capR) > WIDE_JOIN_CHUNK_LIMIT
+            and capR > (WIDE_JOIN_CHUNK_LIMIT >> 1)
+            and capL <= (WIDE_JOIN_CHUNK_LIMIT >> 1)
+            and not any(isinstance(left[n].data, jax.core.Tracer)
+                        for n in left.names)):
+        sw = join(right, left, list(right_on), list(left_on), "inner",
+                  nulls_equal, (suffixes[1], suffixes[0]), ordered=False)
+        rnames = set(right.names)
+        key_pairs = dict(zip(left_on, right_on))
+        order = []
+        for name in left.names:
+            order.append(name if name not in rnames or name in key_pairs
+                         else name + suffixes[0])
+        for name in right.names:
+            if name in key_pairs.values() and name in left_on:
+                continue
+            order.append(name if name not in set(left.names)
+                         else name + suffixes[1])
+        return Table({n: sw[n] for n in order})
     if (how in ("inner", "left", "semi", "anti")
             and bucket_capacity(capL + capR) > WIDE_JOIN_CHUNK_LIMIT
             and capR <= (WIDE_JOIN_CHUNK_LIMIT >> 1)
@@ -1120,7 +1183,7 @@ def join(
         while start < n:
             sub = left.slice(start, min(chunk, n - start))
             pieces.append(join(sub, right, left_on, right_on, how,
-                               nulls_equal, suffixes))
+                               nulls_equal, suffixes, ordered))
             start += chunk
         return concatenate_tables(pieces) if len(pieces) > 1 else pieces[0]
 
@@ -1131,7 +1194,8 @@ def join(
         # round-4 hot lane: exact single-word code sort (cached exact stats,
         # zero syncs once build-side uniqueness is memoized)
         res = _try_word_nto1_join(left, right, left_on, right_on,
-                                  lcols, rcols, how, nulls_equal, suffixes)
+                                  lcols, rcols, how, nulls_equal, suffixes,
+                                  ordered)
         if res is not None:
             return res
         # static per-dtype widths (no sync): reaching this point at all means

@@ -221,6 +221,18 @@ def compile_dfa(pattern: str, anchored: bool,
     except Exception:
         return None
 
+    # Global inline flags ((?i)/(?m)/(?s)/(?x)…) live on tree.state.flags,
+    # NOT in the node list — a DFA compiled from the nodes alone would
+    # silently ignore them (ADVICE r4 high). IGNORECASE/MULTILINE change
+    # match semantics we don't model: fall back to the host path. DOTALL
+    # only widens '.', which we DO model: thread it through.
+    import re as _re
+    flags = getattr(getattr(tree, "state", None), "flags", 0)
+    if flags & (_re.IGNORECASE | _re.MULTILINE | _re.LOCALE | _re.VERBOSE):
+        return None
+    if flags & _re.DOTALL:
+        dotall = True
+
     # a leading '^' anchors the search: compile without the restart loop
     if len(tree) and str(tree[0][0]) == "AT" and \
             str(tree[0][1]) in ("AT_BEGINNING", "AT_BEGINNING_STRING"):

@@ -34,8 +34,10 @@ syncs — the output carries a deferred device length, core/column.py):
      scatters and gathers is two sorts + slices.
 
 Output is in ascending key order with nulls last (pandas sort=True), same as
-the other lanes. var/std/m2/argmin/argmax stay on the older engines (their
-two-pass/broadcast structure doesn't fit the compaction trick).
+the other lanes. var/std/m2 run single-pass over globally-centered scans
+(r5; see build_scan_arrays) so sparse 64-bit keys stay on this lane;
+argmin/argmax stay on the older engines (their gather-back structure
+doesn't fit the compaction trick).
 """
 from __future__ import annotations
 
@@ -57,7 +59,7 @@ from .sortprim import tiled_cumsum
 
 _SUPPORTED = {
     "sum", "product", "min", "max", "count", "size", "any", "all", "mean",
-    "sum_of_squares", "first", "last", "nth",
+    "sum_of_squares", "first", "last", "nth", "var", "std", "m2",
 }
 _STABLE_KINDS = {"first", "last", "nth"}
 
@@ -304,6 +306,26 @@ def _pass2_compact(scode, spos, act, newgrp, n_groups, n_active, arrs_by_col,
                 else:
                     mean = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
                     col = Column(dtypes.float64, mean, validity, n_groups)
+        elif kind in ("var", "std", "m2"):
+            # single-pass on globally-centered data (see build_scan_arrays):
+            # M2 = sum((x-K)^2) - (sum(x-K))^2 / n, shift-invariant in K
+            csS = comp[(vidx, "cs_sumc")]
+            sC = csS - _shift_prev(csS, jnp.zeros((), csS.dtype))
+            csQ = comp[(vidx, "cs_sosc")]
+            qC = csQ - _shift_prev(csQ, jnp.zeros((), csQ.dtype))
+            m2 = jnp.maximum(
+                qC - sC * sC / jnp.maximum(cnt, 1).astype(jnp.float64), 0.0)
+            if kind == "m2":
+                col = Column(dtypes.float64, m2, validity, n_groups)
+            else:
+                ddof = int(spec.param) if spec.param else 1
+                denom = cnt - ddof
+                var = jnp.where(denom > 0, m2 / jnp.maximum(denom, 1),
+                                jnp.nan)
+                validity = validity & (denom > 0)
+                col = Column(dtypes.float64,
+                             var if kind == "var" else jnp.sqrt(var),
+                             validity, n_groups)
         elif kind == "product":
             p = comp[(vidx, "prod")]
             col = Column(dtypes.from_numpy(np.dtype(p.dtype)), p, validity,
@@ -375,6 +397,10 @@ def sort_groupby(tbl: Table, keys: Sequence[str], aggs,
             vcols.append(c)
             kinds.append(set())
         kinds[vmap[cname]].add(s.kind)
+        if s.kind in ("var", "std", "m2"):
+            # sentinel: build_scan_arrays adds globally-centered sum /
+            # sum-of-squares scans for the single-pass variance
+            kinds[vmap[cname]].add("varc")
 
     scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col = _pass1(
         word, tuple(vdatas), tuple(vvalids),

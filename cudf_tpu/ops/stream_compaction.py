@@ -106,10 +106,17 @@ def _compact(tbl: Table, drop_key, cnt) -> Table:
             for s in range(0, max(n, 1), step):
                 ln = min(step, n - s)
                 sub = tbl.slice(s, ln)
-                dk = jax.lax.slice(drop_key, (s,), (s + sub.columns[0].capacity,)) \
-                    if s + sub.columns[0].capacity <= drop_key.shape[0] else \
-                    jax.lax.slice(drop_key, (drop_key.shape[0] - sub.columns[0].capacity,),
-                                  (drop_key.shape[0],))
+                cap_c = sub.columns[0].capacity
+                if s + cap_c <= drop_key.shape[0]:
+                    dk = jax.lax.slice(drop_key, (s,), (s + cap_c,))
+                else:
+                    # tail chunk: slice what exists from s and PAD with drop
+                    # flags — shifting the window back (old behavior) would
+                    # misalign flags with the chunk's rows
+                    avail = drop_key.shape[0] - s
+                    dk = jax.lax.slice(drop_key, (s,), (drop_key.shape[0],))
+                    dk = jnp.pad(dk, (0, cap_c - avail),
+                                 constant_values=drop_key.dtype.type(1))
                 # recompute in-bounds relative to the chunk: rows past ln drop
                 pos = jnp.arange(sub.columns[0].capacity, dtype=jnp.int32)
                 dk = jnp.where(pos < ln, dk, jnp.uint32(1))

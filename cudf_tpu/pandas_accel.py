@@ -168,6 +168,13 @@ class _ProxyBase:
         # serve every attribute straight from the slow object, unwrapped
         if _pandas_internal_caller():
             return getattr(self._to_slow(), name)
+        # indexers: reads replay on the slow object (exact pandas loc/iloc
+        # semantics), writes mutate it and invalidate the fast copy — the
+        # fast layer's indexers neither match pandas' label semantics nor
+        # support assignment (r5; was a 16-failure class in the upstream
+        # suite: \"'_Loc' object does not support item assignment\")
+        if name in ("loc", "iloc", "at", "iat"):
+            return _IndexerProxy(self, name)
         # 1) try the fast engine
         fast = self._fast_obj()
         if fast is not None and hasattr(fast, name):
@@ -241,6 +248,26 @@ class _ProxyBase:
         return len(self._to_slow())
 
 
+class _IndexerProxy:
+    """loc/iloc/at/iat served from the slow object; writes invalidate the
+    fast copy (reference analog: fast_slow_proxy's _FastSlowAttribute
+    intercepting in-place mutation, fast_slow_proxy.py:1291)."""
+
+    def __init__(self, parent, name):
+        self._parent = parent
+        self._name = name
+
+    def __getitem__(self, key):
+        attr = getattr(self._parent._to_slow(), self._name)
+        return self._parent._rewrap(attr[_unproxy_slow(key)])
+
+    def __setitem__(self, key, value):
+        slow = self._parent._to_slow()
+        getattr(slow, self._name)[_unproxy_slow(key)] = _unproxy_slow(value)
+        self._parent._fast = None  # stale after in-place mutation
+        self._parent._slow = slow
+
+
 class _XMeta(type):
     """isinstance(real_pandas_obj, ProxyClass) -> True (fast_slow_proxy's
     metaclass trick): user code that type-checks against pd.DataFrame keeps
@@ -254,6 +281,12 @@ class _XMeta(type):
     def __subclasscheck__(cls, sub):
         return type.__subclasscheck__(cls, sub) or (
             isinstance(sub, type) and issubclass(sub, cls._real))
+
+    def __getattr__(cls, name):
+        # CLASS-level attribute access (pd.Series.nunique passed as an agg
+        # callable, pd.DataFrame.from_records, dtype introspection):
+        # delegate to the real pandas class
+        return getattr(cls._real, name)
 
 
 class _DFMeta(_XMeta):
@@ -401,10 +434,17 @@ class _GroupByProxy:
         self._parent = parent
 
     def _slow_gb(self):
-        slow = self._parent._to_slow().groupby(self._gb._keys,
-                                               as_index=self._gb._as_index)
+        slow = self._parent._to_slow().groupby(
+            self._gb._keys, as_index=self._gb._as_index,
+            sort=getattr(self._gb, "_sort", True),
+            dropna=getattr(self._gb, "_dropna", True))
         if self._gb._value_cols is not None:
-            slow = slow[self._gb._value_cols]
+            # scalar selection replays as a SeriesGroupBy, list as a frame
+            if getattr(self._gb, "_scalar_sel", False) and \
+                    len(self._gb._value_cols) == 1:
+                slow = slow[self._gb._value_cols[0]]
+            else:
+                slow = slow[self._gb._value_cols]
         return slow
 
     def __getattr__(self, name):

@@ -232,3 +232,31 @@ def test_prewarm_smoke():
     if th is not None:
         th.join(timeout=120)
         assert not th.is_alive()
+
+
+def test_explode_mixed_scalars_pass_through():
+    # ADVICE r4 medium: pandas explode keeps non-list scalars (incl.
+    # strings) unchanged; only None/NaN/empty-list become NaN
+    pdf = pd.DataFrame({"A": [[1, 2], 3.5, [], None, [4]],
+                        "B": [10, 20, 30, 40, 50]})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    got = gdf.explode("A").to_pandas()
+    ref = pdf.explode("A").reset_index(drop=True)
+    np.testing.assert_allclose(got["A"].astype(float).to_numpy(),
+                               ref["A"].astype(float).to_numpy())
+    np.testing.assert_array_equal(got["B"].to_numpy(), ref["B"].to_numpy())
+
+
+def test_list_column_equal_length_cells_stay_1d():
+    # ADVICE r4 medium: np.asarray over equal-length list cells builds a
+    # 2-D matrix; the dictionary must stay 1-D object
+    from cudf_tpu.core.column import Column
+
+    cells = np.empty(4, object)
+    cells[:] = [[1, 2], [3, 4], [1, 2], [5, 6]]
+    col = Column.from_numpy(cells)
+    assert col.dictionary is not None
+    assert col.dictionary.ndim == 1
+    codes = np.asarray(col.data)[:4]
+    got = [col.dictionary[c] for c in codes]
+    assert got == [[1, 2], [3, 4], [1, 2], [5, 6]]

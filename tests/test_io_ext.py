@@ -254,3 +254,35 @@ def test_http_datasource_retry_and_prefetch():
         assert ds._cached(500, 10) is None
     finally:
         ur.urlopen = orig
+
+
+def test_lazy_scan_columns(tmp_path):
+    """r5 (VERDICT r4 #6): read_parquet returns lazy host-backed numeric
+    columns — untouched columns never pay H2D, host exports skip the
+    device round trip, stats come from numpy."""
+    import jax.numpy as jnp
+
+    from cudf_tpu import io as ct_io
+    from cudf_tpu.core import stats as cs
+    from cudf_tpu.core.column import _LazyHostData
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 5000),
+                       "v": rng.normal(size=5000).astype(np.float32),
+                       "w": rng.normal(size=5000).astype(np.float32)})
+    p = str(tmp_path / "lazy.parquet")
+    df.to_parquet(p)
+    t = ct_io.read_parquet(p)
+    assert type(t["v"]._data) is _LazyHostData
+    # host export: no materialization
+    pd.testing.assert_frame_equal(t.to_pandas(), df, check_dtype=False)
+    assert type(t["v"]._data) is _LazyHostData
+    # stats: host-computed, exact, no materialization
+    st = cs.compute_stats(t["k"])
+    assert (st.vmin, st.vmax) == (df.k.min(), df.k.max())
+    assert type(t["k"]._data) is _LazyHostData
+    # device use materializes ONLY the touched column
+    s = float(jnp.sum(t["v"].data))
+    np.testing.assert_allclose(s, df.v.sum(), rtol=1e-3)
+    assert type(t["v"]._data) is not _LazyHostData
+    assert type(t["w"]._data) is _LazyHostData

@@ -252,6 +252,29 @@ class TestDeviceRegex:
         ref = pd.Series(vals).str.contains(r"\bfoo", regex=True).to_numpy()
         assert (got == ref).all()
 
+    def test_inline_flags_honored(self):
+        # ADVICE r4 high: (?i)/(?m)/(?s) live on tree.state.flags, not in
+        # the node list — the DFA and the literal prefilter must fall back
+        # (or thread DOTALL) instead of silently matching case-sensitively
+        from cudf_tpu.ops.regex_dfa import compile_dfa
+        from cudf_tpu.ops.strings import _mandatory_literal, contains
+
+        assert compile_dfa("(?i)foo", anchored=False) is None
+        assert compile_dfa("(?m)^foo", anchored=False) is None
+        assert _mandatory_literal("(?i)foobar") is None
+        # (?s) only widens '.': still compiles, with dotall semantics
+        tab = compile_dfa("(?s)a.b", anchored=True)
+        assert tab is not None
+
+        vals = np.array(["FOO bar", "foo bar", "Foo Bar", "baz"] +
+                        [f"w{i}" for i in range(200)])
+        col = self._col(vals)
+        for pat in ["(?i)foo", "(?i)foo bar", "(?s)a.c", "(?i)^fo+"]:
+            m = contains(col, pat, regex=True)
+            got = np.asarray(m.data)[: len(vals)].astype(bool)
+            ref = pd.Series(vals).str.contains(pat, regex=True).to_numpy()
+            assert (got == ref).all(), pat
+
 
 # --------------------------------------------------------------- chunked ops
 class TestChunkedEnvelope:
@@ -292,6 +315,50 @@ class TestChunkedEnvelope:
         ref = (df.dropna().groupby(["A", "B"], as_index=False)
                .agg(C=("C", "mean")))
         pd.testing.assert_frame_equal(g.to_pandas(), ref, check_dtype=False)
+
+    def test_chunked_sort_constant_key_stays_in_envelope(self):
+        # skew hole (VERDICT r4 weak #3): a constant key collapses the
+        # sample splitters into ONE bucket; the re-sort must never exceed
+        # the envelope (constant buckets concat without sorting)
+        from cudf_tpu.ops import chunked, sorting
+
+        n = 65536  # 16x the 4096 envelope
+        df = pd.DataFrame({"k": np.zeros(n, np.int64),
+                           "v": np.arange(n, dtype=np.float64)})
+        t = ct.Table.from_pandas(df)
+        got = sorting.sort_by_key(t, ["k"]).to_pandas()
+        ref = df.sort_values("k", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        assert not chunked.DEVICE_SORT_CAPS or \
+            max(chunked.DEVICE_SORT_CAPS) <= 4096
+
+    def test_chunked_sort_zipf_skew_stays_in_envelope(self):
+        from cudf_tpu.ops import chunked, sorting
+
+        n = 50000
+        z = rng.zipf(1.5, n).astype(np.int64)  # heavy head: ~40% ones
+        df = pd.DataFrame({"k": z, "v": rng.normal(size=n)})
+        t = ct.Table.from_pandas(df)
+        got = sorting.sort_by_key(t, ["k"]).to_pandas()
+        ref = df.sort_values("k", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        assert not chunked.DEVICE_SORT_CAPS or \
+            max(chunked.DEVICE_SORT_CAPS) <= 4096
+
+    def test_chunked_sort_two_heavy_values(self):
+        from cudf_tpu.ops import chunked, sorting
+
+        n = 40000
+        k = np.where(rng.random(n) < 0.5, 7, 9).astype(np.int64)
+        k[rng.choice(n, 100, replace=False)] = \
+            rng.integers(0, 100, 100)
+        df = pd.DataFrame({"k": k, "v": np.arange(n, dtype=np.int64)})
+        t = ct.Table.from_pandas(df)
+        got = sorting.sort_by_key(t, ["k"]).to_pandas()
+        ref = df.sort_values("k", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        assert not chunked.DEVICE_SORT_CAPS or \
+            max(chunked.DEVICE_SORT_CAPS) <= 4096
 
     def test_chunked_sparse_i64_groupby(self):
         n = 25000

@@ -212,3 +212,47 @@ def test_wide_key_join_probe_chunking(monkeypatch):
         got = got[cols].sort_values(cols).reset_index(drop=True)
         want = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6)
+
+
+def test_sparse_i64_var_std_on_sortgroup_lane():
+    """r5 (VERDICT r4 #9): var/std run on the single-word compaction lane
+    for sparse 64-bit keys via globally-centered single-pass scans —
+    no silent fallback to the multi-pass engines."""
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.ops import sortgroup
+    from cudf_tpu.ops.groupby import AggSpec
+
+    rng = np.random.default_rng(11)
+    n = 60000
+    sp = np.unique(rng.integers(0, 2**62, n // 15, dtype=np.int64))
+    df = pd.DataFrame({"k": sp[rng.integers(0, len(sp), n)],
+                       "C": rng.normal(loc=5000.0, scale=3.0, size=n)})
+    t = Table.from_pandas(df)
+    res = sortgroup.sort_groupby(
+        t, ["k"], [AggSpec("C", "var", "V"), AggSpec("C", "std", "S"),
+                   AggSpec("C", "mean", "M"), AggSpec("C", "sum", "Z")],
+        dropna_keys=True)
+    assert res is not None  # the lane must ACCEPT var/std now
+    got = res.to_pandas()
+    ref = df.groupby("k", as_index=False).agg(
+        V=("C", "var"), S=("C", "std"), M=("C", "mean"), Z=("C", "sum"))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, rtol=1e-9)
+
+
+def test_var_singleton_groups_null_values():
+    from cudf_tpu.core.table import Table
+    from cudf_tpu.ops import sortgroup
+    from cudf_tpu.ops.groupby import AggSpec
+    from cudf_tpu.ops.unaryop import nans_to_nulls
+
+    # singleton groups -> var NaN (ddof=1); null values excluded
+    df = pd.DataFrame({"k": np.array([2**61, 2**61, 5, 7], dtype=np.int64),
+                       "C": [1.0, np.nan, 3.0, 4.0]})
+    t = Table.from_pandas(df)
+    t = Table({"k": t["k"], "C": nans_to_nulls(t["C"])})
+    res = sortgroup.sort_groupby(t, ["k"], [AggSpec("C", "var", "V")],
+                                 dropna_keys=True)
+    assert res is not None
+    got = res.to_pandas()
+    ref = df.groupby("k", as_index=False).agg(V=("C", "var"))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
