@@ -175,6 +175,11 @@ def main():
         g = groupby_aggregate(t_gb_i64, ["k"], [AggSpec("C", "mean", "C")])
         _force(g["C"].data)
 
+    def run_groupby_i64_var():
+        # r5: var/std on the same single-word lane (no multi-pass fallback)
+        g = groupby_aggregate(t_gb_i64, ["k"], [AggSpec("C", "var", "C")])
+        _force(g["C"].data)
+
     def run_regex_hc():
         from cudf_tpu.ops.strings import contains
         m = contains(t_gb_hc["k"], r"url/0{3}[0-9a-f]{6}/page", regex=True)
@@ -218,6 +223,7 @@ def main():
         ("groupby", run_groupby), ("groupby_str", run_groupby_str),
         ("groupby_str_hc", run_groupby_str_hc),
         ("groupby_i64", run_groupby_i64),
+        ("groupby_i64_var", run_groupby_i64_var),
         ("regex_hc", run_regex_hc), ("tokens_hc", run_tokens_hc),
         ("scan_parquet", run_scan_parquet),
         ("join", run_join), ("join_filter", run_join_filter),
@@ -256,6 +262,8 @@ def main():
         "tokens_hc": lambda: gb_hc_df["k"].str.split("/").str.len().sum(),
         "groupby_i64": lambda: gb_i64_df.groupby(
             ["k"], as_index=False).agg(C=("C", "mean")),
+        "groupby_i64_var": lambda: gb_i64_df.groupby(
+            ["k"], as_index=False).agg(C=("C", "var")),
         "scan_parquet": lambda: pd.read_parquet(scan_path)["v"].sum(),
         "join": lambda: join_left.merge(join_right, on="k"),
         "join_i64": lambda: join_i64_left.merge(join_i64_right, on="k"),
@@ -277,6 +285,7 @@ def main():
         "groupby_str": 2 * (4 + 8),
         "groupby_str_hc": 2 * (4 + 8),
         "groupby_i64": 2 * (8 + 8),
+        "groupby_i64_var": 2 * (8 + 8),
         "regex_hc": 2 * 4 + 1,   # codes read + bool write (host regex amortized)
         "tokens_hc": 2 * 4 + 4,
         "scan_parquet": 8 + 4 + 4,      # one write of every decoded byte

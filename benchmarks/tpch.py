@@ -224,6 +224,11 @@ def main(argv=None):
                     choices=["memory", "streaming", "spmd"],
                     help="one IR, three executors (lowered plan for "
                          "streaming/spmd; reference cudf-polars executors)")
+    ap.add_argument("--json", default=None,
+                    help="write per-query results (wall, pandas oracle "
+                         "wall, validation status) to this JSON file — the "
+                         "committed TPCH.json artifact; partial results are "
+                         "flushed after every query")
     args = ap.parse_args(argv)
 
     import jax
@@ -250,6 +255,16 @@ def main(argv=None):
         return execute_spmd(plan)
 
     results = {}
+    rec = {"metric": "tpch_query_wall_ms", "rows_lineitem": args.rows,
+           "engine": args.engine, "queries": {}}
+
+    def flush_json():
+        if args.json:
+            import json
+
+            with open(args.json, "w") as f:
+                json.dump(rec, f, indent=1)
+
     for q in args.queries.split(","):
         build, oracle = QUERIES[q]
         plan = build(T, E, IR, col)
@@ -267,6 +282,7 @@ def main(argv=None):
         t0 = time.perf_counter()
         exp = oracle(host)
         pdt = time.perf_counter() - t0
+        outp = out.to_pandas()
         if args.engine != "memory":
             # row order is engine-defined off the in-memory path
             sort_cols = [c for c in exp.columns]
@@ -281,6 +297,14 @@ def main(argv=None):
         print(f"{q}[{args.engine}]: tpu_warm={best*1e3:8.1f}ms cold={cold:6.1f}s "
               f"pandas={pdt*1e3:8.1f}ms speedup={pdt/best:5.2f}x  {ok}", flush=True)
         results[q] = (best, pdt, ok)
+        rec["queries"][q] = {
+            "tpu_warm_ms": round(best * 1e3, 1),
+            "tpu_cold_s": round(cold, 1),
+            "pandas_ms": round(pdt * 1e3, 1),
+            "speedup_vs_pandas": round(pdt / best, 2),
+            "validation": ok,
+        }
+        flush_json()
     return results
 
 

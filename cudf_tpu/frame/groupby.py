@@ -53,6 +53,9 @@ class DataFrameGroupBy:
             # appearance order — not expressible here, so refuse (the
             # accelerator facade falls back to real pandas on this raise)
             raise NotImplementedError("groupby(sort=False)")
+        if self._scalar_sel and len(specs) != 1:
+            # a SeriesGroupBy aggregation must come back as ONE Series
+            raise TypeError("scalar selection requires exactly one agg")
 
         # pandas semantics: NaN aggregation values are MISSING (skipna), not
         # IEEE values — convert float value columns to null-masked form
@@ -95,11 +98,23 @@ class DataFrameGroupBy:
 
     def _method(self, kind, param=0.0, numeric_only=True):
         specs = []
+        explicit = self._value_cols is not None
+        for n in self._value_columns():
+            c = self._df._tbl[n]
+            if kind in ("sum", "mean", "var", "std", "median", "product") and not c.dtype.is_numeric:
+                if explicit:
+                    # an explicitly SELECTED non-numeric column must not be
+                    # silently dropped (pandas aggregates timedeltas etc.):
+                    # raise so the accelerator facade replays on pandas
+                    raise TypeError(f"{kind} on non-numeric column {n!r}")
+                continue
         for n in self._value_columns():
             c = self._df._tbl[n]
             if kind in ("sum", "mean", "var", "std", "median", "product") and not c.dtype.is_numeric:
                 continue
             specs.append(AggSpec(n, kind, n, param))
+        if not specs:
+            raise TypeError(f"no aggregatable columns for {kind}")
         return self._run(specs)
 
     def agg(self, arg=None, **named):

@@ -39,6 +39,22 @@ def _broadcast_scalar(value: Scalar, like: Column) -> Column:
     dtype = None
     if value is None:
         dtype = like.dtype
+    if like.length_is_deferred and value is not None:
+        # deferred-length operand (join/compaction output): broadcast at
+        # CAPACITY and carry the deferred scalar through — resolving here
+        # cost one ~25ms tunnel RTT in the join->filter chain (bench r5)
+        from ..core.column import _full_kernel
+        from ..core import dtypes as _dt
+
+        if dtype is None:
+            np_dt = np.min_scalar_type(value) if isinstance(value, int) \
+                else np.asarray(value).dtype
+            dtype = _dt.from_numpy(np_dt)
+            if dtype.is_integer:
+                dtype = _dt.int64
+        data = _full_kernel(value, like.capacity,
+                            np.dtype(dtype.physical).str)
+        return Column(dtype, data, None, like.raw_length)
     return Column.from_scalar(value, like.length, dtype)
 
 
@@ -112,7 +128,10 @@ def binary_op(lhs: Union[Column, Scalar], rhs: Union[Column, Scalar], op: str) -
     if not isinstance(rhs, Column):
         rhs = _broadcast_scalar(rhs, lhs)
     if not (isinstance(lhs.raw_length, jax.core.Tracer)
-            or isinstance(rhs.raw_length, jax.core.Tracer)):
+            or isinstance(rhs.raw_length, jax.core.Tracer)
+            or lhs.length_is_deferred or rhs.length_is_deferred):
+        # deferred operands skip the check: resolving just to assert would
+        # cost a tunnel RTT; equal-capacity ops are shape-safe regardless
         assert int(lhs.length) == int(rhs.length), (lhs.length, rhs.length)
 
     if lhs.dtype.is_string or rhs.dtype.is_string:
@@ -129,7 +148,8 @@ def binary_op(lhs: Union[Column, Scalar], rhs: Union[Column, Scalar], op: str) -
         target_r = dtypes.DType(rhs.dtype.kind, 64, finer)
         lhs, rhs = _cast(lhs, target_l), _cast(rhs, target_r)
 
-    return fix_lengths(_binary_impl(lhs, rhs, op), lhs.length)
+    # raw_length: a deferred operand length flows through un-resolved
+    return fix_lengths(_binary_impl(lhs, rhs, op), lhs.raw_length)
 
 
 @partial(jax.jit, static_argnames=("op",))

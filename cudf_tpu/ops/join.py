@@ -710,13 +710,50 @@ def _try_word_nto1_join(left: Table, right: Table, left_on, right_on,
     return Table(out)
 
 
+def _bits32(x):
+    """u32 bit-planes of a payload column (low plane first), as u64 scalars
+    ready to OR into a pack word; None when the dtype has no TPU-safe
+    bit view (f64: the X64-rewrite has no f64 bitcast on TPU)."""
+    dt = x.dtype
+    if dt == jnp.float32:
+        return [jax.lax.bitcast_convert_type(x, jnp.uint32).astype(jnp.uint64)]
+    if dt == jnp.bool_:
+        return [x.astype(jnp.uint64)]
+    if jnp.issubdtype(dt, jnp.integer):
+        size = jnp.dtype(dt).itemsize
+        if size < 4:
+            return [jax.lax.bitcast_convert_type(
+                x.astype(jnp.int32), jnp.uint32).astype(jnp.uint64)]
+        if size == 4:
+            return [jax.lax.bitcast_convert_type(x, jnp.uint32).astype(jnp.uint64)]
+        pair = jax.lax.bitcast_convert_type(x, jnp.uint32)  # (n, 2)
+        return [pair[:, 0].astype(jnp.uint64), pair[:, 1].astype(jnp.uint64)]
+    return None
+
+
+def _un_bits32(vals32, dtype):
+    """Inverse of _bits32: reassemble the payload from its u32 planes."""
+    dt = jnp.dtype(dtype)
+    if dt == jnp.float32:
+        return jax.lax.bitcast_convert_type(vals32[0], jnp.float32)
+    if dt == jnp.bool_:
+        return vals32[0] != 0
+    size = dt.itemsize
+    if size < 4:
+        return jax.lax.bitcast_convert_type(vals32[0], jnp.int32).astype(dt)
+    if size == 4:
+        return jax.lax.bitcast_convert_type(vals32[0], dt)
+    pair = jnp.stack([vals32[0], vals32[1]], axis=-1)  # (n, 2)
+    return jax.lax.bitcast_convert_type(pair, dt)
+
+
 @partial(jax.jit, static_argnames=("widths", "nan_flags", "null_flags",
                                    "exact_flags", "tbits", "how", "out_cap",
                                    "ordered", "trusted"))
 def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
                     null_flags, exact_flags, ranges, tbits, how, out_cap,
                     ordered=True, trusted=False):
-    from .sortprim import segmented_scan, tiled_cumsum
+    from .sortprim import segmented_scan, tiled_cummax, tiled_cumsum
     from ..utils.padding import bucket_capacity_relaxed
 
     capL = lkey[0].capacity
@@ -782,15 +819,28 @@ def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
                                   keyword[1:] != keyword[:-1]])
 
     first = lambda a, b: a  # noqa: E731
+    pack_bcast = trusted and cap < (1 << 30)
     if trusted:
         # build side KNOWN distinct (memoized hint): a group's right row, if
-        # any, is its head (side bit sorts right-before-left), so matched is
-        # one segmented head-broadcast — the cumsum/lower-bound machinery
-        # below exists only to DETECT N:M, which is already ruled out
-        # int32 operand: i32 scans are the native-fast path on the axon
-        # stack (bool/f64 associative scans have pathological compiles)
-        matched = is_left & (segmented_scan(
-            is_right.astype(jnp.int32), key_newgrp, first) > 0)
+        # any, is its head (side bit sorts right-before-left). Broadcast +
+        # matched run as PACKED u64 cummaxes (ops/sortprim.tiled_cummax):
+        # pack = [group ordinal | right-flag | valid-bit | payload bits32];
+        # group ordinals are non-decreasing in sorted order, so the prefix
+        # max at any row is its own group's right-row pack when one exists —
+        # measured ~2x cheaper than the associative pair-scan segmented
+        # broadcast (probe_join_breakdown: 2 scans = 8.5ms of the 31ms
+        # device time at the 2M contract point)
+        if pack_bcast:
+            gid = tiled_cumsum(key_newgrp.astype(jnp.int32)).astype(
+                jnp.uint64)
+            _r64 = is_right.astype(jnp.uint64)
+            base_thresh = (gid << jnp.uint64(34)) | (jnp.uint64(1) << jnp.uint64(33))
+            mpack = tiled_cummax((gid << jnp.uint64(34))
+                                 | (_r64 << jnp.uint64(33)))
+            matched = is_left & (mpack >= base_thresh)
+        else:
+            matched = is_left & (segmented_scan(
+                is_right.astype(jnp.int32), key_newgrp, first) > 0)
         if how == "left":
             total = jnp.sum(is_left.astype(jnp.int64))
             keep = is_left
@@ -822,10 +872,32 @@ def _word_nto1_impl(l_out, lkey, rkey, rpay, mins, widths, nan_flags,
         out_data.append(srt[("l", i, False)])
         out_valid.append(srt.get(("l", i, True)))
     for j, c in enumerate(rpay):
-        b = segmented_scan(srt[("r", j, False)], key_newgrp, first)
+        sv_r = srt[("r", j, False)]
         v = srt.get(("r", j, True))
-        bv = matched if v is None else matched & segmented_scan(
-            v, key_newgrp, first)
+        done = False
+        if pack_bcast:
+            bits = _bits32(sv_r)
+            if bits is not None:
+                # packed head-broadcast: ONE u64 cummax per 32 payload bits
+                # (two for 64-bit ints); the right row is unique per group
+                # (trusted), so every pack selects the same source row
+                vb = (v.astype(jnp.uint64) if v is not None
+                      else _r64) << jnp.uint64(32)
+                head = (gid << jnp.uint64(34)) | (_r64 << jnp.uint64(33))
+                packs = [tiled_cummax(
+                    head | vb | jnp.where(is_right, b_, jnp.uint64(0)))
+                    for b_ in bits]
+                vals32 = [(p & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                          for p in packs]
+                b = _un_bits32(vals32, sv_r.dtype)
+                bv = matched & (((packs[0] >> jnp.uint64(32))
+                                 & jnp.uint64(1)) == 1) if v is not None \
+                    else matched
+                done = True
+        if not done:
+            b = segmented_scan(sv_r, key_newgrp, first)
+            bv = matched if v is None else matched & segmented_scan(
+                v, key_newgrp, first)
         if how == "inner" and c.validity is None:
             bv = None  # every kept row matched
         out_data.append(b)

@@ -394,6 +394,33 @@ class XSeries(_ProxyBase, metaclass=_SeriesMeta):
     def __hash__(self):
         raise TypeError("unhashable")
 
+    def __getitem__(self, key):
+        # label/boolean indexing has exact-pandas corner semantics: replay
+        # on the slow object (result.mean()["A"] was a 4-test failure
+        # class in the upstream suite)
+        return self._rewrap(self._to_slow()[_unproxy_slow(key)])
+
+    def __setitem__(self, key, value):
+        slow = self._to_slow()
+        slow[_unproxy_slow(key)] = _unproxy_slow(value)
+        self._fast = None
+        self._slow = slow
+
+    def __contains__(self, key):
+        return key in self._to_slow()
+
+    def __iter__(self):
+        return iter(self._to_slow())
+
+    def __float__(self):
+        return float(self._to_slow())
+
+    def __int__(self):
+        return int(self._to_slow())
+
+    def __bool__(self):
+        return bool(self._to_slow())
+
 
 class XIndex:
     """Generic namespace proxy for fast Index objects: try the fast engine,
@@ -426,6 +453,21 @@ class XIndex:
 
     def __repr__(self):
         return repr(self._to_slow())
+
+    def __getitem__(self, key):
+        return self._to_slow()[_unproxy_slow(key)]
+
+    def __iter__(self):
+        return iter(self._to_slow())
+
+    def __contains__(self, key):
+        return key in self._to_slow()
+
+    def __eq__(self, other):
+        return self._to_slow() == _unproxy_slow(other)
+
+    def __hash__(self):  # pandas Index is unhashable too
+        raise TypeError("unhashable type: 'Index'")
 
 
 class _GroupByProxy:

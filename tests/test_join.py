@@ -281,3 +281,51 @@ def test_conditional_join_empty_sides():
     never = conditional_join(tl, r2, pred, "inner")
     assert never.num_rows == 0
     assert conditional_join(tl, r2, pred, "left").num_rows == 5
+
+
+def test_join_filter_chain_zero_syncs():
+    """r5: the join->filter->mask chain must not resolve deferred lengths
+    (each resolution costs a ~25ms tunnel RTT on the axon chip; bench r5
+    measured the regression as exactly +1 RTT on join_filter)."""
+    import jax
+
+    import cudf_tpu as ct
+    from cudf_tpu.core import column as colmod
+    from cudf_tpu.ops import stream_compaction as sc
+    from cudf_tpu.ops.binaryop import binary_op
+    from cudf_tpu.ops.join import join as tpu_join
+
+    rng = np.random.default_rng(0)
+    n, nd = 100000, 5000
+    jl = pd.DataFrame({"k": rng.integers(0, nd, n),
+                       "v": rng.normal(size=n).astype(np.float32)})
+    jr = pd.DataFrame({"k": np.arange(nd),
+                       "w": rng.normal(size=nd).astype(np.float32)})
+    tl, tr = ct.Table.from_pandas(jl), ct.Table.from_pandas(jr)
+
+    def run():
+        out = tpu_join(tl, tr, ["k"], ["k"], "inner", ordered=False)
+        mask = binary_op(out["w"], 0.0, "gt")
+        kept = sc.apply_boolean_mask(out, mask)
+        import jax.numpy as jnp
+
+        return float(jnp.sum(kept["v"].data.astype(jnp.float32)))
+
+    run(); run()  # warm + memoize distinct hint
+    resolutions = []
+    orig = colmod.Column.length.fget
+
+    def traced(self):
+        v = self._length
+        if isinstance(v, jax.Array) and not isinstance(v, jax.core.Tracer):
+            resolutions.append(1)
+        return orig(self)
+
+    colmod.Column.length = property(traced, colmod.Column.length.fset)
+    try:
+        got = run()
+    finally:
+        colmod.Column.length = property(orig, colmod.Column.length.fset)
+    assert not resolutions, f"{len(resolutions)} deferred-length syncs"
+    ref = jl.merge(jr, on="k")
+    np.testing.assert_allclose(got, ref[ref.w > 0]["v"].sum(), rtol=1e-3)
