@@ -309,7 +309,9 @@ def test_join_filter_chain_zero_syncs():
         kept = sc.apply_boolean_mask(out, mask)
         import jax.numpy as jnp
 
-        return float(jnp.sum(kept["v"].data.astype(jnp.float32)))
+        # capacity-sum: forces execution WITHOUT reading the length
+        float(jnp.sum(kept["v"].data.astype(jnp.float32)))
+        return kept
 
     run(); run()  # warm + memoize distinct hint
     resolutions = []
@@ -323,9 +325,12 @@ def test_join_filter_chain_zero_syncs():
 
     colmod.Column.length = property(traced, colmod.Column.length.fset)
     try:
-        got = run()
+        kept = run()
     finally:
         colmod.Column.length = property(orig, colmod.Column.length.fset)
     assert not resolutions, f"{len(resolutions)} deferred-length syncs"
+    # correctness: the LOGICAL rows (length-masked) match pandas
     ref = jl.merge(jr, on="k")
-    np.testing.assert_allclose(got, ref[ref.w > 0]["v"].sum(), rtol=1e-3)
+    got = np.asarray(kept["v"].data)[: int(kept["v"].length)]
+    np.testing.assert_allclose(got.astype(np.float64).sum(),
+                               ref[ref.w > 0]["v"].sum(), rtol=1e-3)
