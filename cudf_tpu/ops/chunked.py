@@ -34,15 +34,38 @@ from ..utils.padding import bucket_capacity
 
 CHUNK_ENVELOPE = int(os.environ.get("CUDF_TPU_CHUNK_ENVELOPE", 1 << 24))
 
+# total operand-ELEMENT budget per chunk program: rows x (payload operands).
+# The remote compile helper's memory scales with it — a 16M-row groupby
+# with 10 payload columns (TPC-H Q1's derived aggs) SIGSEGV'd the helper
+# where the 3-column bench rows at 16M compiled fine, so wide tables take
+# proportionally smaller row chunks (reference analog: pass/subpass BYTE
+# budgeting, cpp/src/io/parquet/reader_impl_chunking.hpp:24-100).
+OPERAND_ELEM_BUDGET = int(os.environ.get(
+    "CUDF_TPU_CHUNK_ELEM_BUDGET", 64 << 20))
+
 
 def needs_chunking(cap: int) -> bool:
     return cap > CHUNK_ENVELOPE
 
 
-def chunk_tables(tbl: Table) -> List[Table]:
-    """Contiguous chunks whose capacities are <= CHUNK_ENVELOPE."""
+def chunk_step(n_operands: int) -> int:
+    """Row-chunk size honoring BOTH the row envelope and the per-program
+    operand-element budget (power of two)."""
+    step = min(CHUNK_ENVELOPE,
+               OPERAND_ELEM_BUDGET // max(n_operands, 1))
+    p = 1 << max(12, (step.bit_length() - 1))
+    return min(p, CHUNK_ENVELOPE)
+
+
+def table_operands(tbl: Table) -> int:
+    return sum(1 + (c.validity is not None) for c in tbl.columns)
+
+
+def chunk_tables(tbl: Table, step: Optional[int] = None) -> List[Table]:
+    """Contiguous chunks whose capacities are <= the chunk step."""
     n = tbl.num_rows
-    step = CHUNK_ENVELOPE
+    if step is None:
+        step = CHUNK_ENVELOPE
     return [tbl.slice(s, min(step, n - s)) for s in range(0, max(n, 1), step)]
 
 
@@ -102,7 +125,8 @@ def chunked_sort_by_key(tbl: Table, keys, desc, nl) -> Optional[Table]:
     nan_flags = tuple(st.has_nan for _, st, _ in plan)
     null_flags = tuple(st.has_null for _, st, _ in plan)
 
-    chunks = chunk_tables(tbl)
+    step = chunk_step(table_operands(tbl) + 2)  # + word + pos operands
+    chunks = chunk_tables(tbl, step)
     sorted_chunks = []
     sample_parts = []
     for ch in chunks:
@@ -264,7 +288,9 @@ def _emit_bucket(runs, tbl, depth: int) -> List[Table]:
     seg_total = sum(r[3] for r in runs)
     if seg_total == 0:
         return []
-    if bucket_capacity(seg_total) <= CHUNK_ENVELOPE:
+    limit = min(CHUNK_ENVELOPE,
+                chunk_step(table_operands(tbl) + 2))
+    if bucket_capacity(seg_total) <= limit:
         return [_sort_bucket_runs(runs, tbl, seg_total)]
     if depth >= _MAX_SPLIT_DEPTH:
         return [_host_merge_runs(runs, tbl, seg_total)]
@@ -343,7 +369,9 @@ def chunked_groupby(tbl: Table, keys, aggs, dropna_keys: bool):
     if not dropna_keys:
         # partials drop nothing; the merge groupby applies dropna
         pass
-    parts = chunk_tables(tbl)
+    used = set(keys) | {a.column for a in aggs if a.column}
+    sub = tbl.select([n for n in tbl.names if n in used])
+    parts = chunk_tables(sub, chunk_step(table_operands(sub)))
     return sg.streaming_groupby(parts, list(keys), list(aggs),
                                 dropna_keys=dropna_keys)
 

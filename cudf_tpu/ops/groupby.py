@@ -165,10 +165,15 @@ def groupby_aggregate(
     from . import fastgroup
 
     if tbl.num_columns:
-        from .chunked import chunked_groupby, needs_chunking
+        from .chunked import (OPERAND_ELEM_BUDGET, chunked_groupby,
+                              needs_chunking, table_operands)
 
-        if needs_chunking(tbl.columns[0].capacity):
-            # past the compile-safe envelope: partial/merge/finalize chunks
+        cap0 = tbl.columns[0].capacity
+        # chunk past the row envelope OR the operand-element budget: a 16M
+        # program with 10 payload columns SIGSEGVs the remote compile
+        # helper even though 16M x 3 columns compiles fine (TPC-H Q1 SF10)
+        if needs_chunking(cap0) or \
+                cap0 * table_operands(tbl) > 2 * OPERAND_ELEM_BUDGET:
             out = chunked_groupby(tbl, keys, aggs, dropna_keys)
             if out is not None:
                 return out

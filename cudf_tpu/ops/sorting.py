@@ -288,10 +288,14 @@ def sort_by_key(
     nl = tuple(_norm_flags(len(keys), nulls_last))
     if tbl.num_columns:
         cap = tbl.columns[0].capacity
-        from .chunked import chunked_sort_by_key, needs_chunking
+        from .chunked import (OPERAND_ELEM_BUDGET, chunked_sort_by_key,
+                              needs_chunking, table_operands)
 
-        if needs_chunking(cap):
-            # past the compile-safe envelope: sample-splitter chunked sort
+        if needs_chunking(cap) or \
+                cap * (table_operands(tbl) + 2) > 2 * OPERAND_ELEM_BUDGET:
+            # past the row envelope OR the operand-element budget (wide
+            # tables crash the remote compile helper at smaller row
+            # counts): sample-splitter chunked sort
             out = chunked_sort_by_key(tbl, keys, desc, nl)
             if out is not None:
                 return out

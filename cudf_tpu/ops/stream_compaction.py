@@ -92,15 +92,19 @@ def _compact(tbl: Table, drop_key, cnt) -> Table:
     from ..utils.jitutil import fix_lengths
 
     if not isinstance(drop_key, jax.core.Tracer):
-        from .chunked import CHUNK_ENVELOPE, needs_chunking
+        from .chunked import (OPERAND_ELEM_BUDGET, chunk_step,
+                              needs_chunking, table_operands)
 
-        if needs_chunking(drop_key.shape[0]):
-            # past the compile-safe envelope: per-chunk flag sorts (every
-            # device program stays <= CHUNK_ENVELOPE rows) + concatenate
+        cap0 = drop_key.shape[0]
+        n_ops = table_operands(tbl) + 1
+        if needs_chunking(cap0) or \
+                cap0 * n_ops > 2 * OPERAND_ELEM_BUDGET:
+            # past the row envelope OR the operand-element budget: per-chunk
+            # flag sorts (wide tables take smaller row chunks) + concatenate
             from .copying import concatenate_tables
 
             n = tbl.num_rows
-            step = CHUNK_ENVELOPE
+            step = chunk_step(n_ops)
             parts = []
             counts = []
             for s in range(0, max(n, 1), step):
