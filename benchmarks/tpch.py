@@ -237,8 +237,11 @@ def main(argv=None):
     from cudf_tpu.expr import expressions as E, ir as IR
     from cudf_tpu.expr.expressions import col
 
+    # lazy ingest: numeric columns upload on FIRST device use, so columns a
+    # query's pruned plan never touches never occupy HBM (at SF10 the full
+    # 9-column lineitem plus query intermediates exceeds one chip's 16GB)
     host = gen_tables(args.rows)
-    dev = {k: Table.from_pandas(v) for k, v in host.items()}
+    dev = {k: Table.from_pandas(v, lazy=True) for k, v in host.items()}
 
     def T(name):
         return IR.DataFrameScan(dev[name])

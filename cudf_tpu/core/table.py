@@ -85,7 +85,10 @@ class Table:
 
     # ----------------------------------------------------------------- inter
     @classmethod
-    def from_pandas(cls, df) -> "Table":
+    def from_pandas(cls, df, lazy: bool = False) -> "Table":
+        """``lazy=True`` keeps numeric buffers host-resident until first
+        device use (benchmark/ingest path: columns a query never touches
+        never pay H2D or HBM)."""
         cols = {}
         for name in df.columns:
             s = df[name]
@@ -114,7 +117,7 @@ class Table:
             if vals.dtype.kind == "f":
                 # pandas uses NaN for missing; cudf treats NaN as value. We
                 # follow cudf: NaN stays NaN (null only via explicit mask).
-                cols[str(name)] = Column.from_numpy(vals)
+                cols[str(name)] = Column.from_numpy(vals, lazy=lazy)
             elif vals.dtype == object or str(s.dtype) in ("string", "category"):
                 isnull = s.isna().to_numpy()
                 cols[str(name)] = Column.from_numpy(
@@ -123,7 +126,8 @@ class Table:
             else:
                 isnull = s.isna().to_numpy()
                 cols[str(name)] = Column.from_numpy(
-                    vals, validity=~isnull if isnull.any() else None
+                    vals, validity=~isnull if isnull.any() else None,
+                    lazy=lazy and not isnull.any(),
                 )
         return cls(cols)
 

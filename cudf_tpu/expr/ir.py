@@ -285,9 +285,135 @@ def execute_with_profile(node: IR):
     return result, profile
 
 
+def _expr_cols(e, out: set):
+    """Column names referenced by an expression tree."""
+    if type(e).__name__ == "Col":
+        out.add(e.args[0])
+    for c in getattr(e, "children", ()) or ():
+        _expr_cols(c, out)
+
+
+def scan_column_requirements(root: IR):
+    """Projection pushdown requirements: {DataFrameScan node: set | None}.
+
+    The cudf-polars optimizer prunes scan columns before evaluation
+    (python/cudf_polars: polars does it in Rust; the streaming lowering
+    re-derives per-node schemas). Here a top-down pass computes which
+    columns each scan must actually provide; None = all (an unknown node
+    type above it). At TPC-H SF10 this is a MEMORY correctness feature:
+    an unpruned 9-column 60M-row lineitem plus its filtered copy plus
+    derived agg columns exceeds the 16GB v5e HBM."""
+    needs: dict = {}
+    filter_out: dict = {}  # Filter node -> columns its PARENT needs
+
+    def mark(n, needed):
+        if isinstance(n, Filter):
+            if n in filter_out:
+                prev = filter_out[n]
+                filter_out[n] = None if (prev is None or needed is None) \
+                    else prev | needed
+            else:
+                filter_out[n] = None if needed is None else set(needed)
+        if isinstance(n, DataFrameScan):
+            if n in needs:
+                prev = needs[n]
+                needs[n] = None if (prev is None or needed is None) \
+                    else prev | needed
+            else:
+                needs[n] = None if needed is None else set(needed)
+            return
+        ch = n.children
+        if isinstance(n, Filter):
+            sub = set() if needed is not None else None
+            if sub is not None:
+                sub |= needed
+                _expr_cols(n.predicate, sub)
+            mark(ch[0], sub)
+        elif isinstance(n, (Select, Reduce)):
+            sub: set = set()
+            for name, e in n.args[0]:
+                if needed is None or name in needed:
+                    _expr_cols(e, sub)
+            mark(ch[0], sub)
+        elif isinstance(n, HStack):
+            if needed is None:
+                mark(ch[0], None)
+            else:
+                sub = set(needed)
+                for name, e in n.args[0]:
+                    if name in needed:
+                        _expr_cols(e, sub)
+                        sub.discard(name)
+                # conservatively keep child columns the parent asks for
+                mark(ch[0], sub | set(needed))
+        elif isinstance(n, GroupBy):
+            sub = set(n.args[0])
+            for name, e in n.args[1]:
+                _expr_cols(e, sub)
+            mark(ch[0], sub)
+        elif isinstance(n, Join):
+            lo, ro = n.args[0], n.args[1]
+            if needed is None:
+                mark(ch[0], None)
+                mark(ch[1], None)
+            else:
+                # over-approximate: suffix-stripped parent needs + keys to
+                # BOTH sides (extra names are intersected away at the scan)
+                suf = n.args[4]
+                stripped = set()
+                for name in needed:
+                    stripped.add(name)
+                    for s in suf:
+                        if s and name.endswith(s):
+                            stripped.add(name[: -len(s)])
+                mark(ch[0], stripped | set(lo))
+                mark(ch[1], stripped | set(ro))
+        elif isinstance(n, Sort):
+            mark(ch[0], None if needed is None else needed | set(n.args[0]))
+        elif isinstance(n, Distinct):
+            subset = n.args[0]
+            if needed is None or subset is None:
+                mark(ch[0], None)
+            else:
+                mark(ch[0], needed | set(subset))
+        elif isinstance(n, (Slice, Cache, Sink)):
+            mark(ch[0], needed)
+        elif isinstance(n, Projection):
+            mark(ch[0], set(n.args[0]))
+        elif isinstance(n, (Union, HConcat)):
+            for c in ch:
+                mark(c, needed)
+        else:  # unknown node: require everything below it
+            for c in ch:
+                mark(c, None)
+
+    mark(root, None)
+    return needs, filter_out
+
+
 def execute(node: IR) -> Table:
     """In-memory recursive evaluation (reference ir.py IR.evaluate)."""
-    return CachingVisitor(_exec_node)(node)
+    needs, filter_out = scan_column_requirements(node)
+    pruned = {n: cols for n, cols in needs.items() if cols is not None}
+    f_pruned = {n: cols for n, cols in filter_out.items() if cols is not None}
+
+    def _exec_pruned(n: IR, visitor) -> Table:
+        if isinstance(n, DataFrameScan) and n in pruned:
+            tbl = n._tbl
+            keep = [c for c in tbl.names if c in pruned[n]]
+            if len(keep) < len(tbl.names):
+                return tbl.select(keep)
+            return tbl
+        out = _exec_node(n, visitor)
+        if isinstance(n, Filter) and n in f_pruned:
+            # drop predicate-only columns right after the filter (their
+            # compacted copies would otherwise ride to the consumer)
+            keep = [c for c in out.names if c in f_pruned[n]]
+            if keep and len(keep) < len(out.names):
+                out = out.select(keep)
+        return out
+
+    return CachingVisitor(_exec_pruned)(node)
 
 
 def _exec_node(n: IR, visitor) -> Table:
