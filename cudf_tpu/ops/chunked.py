@@ -371,7 +371,12 @@ def chunked_groupby(tbl: Table, keys, aggs, dropna_keys: bool):
         pass
     used = set(keys) | {a.column for a in aggs if a.column}
     sub = tbl.select([n for n in tbl.names if n in used])
-    parts = chunk_tables(sub, chunk_step(table_operands(sub)))
+    # x3: the per-chunk sortgroup program builds 2-3 SCAN arrays per value
+    # column (cs_cnt/cs_sum/...) on top of the inputs, and the compile
+    # helper's memory scales with the program's TOTAL operand elements —
+    # TPC-H Q1's 8-agg partials SIGSEGV'd it at 4M-row chunks sized only
+    # by input operands
+    parts = chunk_tables(sub, chunk_step(3 * table_operands(sub)))
     return sg.streaming_groupby(parts, list(keys), list(aggs),
                                 dropna_keys=dropna_keys)
 
