@@ -65,6 +65,18 @@ _STABLE_KINDS = {"first", "last", "nth"}
 
 MAX_CODE_BITS = 63  # one u64 word minus the inactive-sentinel bit
 
+# Variadic-sort compile time explodes super-linearly in OPERAND COUNT on the
+# axon AOT compiler (measured, 65k rows: 3 operands 8.6s, 7 operands 27.6s,
+# 15 operands 96s; the 8-agg TPC-H Q1 _pass1+_pass2 pair wedged >500s and
+# SIGSEGV'd the compile helper at 1M rows). Runtime is flat in payload count
+# — the r4 cost model holds — but beyond this operand budget the payload
+# carry switches to a permutation sort + per-dtype cached gather dispatches
+# (each gather program compiles once per dtype and is reused across columns
+# AND across queries).
+import os as _os
+
+SORT_OPERAND_MAX = int(_os.environ.get("CUDF_TPU_SORT_OPERAND_MAX", "6"))
+
 
 def _posbits(cap: int) -> int:
     return max(1, (cap - 1).bit_length())
@@ -236,6 +248,17 @@ def _pass2_compact(scode, spos, act, newgrp, n_groups, n_active, arrs_by_col,
     for (vidx, aname), arr in zip(names, res[1:]):
         comp[(vidx, aname)] = jax.lax.slice(arr, (0,), (out_cap,))
 
+    svs = tuple(arrs.get("sv") for arrs in arrs_by_col)
+    return _finalize_body(comp, svs, end_pos, n_groups, aggs, agg_vidx,
+                          vcols, kcols, keynames, mins, widths, nan_flags,
+                          exact_flags, ranges, out_cap, tbits, cap), n_groups
+
+
+def _finalize_body(comp, svs, end_pos, n_groups, aggs, agg_vidx, vcols, kcols,
+                   keynames, mins, widths, nan_flags, exact_flags, ranges,
+                   out_cap, tbits, cap):
+    """Group answers from the compacted scan values (shared by the carried
+    payload-sort path and the wide permutation+gather path)."""
     q = jnp.arange(out_cap, dtype=jnp.int32)
     ok = q < n_groups
     out: Dict[str, Column] = {}
@@ -277,7 +300,7 @@ def _pass2_compact(scode, spos, act, newgrp, n_groups, n_active, arrs_by_col,
     size = jnp.where(ok, (end_pos - prev_end).astype(jnp.int64), 0)
     for spec, vidx in zip(aggs, agg_vidx):
         vcol = vcols[vidx]
-        arrs = arrs_by_col[vidx]
+        sv_full = svs[vidx]
         csc = comp[(vidx, "cs_cnt")]
         cnt = csc - _shift_prev(csc, jnp.int32(0))
         validity = (cnt > 0) & ok
@@ -340,16 +363,127 @@ def _pass2_compact(scode, spos, act, newgrp, n_groups, n_active, arrs_by_col,
             fi = jnp.clip(comp[(vidx, "sfirst")], 0, cap - 1)
             if kind == "nth":
                 fi = jnp.clip(fi + jnp.int32(int(spec.param)), 0, cap - 1)
-            col = Column(vcol.dtype, arrs["sv"][fi], validity, n_groups,
+            col = Column(vcol.dtype, sv_full[fi], validity, n_groups,
                          vcol.dictionary)
         elif kind == "last":
             li = jnp.clip(comp[(vidx, "slast")], 0, cap - 1)
-            col = Column(vcol.dtype, arrs["sv"][li], validity, n_groups,
+            col = Column(vcol.dtype, sv_full[li], validity, n_groups,
                          vcol.dictionary)
         else:  # pragma: no cover - guarded by _SUPPORTED
             raise ValueError(kind)
         out[spec.out_name] = col
-    return out, n_groups
+    return out
+
+
+# ---------------------------------------------------------------------------
+# wide lane: many value columns / aggs. The fused carried-payload programs
+# above compile super-linearly in sort operand count (module docstring), so
+# past SORT_OPERAND_MAX the same math runs as a chain of SMALL dispatches:
+# a 1-2 operand permutation sort, per-dtype cached gathers, per-column scan
+# programs, a 1-operand compaction sort, and one fused finalize (finalize
+# is elementwise — measured 0.4s compile at 8 aggs).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("pb",))
+def _sort_word_embedded(word, pb):
+    cap = word.shape[0]
+    key = (word << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+    skey = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
+    spos = (skey & jnp.uint64((1 << pb) - 1)).astype(jnp.int32)
+    return skey >> jnp.uint64(pb), spos
+
+
+@partial(jax.jit, static_argnames=("stable",))
+def _sort_word_pair(word, stable):
+    cap = word.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    res = jax.lax.sort((word, pos), num_keys=2 if stable else 1,
+                       is_stable=False)
+    return res[0], res[1].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("tbits",))
+def _group_bounds(scode, tbits):
+    sentinel = jnp.uint64(1) << jnp.uint64(tbits)
+    act = scode < sentinel
+    newgrp = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                              scode[1:] != scode[:-1]]) & act
+    return (act, newgrp, jnp.sum(newgrp.astype(jnp.int32)),
+            jnp.sum(act.astype(jnp.int32)))
+
+
+@jax.jit
+def _gat(arr, idx):
+    """Permutation/selection gather — ONE cached program per (dtype, shape)."""
+    return arr[idx]
+
+
+@partial(jax.jit, static_argnames=("kset",))
+def _col_scans(d, spos, act, newgrp, kset):
+    sv = d[spos]
+    rowpos = jnp.arange(d.shape[0], dtype=jnp.int32)
+    return build_scan_arrays(sv, None, act, newgrp, rowpos, kset)
+
+
+@partial(jax.jit, static_argnames=("kset",))
+def _col_scans_valid(d, v, spos, act, newgrp, kset):
+    sv = d[spos]
+    rowpos = jnp.arange(d.shape[0], dtype=jnp.int32)
+    return build_scan_arrays(sv, v[spos], act, newgrp, rowpos, kset)
+
+
+@partial(jax.jit, static_argnames=("pb", "out_cap"))
+def _compact_perm(act, newgrp, pb, out_cap):
+    """Positions (in sorted-row order) of each group's END row, compacted to
+    the front in key order — a ONE-operand sort (rowpos embeds in the key)."""
+    cap = act.shape[0]
+    rowpos = jnp.arange(cap, dtype=jnp.int32)
+    next_new = jnp.concatenate([newgrp[1:], jnp.ones((1,), jnp.bool_)])
+    next_act = jnp.concatenate([act[1:], jnp.zeros((1,), jnp.bool_)])
+    is_end = act & (next_new | ~next_act)
+    ckey = ((~is_end).astype(jnp.uint64) << jnp.uint64(pb)) | rowpos.astype(
+        jnp.uint64)
+    ck = jax.lax.sort((ckey,), num_keys=1, is_stable=False)[0]
+    ckey_c = jax.lax.slice(ck, (0,), (out_cap,))
+    return (ckey_c & jnp.uint64((1 << pb) - 1)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("aggs", "agg_vidx", "keynames", "widths",
+                                   "nan_flags", "exact_flags", "out_cap",
+                                   "tbits", "cap"))
+def _finalize_wide(comp, svs, end_pos, n_groups, aggs, agg_vidx, vcols, kcols,
+                   keynames, mins, widths, nan_flags, exact_flags, ranges,
+                   out_cap, tbits, cap):
+    return _finalize_body(comp, svs, end_pos, n_groups, aggs, agg_vidx,
+                          vcols, kcols, keynames, mins, widths, nan_flags,
+                          exact_flags, ranges, out_cap, tbits, cap)
+
+
+def _scan_names(kset):
+    """Names build_scan_arrays will emit (minus 'sv') — sizes the pass-2
+    operand estimate for the carried-vs-wide lane choice."""
+    names = ["cs_cnt"]
+    if kset & {"sum", "mean", "var", "std", "m2", "sum_of_squares"}:
+        names.append("cs_sum")
+    if "sum_of_squares" in kset:
+        names.append("cs_sos")
+    if "varc" in kset:
+        names += ["cs_sumc", "cs_sosc"]
+    if "product" in kset:
+        names.append("prod")
+    if kset & {"min", "argmin"}:
+        names.append("smin")
+    if kset & {"max", "argmax"}:
+        names.append("smax")
+    if "any" in kset:
+        names.append("sany")
+    if "all" in kset:
+        names.append("sall")
+    if kset & {"first", "nth"}:
+        names.append("sfirst")
+    if "last" in kset:
+        names.append("slast")
+    return names
 
 
 def sort_groupby(tbl: Table, keys: Sequence[str], aggs,
@@ -402,17 +536,53 @@ def sort_groupby(tbl: Table, keys: Sequence[str], aggs,
             # sum-of-squares scans for the single-pass variance
             kinds[vmap[cname]].add("varc")
 
-    scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col = _pass1(
-        word, tuple(vdatas), tuple(vvalids),
-        tuple(frozenset(k) for k in kinds), tbits, pb, embedded, stable)
-
+    ksets = tuple(frozenset(k) for k in kinds)
     n_bound = cap if tbits >= 40 else min(cap, 1 << tbits)
     out_cap = bucket_capacity(max(n_bound, 1))
     agg_vidx = tuple(vmap[s.column if s.column else keys[0]] for s in aggs)
-    out_cols, ng_i32 = _pass2_compact(
-        scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col, tuple(aggs),
-        agg_vidx, tuple(vcols), kcols, tuple(keys), mins, widths, nan_flags,
-        null_flags, exact_flags, ranges, out_cap, tbits, pb)
+
+    # lane choice by SORT OPERAND COUNT (see SORT_OPERAND_MAX): the fused
+    # carried-payload programs for few columns (the bench shapes — their
+    # compile-cache signatures are preserved), the dispatch-chain wide lane
+    # for many (TPC-H Q1's 8 aggs wedged/SIGSEGV'd the carried compile)
+    p1_ops = (1 if embedded else 2) + sum(
+        1 + (v is not None) for v in vvalids)
+    p2_ops = 2 + sum(len(_scan_names(k)) for k in ksets)
+    if max(p1_ops, p2_ops) <= SORT_OPERAND_MAX:
+        scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col = _pass1(
+            word, tuple(vdatas), tuple(vvalids), ksets, tbits, pb, embedded,
+            stable)
+        out_cols, ng_i32 = _pass2_compact(
+            scode, spos, act, newgrp, ng_dev, n_act, arrs_by_col, tuple(aggs),
+            agg_vidx, tuple(vcols), kcols, tuple(keys), mins, widths,
+            nan_flags, null_flags, exact_flags, ranges, out_cap, tbits, pb)
+    else:
+        if embedded:
+            scode, spos = _sort_word_embedded(word, pb)
+        else:
+            scode, spos = _sort_word_pair(word, stable)
+        act, newgrp, ng_dev, n_act = _group_bounds(scode, tbits)
+        arrs_by_col = []
+        for d, v, kset in zip(vdatas, vvalids, ksets):
+            if v is None:
+                arrs_by_col.append(_col_scans(d, spos, act, newgrp, kset))
+            else:
+                arrs_by_col.append(
+                    _col_scans_valid(d, v, spos, act, newgrp, kset))
+        end_pos = _compact_perm(act, newgrp, pb, out_cap)
+        comp = {(-1, "scode"): _gat(scode, end_pos)}
+        svs = []
+        for vidx, (arrs, kset) in enumerate(zip(arrs_by_col, ksets)):
+            svs.append(arrs["sv"] if kset & _STABLE_KINDS else None)
+            for aname, arr in arrs.items():
+                if aname == "sv":
+                    continue
+                comp[(vidx, aname)] = _gat(arr, end_pos)
+        out_cols = _finalize_wide(
+            comp, tuple(svs), end_pos, ng_dev, tuple(aggs), agg_vidx,
+            tuple(vcols), kcols, tuple(keys), mins, widths, nan_flags,
+            exact_flags, ranges, out_cap, tbits, cap)
+        ng_i32 = ng_dev
     # deferred device length: resolves on host access (core/column.py).
     # No async prefetch — it would occupy the tunnel for a full RTT
     out_cols = fix_lengths(out_cols, ng_i32)
