@@ -25,6 +25,7 @@ follow pandas/polars: null != null unless ``nulls_equal=True``
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -535,9 +536,13 @@ def _semi_anti_mask(counts, linb, anti: bool):
 
 
 # How many arrays may ride the N:1 sort-join's payload sorts. Wider tables
-# fall back to the gather-based retrieve (carrying every column through 3
-# sort passes stops paying off around here).
-MAX_SORTJOIN_PAYLOADS = 12
+# fall back to the gather-based retrieve lanes: beyond ~4 payloads the
+# combined sort's COMPILE time dominates — variadic-sort compile cost on the
+# axon AOT compiler is super-linear in operand count (measured 3 operands
+# 8.6s, 7 operands 27.6s, 15 operands 96s at 65k rows, worse at size; the
+# r3 1,240s join compile was this cliff), while the gather lanes reuse one
+# cached program per payload dtype.
+MAX_SORTJOIN_PAYLOADS = int(os.environ.get("CUDF_TPU_SORTJOIN_PAYLOADS", "4"))
 
 
 # --------------------------------------------------------------------------

@@ -224,13 +224,33 @@ def build_order_words(kcols, plan_kinds, widths, mins, ranges, nan_flags,
 def sort_payloads_by_words(words, payloads, pb: int, total: int):
     """Trace-safe payload sort by pre-built u64 key words. Returns the
     reordered payload list. Single-word keys embed the row id; wider keys
-    run LSD passes with a position tiebreak."""
+    run LSD passes with a position tiebreak.
+
+    Variadic-sort COMPILE time on the axon AOT compiler is super-linear in
+    operand count and ~linear in capacity (a 5-operand 262k sort compiled
+    157s; see ops/sortgroup.py SORT_OPERAND_MAX) — past the operand budget
+    the keys sort alone carrying only the row id and each payload is
+    reordered by one gather (gathers compile in milliseconds)."""
+    from .sortgroup import SORT_OPERAND_MAX
+
     cap = payloads[0].shape[0] if payloads else words[0].shape[0]
     if len(words) == 1 and total + pb <= 64:
         u = (words[0] << jnp.uint64(pb)) | jnp.arange(cap, dtype=jnp.uint64)
+        if len(payloads) + 1 > SORT_OPERAND_MAX:
+            su = jax.lax.sort((u,), num_keys=1, is_stable=False)[0]
+            perm = (su & jnp.uint64((1 << pb) - 1)).astype(jnp.int32)
+            return [p[perm] for p in payloads]
         res = jax.lax.sort(tuple([u] + list(payloads)), num_keys=1,
                            is_stable=False)
         return list(res[1:])
+    if len(payloads) + 2 + len(words) - 1 > SORT_OPERAND_MAX:
+        # wide multi-word: LSD passes carrying only the permutation
+        from .sortprim import _pass64
+
+        perm = jnp.arange(cap, dtype=jnp.int32)
+        for word in reversed(list(words)):
+            perm = _pass64(word, perm)
+        return [p[perm] for p in payloads]
     arrays = list(payloads)
     words_cur = list(words)
     for wi in range(len(words_cur) - 1, -1, -1):
